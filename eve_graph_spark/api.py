@@ -1,0 +1,138 @@
+"""Public API — SURVEY.md §2.7 (A1-A7) as Python functions.
+
+The reference exposes six warp HTTP routes (src/main.rs:37-69); here each is
+a function over DataFrames. Error mapping (main.rs:125-151): route not found
+→ RouteNotFound (the 404 + {"error":"route not found"} analogue).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eve_graph_spark.functions.risk import galaxy_baseline, risk_expr
+from eve_graph_spark.operators import relational as R
+from eve_graph_spark.operators.graph import (
+    ProjectionRegistry,
+    path_as_names,
+    reconstruct_path,
+    sssp,
+)
+
+SYSTEM_MAP = "system-map"  # cost projection   (database.rs:422-438)
+JUMP_RISK = "jump-risk"    # risk projection   (database.rs:440-456)
+
+
+class RouteNotFound(Exception):
+    """A1/A2 404 semantics (main.rs:162-168)."""
+
+
+class GraphEngine:
+    """Holds the vertex/edge tables + named projections, mirrors the
+    reference service's lifecycle (bootstrap → refresh → query)."""
+
+    def __init__(self, systems: DataFrame, jumps: DataFrame):
+        self.systems = systems
+        self.jumps = jumps
+        self.registry = ProjectionRegistry()
+
+    # --- projections (G1-G6) ------------------------------------------------
+    def build_cost_projection(self) -> None:
+        self.registry.refresh(SYSTEM_MAP, self.jumps, "cost")
+
+    def build_risk_projection(self) -> None:
+        self.registry.refresh(JUMP_RISK, self.jumps, "risk")
+
+    def _resolve(self, name: str) -> int:
+        row = R.point_lookup(self.systems, "name", name).select("system_id").collect()
+        if not row:
+            raise RouteNotFound(f"system {name!r} not found")
+        return row[0]["system_id"]
+
+    def _route(self, projection: str, from_name: str, to_name: str) -> list[str]:
+        src, dst = self._resolve(from_name), self._resolve(to_name)
+        edges = self.registry.get(projection)
+        dist = sssp(edges, [src])
+        path = reconstruct_path(dist, dst)
+        if not path:
+            raise RouteNotFound("route not found")
+        return path_as_names(self.systems, path)
+
+    # --- A1: GET /shortest-route/{from}/to/{to} (main.rs:153-171) ----------
+    def shortest_route(self, from_name: str, to_name: str) -> list[str]:
+        if not self.registry.exists(SYSTEM_MAP):
+            self.build_cost_projection()
+        return self._route(SYSTEM_MAP, from_name, to_name)
+
+    # --- A2: GET /safest-route/{from}/to/{to} (main.rs:173-199) ------------
+    # Lazily (re)builds the risk projection if missing (main.rs:178-185).
+    def safest_route(self, from_name: str, to_name: str) -> list[str]:
+        if not self.registry.exists(JUMP_RISK):
+            self.build_risk_projection()
+        return self._route(JUMP_RISK, from_name, to_name)
+
+    # --- A3: POST /systems/refresh (sync.rs:121-170) ------------------------
+    def refresh_systems(self, esi_systems: DataFrame) -> DataFrame:
+        """Diff-sync: remove DB∖ESI, add ESI∖DB, dedup, return new table."""
+        to_add, to_remove = R.diff_sync(
+            esi_systems.select("system_id"), self.systems.select("system_id"), "system_id"
+        )
+        kept = R.remove_by_ids(self.systems, to_remove, "system_id")
+        added = esi_systems.join(to_add, "system_id", "left_semi")
+        self.systems = R.dedup_keep_first(kept.unionByName(added), ["system_id"])
+        return self.systems
+
+    # --- A4: POST /systems/risk (sync.rs:296-321) ---------------------------
+    def refresh_risk(self, kills: DataFrame, jumps_activity: DataFrame) -> DataFrame:
+        """Risk pipeline: update activity columns (W6/W7), baseline (F2),
+        per-system risk (F1), write onto inbound edges (W8), rebuild the
+        risk projection (G6). Three small joins, one pass over edges."""
+        sys = R.keyed_update(self.systems, kills, "system_id", "kills", "ship_kills", default=0)
+        sys = R.keyed_update(sys, jumps_activity, "system_id", "jumps", "ship_jumps", default=0)
+        self.systems = sys
+        base = galaxy_baseline(kills, jumps_activity)
+        sys_risk = sys.crossJoin(F.broadcast(base)).select(
+            "system_id", risk_expr(F.col("kills"), F.col("jumps"), F.col("baseline")).alias("risk")
+        )
+        self.jumps = R.update_inbound_edge_risk(self.jumps, sys_risk)
+        self.build_risk_projection()
+        return self.jumps
+
+    # --- A5: POST /stargates/refresh (sync.rs:172-221) ----------------------
+    def refresh_stargates(self, stargates: DataFrame) -> DataFrame:
+        """Derive gate edges (W4) and upsert the missing ones (W5), then
+        rebuild the cost projection."""
+        gate_edges = R.derive_gate_edges(stargates, self.systems).withColumn(
+            "risk", F.lit(None).cast("double")
+        ).select("src_system_id", "dst_system_id", "cost", "risk", "kind")
+        self.jumps = R.upsert_edges_if_missing(self.jumps, gate_edges)
+        self.build_cost_projection()
+        return self.jumps
+
+    # --- A6: POST /wormholes/refresh (main.rs:201-212, sync.rs:66-94) -------
+    def refresh_wormholes(self, signatures: DataFrame, reset_names: tuple[str, ...] = ("Thera", "Turnur")) -> DataFrame:
+        """Thera/Turnur connection reset (W13) + wormhole filter (D3) +
+        bidirectional insert (W3) + cost projection rebuild."""
+        reset_ids = self.systems.filter(F.col("name").isin(list(reset_names))).select("system_id")
+        self.jumps = R.drop_node_connections(self.jumps, reset_ids)
+        wh = R.filter_wormhole_signatures(signatures).select(
+            F.col("in_system_id").alias("src_system_id"),
+            F.col("out_system_id").alias("dst_system_id"),
+            F.lit(1).cast("long").alias("cost"),
+            F.lit(None).cast("double").alias("risk"),
+            F.lit("wormhole").alias("kind"),
+        )
+        self.jumps = R.upsert_edges_if_missing(self.jumps, R.bidirectional_edges(wh))
+        self.build_cost_projection()
+        return self.jumps
+
+    # --- bootstrap (D9, main.rs:84-107) --------------------------------------
+    def bootstrap(self, esi_systems: DataFrame, stargates: DataFrame,
+                  kills: DataFrame, jumps_activity: DataFrame, signatures: DataFrame) -> None:
+        """Ordered: systems → stargates → risks → risk projection →
+        wormholes → cost projection (wormhole edges must exist before the
+        cost projection is built)."""
+        self.refresh_systems(esi_systems)
+        self.refresh_stargates(stargates)
+        self.refresh_risk(kills, jumps_activity)
+        self.refresh_wormholes(signatures)

@@ -1,0 +1,182 @@
+"""Graph analytics — SURVEY.md §2.6 (G1-G8): projections + weighted SSSP.
+
+The reference delegates Dijkstra to Neo4j GDS over an in-memory CSR
+projection (src/database.rs:422-456, :484-544). Spark has no built-in
+weighted shortest path, so the core here is a **Pregel-style iterative
+DataFrame Bellman-Ford / delta-relaxation loop**:
+
+    dist'(v) = min(dist(v), min over in-edges (u,v) of dist(u) + w(u,v))
+
+iterated until the frontier (set of vertices whose distance improved) is
+empty. Per iteration that is one join (frontier × edges, broadcast when the
+frontier is small) and one min-aggregation — both Catalyst-planned.
+
+Scale posture:
+- edges are hash-partitioned by `src` once up front and persisted, so every
+  iteration's frontier-edges join reuses the same partitioning (no repeated
+  edge shuffle);
+- the frontier is broadcast while small (it usually is: SSSP frontiers are
+  a thin wavefront), falling back to a shuffle join past a row threshold;
+- `localCheckpoint()` every few iterations truncates lineage, otherwise the
+  plan tree doubles per iteration and planning time explodes;
+- early termination the moment the frontier is empty (`frontier.isEmpty()`),
+  the analogue of Dijkstra settling all reachable nodes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BROADCAST_FRONTIER_MAX = 2_000_000  # rows; beyond this, shuffle-join the frontier
+
+
+@dataclass
+class ProjectionRegistry:
+    """G1-G6 (database.rs:387-482): named, cached edge projections.
+
+    The reference's GDS named graphs are columnar snapshots that go stale
+    until explicitly dropped + rebuilt; the Spark analogue is a persisted
+    DataFrame in a name → DF dict with the same explicit-refresh semantics.
+    """
+
+    _graphs: dict[str, DataFrame] = field(default_factory=dict)
+
+    def project(self, name: str, edges: DataFrame, weight_col: str) -> DataFrame:
+        """G1/G2: materialize (src, dst, weight), partitioned by src for the
+        SSSP join, persisted — the 'CSR snapshot'."""
+        proj = (
+            edges.select(
+                F.col("src_system_id").alias("src"),
+                F.col("dst_system_id").alias("dst"),
+                F.col(weight_col).cast("double").alias("weight"),
+            )
+            .repartition("src")
+            .persist()
+        )
+        proj.count()  # force materialization, like gds.graph.project
+        self._graphs[name] = proj
+        return proj
+
+    def exists(self, name: str) -> bool:
+        """G3 (database.rs:387-400)."""
+        return name in self._graphs
+
+    def get(self, name: str) -> DataFrame:
+        return self._graphs[name]
+
+    def drop(self, name: str) -> None:
+        """G4/G5 (database.rs:402-420)."""
+        g = self._graphs.pop(name, None)
+        if g is not None:
+            g.unpersist()
+
+    def refresh(self, name: str, edges: DataFrame, weight_col: str) -> DataFrame:
+        """G6 (database.rs:468-482): drop-if-exists + rebuild."""
+        self.drop(name)
+        return self.project(name, edges, weight_col)
+
+
+def sssp(
+    edges: DataFrame,
+    source_ids: list[int],
+    weight_col: str = "weight",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 200,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths (G7/G8 kernel).
+
+    Returns (node long, dist double, pred long) — pred is the upstream node
+    on a shortest path (ties broken by smallest dist then smallest pred, so
+    the result is deterministic). Unreachable nodes are absent.
+
+    Weights must be non-negative (true for cost ≡ 1 and risk ≥ baseline > 0,
+    database.rs:375, :324-332).
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+
+    seed_schema = T.StructType(
+        [
+            T.StructField("node", T.LongType(), False),
+            T.StructField("dist", T.DoubleType(), False),
+            T.StructField("pred", T.LongType(), True),
+        ]
+    )
+    dist = spark.createDataFrame([(int(s), 0.0, None) for s in source_ids], seed_schema)
+    frontier = dist
+    frontier_rows = len(source_ids)
+
+    for it in range(max_iterations):
+        fr = F.broadcast(frontier) if frontier_rows <= BROADCAST_FRONTIER_MAX else frontier
+        # relax: messages to each neighbor; keep the best (dist, pred) per node
+        candidates = (
+            fr.join(e, fr.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+                F.col("src").alias("pred"),
+            )
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "pred")).alias("best"))
+            .select("node", F.col("best.dist").alias("dist"), F.col("best.pred").alias("pred"))
+        )
+        # improved = candidates strictly better than (or absent from) dist
+        old = dist.select(F.col("node"), F.col("dist").alias("old_dist"))
+        improved = (
+            candidates.join(old, "node", "left")
+            .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
+            .select("node", "dist", "pred")
+        )
+        improved = improved.localCheckpoint(eager=True)
+        frontier_rows = improved.count()
+        if frontier_rows == 0:
+            break
+        frontier = improved
+        # merge: improved rows replace their old entries
+        dist = (
+            dist.join(improved.select(F.col("node").alias("__n")), dist.node == F.col("__n"), "left_anti")
+            .unionByName(improved)
+        )
+        if (it + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def reconstruct_path(dist: DataFrame, target_id: int, max_hops: int = 10_000) -> list[int]:
+    """Walk pred pointers target → source. The dist table for one route query
+    is vertex-sized; route reconstruction is a driver-side walk over a
+    collected {node: pred} map (same shape as GDS returning nodeIds,
+    database.rs:496-498)."""
+    rows = dist.select("node", "pred").collect()
+    pred = {r["node"]: r["pred"] for r in rows}
+    if target_id not in pred:
+        return []
+    path = [target_id]
+    while pred[path[-1]] is not None and len(path) <= max_hops:
+        path.append(pred[path[-1]])
+    return list(reversed(path))
+
+
+def path_as_names(systems: DataFrame, path: list[int]) -> list[str]:
+    """F6 (database.rs:498): node-id path → name path, one broadcast lookup."""
+    if not path:
+        return []
+    spark = systems.sparkSession
+    order = spark.createDataFrame(list(enumerate(path)), "pos int, system_id long")
+    rows = (
+        order.join(F.broadcast(systems.select("system_id", "name")), "system_id")
+        .orderBy("pos")
+        .select("name")
+        .collect()
+    )
+    return [r["name"] for r in rows]

@@ -1,0 +1,447 @@
+"""Query registry — every operator from SURVEY.md §2, runnable as
+(spark, sf_dir) -> DataFrame, each with a DuckDB oracle SQL twin.
+
+Determinism rules (so the driver's value-hash matches bit-for-bit):
+- sums of doubles go through DECIMAL(38,12) (exact, order-independent),
+  then cast back to double — both engines produce the identical double;
+- ratios/averages are a SINGLE double division of identical operands;
+- timestamps are reduced to epoch-second longs or 'yyyy-MM-dd' strings;
+- every top-k has a total tie-break order;
+- keep-first dedup picks winners by MIN(key), never physical order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eve_graph_spark.functions.risk import risk_expr
+from eve_graph_spark.operators import relational as R
+from eve_graph_spark.operators.graph import sssp
+from eve_graph_spark.sources.graph_fixture import (
+    GRAPH_SQL_CTE,
+    build_jumps,
+    build_systems,
+)
+from eve_graph_spark.sources.tables import events_with_ts, load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _dsum(col, alias: str):
+    """Exact, order-independent sum of a double column (see module doc).
+
+    Doubles are fixed-pointed via floor(x*1e6 + 0.5) — every step is an IEEE
+    double op that both engines execute identically — then summed as exact
+    integers and divided back once. (A double→decimal cast is NOT portable:
+    Spark casts via the shortest decimal repr, DuckDB via the exact binary
+    expansion, and the 12th fractional digit diverges.)
+    """
+    return (F.sum(F.floor(F.col(col) * 1000000 + F.lit(0.5))) / F.lit(1000000.0)).alias(alias)
+
+
+def _dsum_sql(expr: str, alias: str) -> str:
+    return f"SUM(CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS {alias}"
+
+
+def _graph_cte(body: str) -> str:
+    return f"WITH RECURSIVE {GRAPH_SQL_CTE} {body}"
+
+
+# =========================================================================
+# Flagship: pricing summary (TPC-H Q1 shape) — scan + filter + wide agg.
+# Catalyst pushes the shipdate filter into the parquet scan; the groupBy is
+# a 6-group partial-aggregated shuffle — the cheapest possible plan shape.
+# =========================================================================
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql("l_quantity", "sum_qty")},
+           {_dsum_sql("l_extendedprice", "sum_base_price")},
+           {_dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {_dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .withColumn("__disc_price", disc_price)
+        .withColumn("__charge", charge)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            _dsum("__disc_price", "sum_disc_price"),
+            _dsum("__charge", "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# =========================================================================
+# §2.2 scans / lookups / counts / existence
+# =========================================================================
+
+@register(
+    "point_lookup",
+    "SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey = 7 LIMIT 1",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4 get_system (database.rs:137-148): predicate pushed to parquet scan.
+    sup = load_table(spark, sf_dir, "supplier")
+    return R.point_lookup(sup, "s_suppkey", 7).select("s_suppkey", "s_name", "s_nationkey")
+
+
+@register(
+    "projection_scan",
+    "SELECT o_orderkey FROM orders",
+)
+def projection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2 get_all_system_ids (database.rs:164-176): column-pruned scan.
+    return R.projection_scan(load_table(spark, sf_dir, "orders"), ["o_orderkey"])
+
+
+@register(
+    "table_counts",
+    """
+    SELECT 'customer' AS tbl, COUNT(*) AS cnt FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    """,
+)
+def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q7/Q8 get_saved_*_count (database.rs:178-197), one row per table.
+    out = None
+    for t in ("customer", "orders", "lineitem", "supplier"):
+        c = R.global_count(load_table(spark, sf_dir, t)).select(F.lit(t).alias("tbl"), "cnt")
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+@register(
+    "exists_checks",
+    _graph_cte(
+        """
+        SELECT 'jump_0_1' AS probe,
+               (SELECT COUNT(*) FROM fix_jumps WHERE src_system_id = 0 AND dst_system_id = 1) > 0 AS found
+        UNION ALL
+        SELECT 'jump_0_9',
+               (SELECT COUNT(*) FROM fix_jumps WHERE src_system_id = 0 AND dst_system_id = 9) > 0
+        UNION ALL
+        SELECT 'system_12',
+               (SELECT COUNT(*) FROM fix_systems WHERE system_id = 12) > 0
+        """
+    ),
+)
+def exists_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q5/Q6 existence probes (database.rs:68-79, :334-353).
+    jumps = build_jumps(spark, sf_dir)
+    systems = build_systems(spark, sf_dir)
+    probes = [
+        ("jump_0_1", R.exists(jumps, (F.col("src_system_id") == 0) & (F.col("dst_system_id") == 1))),
+        ("jump_0_9", R.exists(jumps, (F.col("src_system_id") == 0) & (F.col("dst_system_id") == 9))),
+        ("system_12", R.exists(systems, F.col("system_id") == 12)),
+    ]
+    return spark.createDataFrame(probes, "probe string, found boolean")
+
+
+# =========================================================================
+# §2.3 mutations as batch dataflow
+# =========================================================================
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W11 remove_duplicate_* (database.rs:546-555) generalized to content
+    # dedup: keep the smallest doc_id per exact text. Hash-partition on the
+    # text hash; partial aggregation keeps the shuffle narrow at scale.
+    docs = load_table(spark, sf_dir, "documents")
+    return R.dedup_keep_first(docs.select("doc_id", "text"), ["text"], order_by=["doc_id"]).select(
+        "doc_id", "text"
+    )
+
+
+@register(
+    "anti_join_remove",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+    """,
+)
+def anti_join_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W9 remove_by_ids (database.rs:557-567): anti-join delete of a keyed
+    # id set (every 5th customer) — non-empty remainder at every SF.
+    cust = load_table(spark, sf_dir, "customer")
+    ids = cust.filter(F.col("c_custkey") % 5 == 0)
+    return R.remove_by_ids(cust, ids, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "keyed_update",
+    """
+    WITH act AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey, COALESCE(a.n_orders, 0) AS n_orders, c.c_acctbal
+    FROM customer c LEFT JOIN act a USING (c_custkey)
+    """,
+)
+def keyed_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W6/W7 keyed SET (database.rs:256-292): join + coalesce, one pass.
+    cust = load_table(spark, sf_dir, "customer").withColumn("n_orders", F.lit(0).cast("long"))
+    act = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("upd"))
+    )
+    return R.keyed_update(cust, act, "c_custkey", "n_orders", "upd").select(
+        "c_custkey", "n_orders", "c_acctbal"
+    )
+
+
+@register(
+    "diff_sync",
+    """
+    WITH expected AS (
+        SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 <> 0
+        UNION ALL
+        SELECT c_custkey + 10000000 FROM customer WHERE c_custkey % 7 = 0
+    ),
+    current_ AS (SELECT c_custkey AS k FROM customer)
+    SELECT 'to_add' AS action, k FROM expected WHERE k NOT IN (SELECT k FROM current_)
+    UNION ALL
+    SELECT 'to_remove', k FROM current_ WHERE k NOT IN (SELECT k FROM expected)
+    """,
+)
+def diff_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D1 (sync.rs:121-170): two-way set diff as left_anti joins. Expected
+    # set is shifted/filtered so both to_add and to_remove are non-empty
+    # at every SF (the raw data has full FK coverage → trivial diffs).
+    cust = load_table(spark, sf_dir, "customer")
+    expected = (
+        cust.filter(F.col("c_custkey") % 3 != 0)
+        .select(F.col("c_custkey").alias("k"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 0).select((F.col("c_custkey") + 10000000).alias("k"))
+        )
+    )
+    current = cust.select(F.col("c_custkey").alias("k"))
+    to_add, to_remove = R.diff_sync(expected, current, "k")
+    return to_add.select(F.lit("to_add").alias("action"), "k").unionByName(
+        to_remove.select(F.lit("to_remove").alias("action"), "k")
+    )
+
+
+# =========================================================================
+# Graph fixture: vertex/edge derivation + risk scoring (F1/F2, W4, W8)
+# =========================================================================
+
+@register(
+    "graph_systems",
+    _graph_cte("SELECT system_id, name, constellation_id, security_status, kills, jumps FROM fix_systems"),
+)
+def graph_systems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_systems(spark, sf_dir)
+
+
+@register(
+    "graph_edges",
+    _graph_cte("SELECT src_system_id, dst_system_id, cost, risk, kind FROM fix_jumps"),
+)
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W4 edge derivation + W8 risk onto inbound edges, full fidelity.
+    return build_jumps(spark, sf_dir)
+
+
+@register(
+    "risk_scores",
+    _graph_cte(
+        """
+        SELECT dst_system_id AS system_id, risk FROM fix_sys_risk
+        """
+    ),
+)
+def risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 + F2 (database.rs:324-332, sync.rs:303-307) over the fixture.
+    systems = build_systems(spark, sf_dir)
+    totals = systems.agg(F.sum("kills").alias("tk"), F.sum("jumps").alias("tj")).select(
+        F.when(F.col("tj") > 0, F.col("tk") / F.col("tj")).otherwise(F.lit(0.01)).alias("baseline")
+    )
+    return systems.crossJoin(F.broadcast(totals)).select(
+        "system_id", risk_expr(F.col("kills"), F.col("jumps"), F.col("baseline")).alias("risk")
+    )
+
+
+# =========================================================================
+# Weighted SSSP (G7/G8). DuckDB oracle = bounded recursive enumeration of
+# (node, dist) pairs — exact because weights are integers and bounded.
+# The float-risk variant is validated in tests/ against a Python Dijkstra.
+# =========================================================================
+
+@register(
+    "sssp_cost",
+    _graph_cte(
+        """
+        , walk(node, dist) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.dst_system_id, w.dist + e.cost
+            FROM walk w JOIN fix_jumps e ON e.src_system_id = w.node
+            WHERE w.dist < 30
+        )
+        SELECT node, CAST(MIN(dist) AS DOUBLE) AS dist FROM walk GROUP BY node
+        """
+    ),
+)
+def sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G7 shortest route kernel: uniform cost=1 (database.rs:484-513).
+    jumps = build_jumps(spark, sf_dir)
+    return sssp(jumps, [0], weight_col="cost", src_col="src_system_id", dst_col="dst_system_id").select(
+        "node", "dist"
+    )
+
+
+@register(
+    "sssp_weighted",
+    _graph_cte(
+        """
+        , wedges AS (
+            SELECT e.src_system_id AS src, e.dst_system_id AS dst,
+                   CAST((s.kills * s.kills) % 7 + 1 AS BIGINT) AS w
+            FROM fix_edges_base e JOIN fix_systems s ON s.system_id = e.dst_system_id
+        ),
+        walk(node, dist) AS (
+            SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.dst, w.dist + e.w FROM walk w JOIN wedges e ON e.src = w.node
+            WHERE w.dist < 80
+        )
+        SELECT node, CAST(MIN(dist) AS DOUBLE) AS dist FROM walk GROUP BY node
+        """
+    ),
+)
+def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G8 safest-route kernel with non-uniform weights (database.rs:515-544).
+    systems = build_systems(spark, sf_dir)
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    wedges = jumps.join(
+        F.broadcast(systems.select(F.col("system_id").alias("dst_system_id"),
+                                   ((F.col("kills") * F.col("kills")) % 7 + 1).cast("long").alias("w"))),
+        "dst_system_id",
+    ).select(F.col("src_system_id").alias("src"), F.col("dst_system_id").alias("dst"), "w")
+    return sssp(wedges, [3], weight_col="w").select("node", "dist")
+
+
+@register("safest_route_path")  # float risk weights → rows-only driver check
+def safest_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2/G8 end-to-end: float risk weights + path reconstruction.
+    from eve_graph_spark.operators.graph import reconstruct_path
+
+    jumps = build_jumps(spark, sf_dir)
+    systems = build_systems(spark, sf_dir)
+    dist = sssp(jumps, [0], weight_col="risk", src_col="src_system_id", dst_col="dst_system_id")
+    path = reconstruct_path(dist, 13)
+    order = spark.createDataFrame(list(enumerate(path)), "pos int, system_id long")
+    return (
+        order.join(F.broadcast(systems.select("system_id", "name")), "system_id")
+        .select("pos", "system_id", "name")
+    )
+
+
+# =========================================================================
+# Sort / top-k / window — SURVEY §2.8 relational extensions
+# =========================================================================
+
+@register(
+    "top_k_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-k: Spark plans TakeOrderedAndProject — no full sort at scale.
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "tumbling_window_events",
+    f"""
+    SELECT (epoch_ms(ts) // 600000) * 600 AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql("value", "sum_value")}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch analogue of the streaming tumbling window (F.window) — expressed
+    # as epoch bucketing so the oracle is engine-neutral. The streaming
+    # variant lives in eve_graph_spark/streaming/.
+    ev = events_with_ts(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.expr("ts_sec div 600") * 600).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "sum_value"))
+    )

@@ -1,0 +1,184 @@
+"""Deterministic property-graph fixture derived from the driver test data.
+
+The reference's graph (systems + JUMP edges, reference: src/database.rs:81-96,
+:367-385) is ingested from live APIs; the driver's test data has no graph
+tables. To make every graph operator oracle-checkable, we derive a graph
+**deterministically from the `nation` table** with pure column expressions,
+and keep an exactly-equivalent ANSI-SQL CTE (`GRAPH_SQL_CTE`) for DuckDB.
+
+Topology (25 nodes at every SF — TPC-H `nation` is fixed-size):
+- ring gates: i -> (i+1) mod N, both directions (every physical gate pair
+  yields two directed edges, like the reference, database.rs:241-242)
+- hub gates: every nation <-> min(nationkey) of its region (both directions)
+- wormholes: fixed shortcut pairs (2,17) and (5,21), both directions
+  (reference inserts wormholes bidirectionally, database.rs:246-254)
+
+Edge properties: cost = 1 (database.rs:375); risk = kills²/jumps + baseline
+on the DESTINATION system (risk is written to all inbound edges,
+database.rs:311-320), baseline = Σkills/Σjumps (sync.rs:303-307).
+
+All derived numbers are integer arithmetic plus single float divisions, so
+Spark and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eve_graph_spark.functions.risk import risk_expr
+
+WORMHOLE_PAIRS = ((2, 17), (5, 21))
+
+
+def build_systems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex table: one System per nation, activity stats from nationkey."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return nation.select(
+        F.col("n_nationkey").cast("long").alias("system_id"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("constellation_id"),
+        ((F.col("n_nationkey") % 11 - F.lit(5)) / F.lit(10.0)).alias("security_status"),
+        ((F.col("n_nationkey") * 7) % 13).cast("int").alias("kills"),
+        ((F.col("n_nationkey") * 3) % 17).cast("int").alias("jumps"),
+    )
+
+
+def build_gate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed gate edges: ring + region-hub star, cost=1."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_regionkey").cast("long").alias("r"),
+    )
+    n_count = nation.groupBy().agg(F.max("k").alias("mx")).select((F.col("mx") + 1).alias("n"))
+    ring_fwd = nation.crossJoin(F.broadcast(n_count)).select(
+        F.col("k").alias("src"), ((F.col("k") + 1) % F.col("n")).alias("dst")
+    )
+    ring = ring_fwd.union(ring_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hubs = nation.groupBy("r").agg(F.min("k").alias("hub"))
+    hub_fwd = (
+        nation.join(F.broadcast(hubs), "r")
+        .where(F.col("k") != F.col("hub"))
+        .select(F.col("k").alias("src"), F.col("hub").alias("dst"))
+    )
+    hub_edges = hub_fwd.union(hub_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        ring.union(hub_edges)
+        .dropDuplicates(["src", "dst"])  # idempotent edge upsert (database.rs:355-365)
+        .select(
+            F.col("src").alias("src_system_id"),
+            F.col("dst").alias("dst_system_id"),
+            F.lit(1).cast("long").alias("cost"),
+            F.lit("gate").alias("kind"),
+        )
+    )
+
+
+def build_wormhole_edges(spark: SparkSession) -> DataFrame:
+    """Both directions per signature (reference: src/database.rs:246-254)."""
+    rows = []
+    for a, b in WORMHOLE_PAIRS:
+        rows.append((a, b))
+        rows.append((b, a))
+    return spark.createDataFrame(rows, "src_system_id long, dst_system_id long").select(
+        "src_system_id",
+        "dst_system_id",
+        F.lit(1).cast("long").alias("cost"),
+        F.lit("wormhole").alias("kind"),
+    )
+
+
+def build_jumps(spark: SparkSession, sf_dir: str, with_risk: bool = True) -> DataFrame:
+    """Full JUMP edge table, optionally risk-weighted.
+
+    Risk join is a broadcast of the (tiny) systems dim onto edges keyed by
+    destination — the bulk form of the reference's per-system inbound-edge
+    update (database.rs:294-322): one shuffle-free join instead of N queries.
+    """
+    edges = build_gate_edges(spark, sf_dir).union(build_wormhole_edges(spark))
+    if not with_risk:
+        return edges.withColumn("risk", F.lit(None).cast("double")).select(
+            "src_system_id", "dst_system_id", "cost", "risk", "kind"
+        )
+    systems = build_systems(spark, sf_dir)
+    totals = systems.agg(
+        F.sum("kills").alias("tk"), F.sum("jumps").alias("tj")
+    ).select(
+        F.when(F.col("tj") > 0, F.col("tk") / F.col("tj")).otherwise(F.lit(0.01)).alias("baseline")
+    )
+    sys_risk = (
+        systems.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("system_id").alias("dst_system_id"),
+            risk_expr(F.col("kills"), F.col("jumps"), F.col("baseline")).alias("risk"),
+        )
+    )
+    return edges.join(F.broadcast(sys_risk), "dst_system_id").select(
+        "src_system_id", "dst_system_id", "cost", "risk", "kind"
+    )
+
+
+# --- DuckDB-side mirror -----------------------------------------------------
+# Exactly the same graph as the builders above, as a SQL WITH-clause body.
+# Keep in lockstep with the DataFrame code; tests compare the two.
+
+GRAPH_SQL_CTE = """
+fix_systems AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS system_id,
+           n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS constellation_id,
+           (n_nationkey % 11 - 5) / 10.0 AS security_status,
+           CAST((n_nationkey * 7) % 13 AS INTEGER) AS kills,
+           CAST((n_nationkey * 3) % 17 AS INTEGER) AS jumps
+    FROM nation
+),
+fix_n AS (SELECT MAX(n_nationkey) + 1 AS n FROM nation),
+fix_ring_fwd AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS src,
+           CAST((n_nationkey + 1) % (SELECT n FROM fix_n) AS BIGINT) AS dst
+    FROM nation
+),
+fix_hubs AS (
+    SELECT n_regionkey AS r, MIN(n_nationkey) AS hub FROM nation GROUP BY n_regionkey
+),
+fix_hub_fwd AS (
+    SELECT CAST(n.n_nationkey AS BIGINT) AS src, CAST(h.hub AS BIGINT) AS dst
+    FROM nation n JOIN fix_hubs h ON n.n_regionkey = h.r
+    WHERE n.n_nationkey <> h.hub
+),
+fix_gates AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM fix_ring_fwd
+        UNION ALL SELECT dst AS src, src AS dst FROM fix_ring_fwd
+        UNION ALL SELECT src, dst FROM fix_hub_fwd
+        UNION ALL SELECT dst AS src, src AS dst FROM fix_hub_fwd
+    )
+),
+fix_wormholes(src, dst) AS (
+    VALUES (CAST(2 AS BIGINT), CAST(17 AS BIGINT)), (17, 2), (5, 21), (21, 5)
+),
+fix_edges_base AS (
+    SELECT src AS src_system_id, dst AS dst_system_id,
+           CAST(1 AS BIGINT) AS cost, 'gate' AS kind FROM fix_gates
+    UNION ALL
+    SELECT src, dst, CAST(1 AS BIGINT), 'wormhole' FROM fix_wormholes
+),
+fix_baseline AS (
+    SELECT CASE WHEN SUM(jumps) > 0
+                THEN CAST(SUM(kills) AS DOUBLE) / CAST(SUM(jumps) AS DOUBLE)
+                ELSE 0.01 END AS baseline
+    FROM fix_systems
+),
+fix_sys_risk AS (
+    SELECT system_id AS dst_system_id,
+           CASE WHEN jumps > 0
+                THEN CAST(kills AS DOUBLE) * kills / jumps
+                ELSE CAST(kills AS DOUBLE) * kills END
+           + (SELECT baseline FROM fix_baseline) AS risk
+    FROM fix_systems
+),
+fix_jumps AS (
+    SELECT e.src_system_id, e.dst_system_id, e.cost, r.risk, e.kind
+    FROM fix_edges_base e JOIN fix_sys_risk r USING (dst_system_id)
+)
+"""

@@ -1,0 +1,60 @@
+"""Loaders for the driver-generated parquet tables (TESTDATA.md).
+
+One function per table so call sites stay declarative; Spark's parquet
+source gives predicate pushdown + column pruning for free, so callers
+should select/filter directly on these DataFrames rather than collecting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as long (epoch nanos) — callers use
+        # `ts_seconds`/`ts` helpers below. Runtime-settable, so this works
+        # under any caller-provided SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts_ns` (long), `ts_sec` (long) and `ts` (timestamp, µs
+    truncation) — the timestamp view downstream window ops expect."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
+    return ev.withColumn("ts_sec", F.expr("ts_ns div 1000000000")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so spark.sql() can reach them."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,89 @@
+"""Drive the driver contract end-to-end, the way the driver does.
+
+Fresh vanilla SparkSession (NOT eve_graph_spark.session defaults), import
+__spark_entry__ from the repo root, run entry() + every queries() entry at
+the given SF, compare against oracle_sql() via DuckDB with an
+order-insensitive value hash. Usage:
+
+    python scripts/drive_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as contract  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    spark = SparkSession.builder.master("local[8]").appName("contract-drive").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    t0 = time.time()
+    edf = contract.entry(spark)
+    erows = edf.collect()
+    print(f"entry(): {len(erows)} rows, schema={edf.columns} [{time.time()-t0:.1f}s]")
+    assert len(erows) > 0
+
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    failed = []
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        took = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:35s} rows-only: {len(rows)} rows [{took:.1f}s]")
+            continue
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        sh, oh = value_hash(cols, rows), value_hash(ocols, orows)
+        ok = sh == oh and sorted(cols) == sorted(ocols) and len(rows) == len(orows)
+        print(f"  {name:35s} {'OK ' if ok else 'MISMATCH'} rows={len(rows)}/{len(orows)} hash={sh}/{oh} [{took:.1f}s]")
+        if not ok:
+            failed.append(name)
+    print(f"{'FAIL: ' + ', '.join(failed) if failed else 'ALL MATCH'}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""SSSP engine vs a pure-Python Dijkstra oracle, plus route-API semantics."""
+
+from __future__ import annotations
+
+import heapq
+
+import pytest
+from pyspark.sql import functions as F
+
+from eve_graph_spark.api import GraphEngine, RouteNotFound
+from eve_graph_spark.operators.graph import ProjectionRegistry, reconstruct_path, sssp
+from eve_graph_spark.sources.graph_fixture import build_jumps, build_systems
+
+
+def py_dijkstra(edges: list[tuple[int, int, float]], src: int) -> dict[int, float]:
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist = {src: 0.0}
+    pq = [(0.0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+@pytest.fixture(scope="module")
+def fixture_edges(spark, sf_dir):
+    jumps = build_jumps(spark, sf_dir)
+    rows = jumps.collect()
+    return jumps, [(r["src_system_id"], r["dst_system_id"], r["risk"]) for r in rows]
+
+
+def test_sssp_cost_matches_dijkstra(spark, fixture_edges):
+    jumps, ewr = fixture_edges
+    expected = py_dijkstra([(u, v, 1.0) for u, v, _ in ewr], 0)
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp(jumps, [0], weight_col="cost",
+                      src_col="src_system_id", dst_col="dst_system_id").collect()
+    }
+    assert got == expected
+
+
+def test_sssp_risk_matches_dijkstra(spark, fixture_edges):
+    jumps, ewr = fixture_edges
+    expected = py_dijkstra(ewr, 0)
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp(jumps, [0], weight_col="risk",
+                      src_col="src_system_id", dst_col="dst_system_id").collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], rel=1e-12)
+
+
+def test_reconstructed_path_is_valid(spark, fixture_edges):
+    jumps, ewr = fixture_edges
+    edge_set = {(u, v) for u, v, _ in ewr}
+    dist = sssp(jumps, [0], weight_col="risk", src_col="src_system_id", dst_col="dst_system_id")
+    path = reconstruct_path(dist, 13)
+    assert path[0] == 0 and path[-1] == 13
+    for a, b in zip(path, path[1:]):
+        assert (a, b) in edge_set
+    # path total equals the reported shortest distance
+    w = {(u, v): r for u, v, r in ewr}
+    total = sum(w[(a, b)] for a, b in zip(path, path[1:]))
+    d13 = {r["node"]: r["dist"] for r in dist.collect()}[13]
+    assert total == pytest.approx(d13, rel=1e-12)
+
+
+def test_oracle_sssp_bounds_are_safe(spark, fixture_edges):
+    """The DuckDB recursive-CTE oracles bound dist at 30 (cost) / 80
+    (weighted). Assert true shortest distances sit well inside the bounds
+    so the enumeration provably covers the optimum."""
+    _, ewr = fixture_edges
+    cost_d = py_dijkstra([(u, v, 1.0) for u, v, _ in ewr], 0)
+    assert max(cost_d.values()) < 15
+    kills = {r["system_id"]: r["kills"] for r in
+             build_systems(spark, "/root/testdata/sf0.001").collect()}
+    wd = py_dijkstra([(u, v, float((kills[v] * kills[v]) % 7 + 1)) for u, v, _ in ewr], 3)
+    assert max(wd.values()) < 40
+
+
+def test_graph_engine_routes(spark, sf_dir):
+    systems = build_systems(spark, sf_dir)
+    jumps = build_jumps(spark, sf_dir)
+    eng = GraphEngine(systems, jumps)
+    names = {r["system_id"]: r["name"] for r in systems.collect()}
+    route = eng.shortest_route(names[0], names[13])
+    assert route[0] == names[0] and route[-1] == names[13]
+    safe = eng.safest_route(names[0], names[13])
+    assert safe[0] == names[0] and safe[-1] == names[13]
+    with pytest.raises(RouteNotFound):
+        eng.shortest_route(names[0], "NO-SUCH-SYSTEM")
+
+
+def test_projection_registry(spark, sf_dir):
+    jumps = build_jumps(spark, sf_dir)
+    reg = ProjectionRegistry()
+    reg.project("system-map", jumps, "cost")
+    assert reg.exists("system-map")
+    assert not reg.exists("jump-risk")
+    reg.refresh("system-map", jumps, "cost")
+    reg.drop("system-map")
+    assert not reg.exists("system-map")
