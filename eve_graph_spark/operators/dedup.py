@@ -1,0 +1,133 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the whole point at 100 TB):
+- exact dedup: hash-partitioned groupBy on the content key — one shuffle,
+  partial aggregation upstream;
+- MinHash LSH: shingle → K minhashes → B bands → groupBy band-bucket →
+  candidate pairs only within buckets (never all-pairs), then exact
+  Jaccard verification on the candidates;
+- SimHash: 64-bit signature per doc from per-token hash bit votes; near-dup
+  candidates = identical band of the signature;
+- everything uses xxhash64 (JVM, codegen) — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact content. groupBy(text-hash) would
+    shuffle less data than groupBy(text) for long docs; group on a digest,
+    keep content via the min-id row join."""
+    winners = df.groupBy(F.xxhash64(F.col(text_col)).alias("__h")).agg(F.min(id_col).alias(id_col))
+    return df.join(winners.select(id_col), id_col, "left_semi")
+
+
+def shingles_expr(text_col: str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string> — SQL-expr form so the
+    lambda can use slice() with a column start offset."""
+    return F.expr(
+        f"array_distinct(CASE WHEN size(split(lower({text_col}), ' ')) >= {k} THEN "
+        f"transform(sequence(0, size(split(lower({text_col}), ' ')) - {k}), "
+        f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {k}))) "
+        f"ELSE array(lower({text_col})) END)"
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """(id, sig array<long>): sig[j] = min over shingles of xxhash64(shingle, seed=j).
+
+    One row per doc; the explode/min happens inside array expressions so no
+    shuffle is needed to build signatures.
+    """
+    def seeded_hash(j: int):
+        # closure (not a default arg: pyspark would treat the 2nd lambda
+        # param as the array index and silently ignore the seed)
+        return lambda s: F.xxhash64(s, F.lit(j))
+
+    sh = shingles_expr(text_col, k)
+    sigs = F.array(*[F.array_min(F.transform(sh, seeded_hash(j))) for j in range(num_hashes)])
+    return df.select(F.col(id_col), sigs.alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature, bucket-join: docs sharing any full band become a
+    candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    The self-join is per (band, bucket) group — at scale the bucket key is
+    high-cardinality so the shuffle is well distributed; a skewed mega-
+    bucket (e.g. empty docs) is the classic hazard, so we salt-cap via
+    distinct before the join.
+    """
+    banded = signatures.select(
+        id_col,
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)
+                ])) for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    ).distinct()
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Exact k-shingle Jaccard for given (id_a, id_b) pairs — the verify
+    stage after LSH candidate generation."""
+    sh = df.select(F.col(id_col), shingles_expr(text_col, k).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a", "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.8, num_hashes: int = 16,
+                  bands: int = 4, rows_per_band: int = 4, k: int = 3) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact Jaccard
+    filter ≥ threshold. Returns verified duplicate pairs (id_a < id_b)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    return jaccard_pairs(df, cands, text_col, id_col, k).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_expr(text_col: str, bits: int = 64, k: int = 2) -> Column:
+    """64-bit SimHash: per-shingle xxhash64, each bit votes ±1, sign of the
+    vote sum is the signature bit. Pure array expressions, one pass."""
+    sh = shingles_expr(text_col, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    def vote_merge(bv: int):
+        # closure (not a default arg: pyspark counts lambda params)
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(bv)) != 0, 1).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        # bit value as a Python-literal long (1<<63 is the sign bit)
+        bitval = (1 << b) if b < 63 else -(1 << 63)
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_merge(bitval))
+        sig = sig + F.when(vote > 0, F.lit(bitval)).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,89 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python in
+the hot path. Each has an exactly-equivalent DuckDB SQL twin in
+eve_graph_spark/queries.py; determinism notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the point is the operator shape (argmax of
+# per-language token-set hit counts), not linguistic quality.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de": ("der", "die", "und", "das", "in", "zu", "den", "ist", "von", "mit"),
+}
+
+
+def words(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of `lang`."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words(text), lambda w: w.isin(*sw)))
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Language-ID heuristic: argmax of stopword hits, deterministic
+    tie-break en > es > de, 'und' (undetermined) when no hits at all."""
+    en, es, de = (stopword_hits(text, L) for L in ("en", "es", "de"))
+    return (
+        F.when((en == 0) & (es == 0) & (de == 0), F.lit("und"))
+        .when((en >= es) & (en >= de), F.lit("en"))
+        .when(es >= de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def punct_count(text: Column) -> Column:
+    """Number of ASCII punctuation chars — count via strip-and-diff."""
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Quality score: mean word length + stopword ratio − punctuation ratio.
+
+    Written as one explicit left-to-right chain of single double ops so
+    Spark and DuckDB produce the identical double.
+    """
+    wc = word_count(text).cast("double")
+    mean_wlen = F.length(text).cast("double") / wc
+    stop_ratio = stopword_hits(text, "en").cast("double") / wc
+    punct_ratio = punct_count(text).cast("double") / F.length(text).cast("double")
+    return mean_wlen + stop_ratio - punct_ratio
+
+
+# BPE-ish tokenizer regex: letter runs | single digits | single symbols.
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def token_count(text: Column) -> Column:
+    """Token count under a BPE-ish regex (letters runs, digits, symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_PREFIX = 64
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Document fingerprint: polynomial rolling hash of the first 64 chars,
+    h = (h*31 + code) mod 1e9+7 — pure integer math, portable bit-for-bit."""
+    n = F.least(F.length(text), F.lit(FINGERPRINT_PREFIX))
+    codes = F.transform(F.sequence(F.lit(1), n), lambda i: F.ascii(text.substr(i, F.lit(1))))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )

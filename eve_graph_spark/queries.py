@@ -445,3 +445,386 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "sum_value"))
     )
+
+
+# =========================================================================
+# Joins / rollup / set ops — relational breadth (SURVEY §2.8)
+# =========================================================================
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-way join: customer (filtered, broadcast) ⋈ orders ⋈ lineitem.
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("__rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(_dsum("__rev", "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 6-way star join; all dims broadcast, only the fact side shuffles for
+    # the final aggregation.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .withColumn("__rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("n_name")
+        .agg(_dsum("__rev", "revenue"))
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT 'intersect' AS op, k FROM
+        (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except', k FROM
+        (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union', k FROM
+        (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D1 generalized: distinct set algebra over nation keys.
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (
+        c.intersect(s).select(F.lit("intersect").alias("op"), "k")
+        .unionByName(c.subtract(s).select(F.lit("except").alias("op"), "k"))
+        .unionByName(c.union(s).distinct().select(F.lit("union").alias("op"), "k"))
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+    o AS (SELECT user_id, event_id, tns,
+                 LAG(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+          FROM e),
+    flagged AS (SELECT user_id, event_id, tns,
+                       CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END AS new_s
+                FROM o),
+    sess AS (SELECT user_id, tns,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+             FROM flagged)
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           (MAX(tns) - MIN(tns)) // 1000000000 AS duration_sec
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session windows with a 30-min gap, batch form (gaps-and-islands).
+    # The streaming form (F.session_window + watermark) is in
+    # eve_graph_spark/streaming/; this one is SQL-oracle-checkable.
+    ev = events_with_ts(spark, sf_dir).select("user_id", "event_id", F.col("ts_ns").alias("tns"))
+    w = Window.partitionBy("user_id").orderBy("tns", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("tns").over(w).isNull()
+            | ((F.col("tns") - F.lag("tns").over(w)) > 1_800_000_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(tns) - min(tns)) div 1000000000").alias("duration_sec"),
+    )
+
+
+# =========================================================================
+# Text analysis (operators/text_analysis.py) — all JVM column expressions
+# =========================================================================
+
+@register(
+    "lang_id_documents",
+    """
+    WITH scores AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS en,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('el','la','de','que','y','en','un','es','se','no'))) AS es,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('der','die','und','das','in','zu','den','ist','von','mit'))) AS de
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'und'
+                WHEN en >= es AND en >= de THEN 'en'
+                WHEN es >= de THEN 'es'
+                ELSE 'de' END AS lang_guess
+    FROM scores
+    """,
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eve_graph_spark.operators.text_analysis import lang_id_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "quality_scores",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+           CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' '))
+             + CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
+               / len(string_split(lower(text), ' '))
+             - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS quality
+    FROM documents
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eve_graph_spark.operators.text_analysis import (
+        punct_count,
+        quality_score_expr,
+        word_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_count(F.col("text")).alias("n_words"),
+        punct_count(F.col("text")).alias("n_punct"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS n_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eve_graph_spark.operators.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "fingerprints",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, least(length(text), 64) + 1),
+                       i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eve_graph_spark.operators.text_analysis import fingerprint_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+# =========================================================================
+# Dedup (operators/dedup.py)
+# =========================================================================
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+                   list_transform(range(0, len(string_split(lower(text), ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 3), ' '))
+                   ELSE [lower(text)] END) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact 3-word-shingle Jaccard on consecutive doc pairs — the oracled
+    # verify-kernel of the near-dup pipeline (pair generation at scale is
+    # LSH, below; consecutive pairs keep the oracle linear-sized).
+    from eve_graph_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return jaccard_pairs(docs, pairs)
+
+
+@register("minhash_near_dups")  # xxhash64-based → not SQL-oracle-able; rows-only
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full MinHash+LSH near-dup pipeline at threshold 0.5.
+    from eve_graph_spark.operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.5)
+
+
+@register("simhash_signatures")  # xxhash64-based → rows-only
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eve_graph_spark.operators.dedup import simhash_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_expr("text").alias("simhash"))
+
+
+# =========================================================================
+# Similarity search (operators/similarity.py)
+# =========================================================================
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+@register(
+    "ann_brute_force_topk",
+    """
+    WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+    qexp AS (SELECT query_id, pos, CAST(qvec[pos] AS DOUBLE) AS qval FROM q, pos),
+    cand AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS cval FROM embeddings, pos),
+    dots AS (
+        SELECT query_id, vec_id,
+               SUM(CAST(FLOOR(cval * qval * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 AS dot
+        FROM cand JOIN qexp USING (pos)
+        WHERE vec_id <> query_id
+        GROUP BY query_id, vec_id
+    ),
+    norms AS (
+        SELECT vec_id AS nid,
+               SUM(CAST(FLOOR(cval * cval * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 AS sqnorm
+        FROM cand GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT d.query_id, d.vec_id,
+               d.dot / (sqrt(qn.sqnorm) * sqrt(cn.sqnorm)) AS cosine
+        FROM dots d JOIN norms qn ON qn.nid = d.query_id
+                    JOIN norms cn ON cn.nid = d.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eve_graph_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, ANN_QUERY_IDS, k=10, exact_fixed_point=True).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register("ann_lsh_topk")  # probabilistic bucket pruning → rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eve_graph_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, ANN_QUERY_IDS, k=10)
+
+
+# =========================================================================
+# Multimodal plumbing (operators/multimodal.py)
+# =========================================================================
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, md5(text) AS digest, strlen(text) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas feature extraction over binary blobs; digest + byte size
+    # are oracle-checkable (md5 of the utf-8 bytes), the decoded feature
+    # vector is covered by unit tests (deterministic fake decoder).
+    from eve_graph_spark.operators.multimodal import documents_as_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return extract_features(media).select("media_id", "digest", "n_bytes")

@@ -1,0 +1,125 @@
+"""Unit tests: MinHash/SimHash/Jaccard dedup, cosine similarity, multimodal
+plumbing — synthetic inputs with known ground truth."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eve_graph_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    jaccard_pairs,
+    minhash_dedup,
+    simhash_expr,
+)
+from eve_graph_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    fake_decoder,
+    frame_sample_stub,
+    resize_stub,
+)
+from eve_graph_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+FAR = "completely different words appear in this unrelated document about spark engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, BASE), (5, "tiny")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 2, 3, 5}  # 4 is an exact dup of 1, loses by id
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = minhash_dedup(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup always survives
+    assert (1, 2) in got or (2, 4) in got  # near dup found
+    assert not any(3 in p for p in got)  # unrelated never passes verify
+
+
+def test_jaccard_values(docs, spark):
+    pairs = spark.createDataFrame([(1, 4), (1, 3)], "id_a long, id_b long")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, pairs).collect()}
+    assert j[(1, 4)] == 1.0
+    assert j[(1, 3)] == 0.0
+
+
+def test_simhash_properties(docs):
+    sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash_expr("text").alias("s")).collect()}
+    assert sigs[1] == sigs[4]  # identical text → identical signature
+    d = docs.sparkSession.createDataFrame(
+        [(sigs[1], sigs[2]), (sigs[1], sigs[3])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    near, far = d[0]["h"], d[1]["h"]
+    assert near < far  # near-dup closer in hamming space than unrelated
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    # 3 clusters along axes; vec 0 ~ vec 1, orthogonal to vec 2
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def py_cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_brute_force_topk_matches_python(embeddings):
+    got = brute_force_topk(embeddings, [0], k=4).collect()
+    ranked = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ranked[0] == 1 and ranked[1] == 4  # closest first
+    for r in got:
+        vecs = {row["vec_id"]: row["embedding"] for row in embeddings.collect()}
+        assert r["cosine"] == pytest.approx(py_cos(vecs[0], vecs[r["vec_id"]]), abs=1e-6)
+
+
+def test_fixed_point_topk_agrees_with_fast_path(embeddings):
+    fast = brute_force_topk(embeddings, [0], k=4).select("vec_id", "rank").collect()
+    exact = brute_force_topk(embeddings, [0], k=4, exact_fixed_point=True).select("vec_id", "rank").collect()
+    assert {(r["vec_id"], r["rank"]) for r in fast} == {(r["vec_id"], r["rank"]) for r in exact}
+
+
+def test_lsh_topk_subset_of_brute_force(embeddings):
+    # LSH restricts candidates to the query bucket; whatever it returns must
+    # score identically to brute force (same cosine) and include the bucket
+    # self-cluster.
+    got = lsh_bucketed_topk(embeddings, [0], k=4, n_planes=2, dim=4).collect()
+    assert all(r["query_id"] == 0 for r in got)
+    assert len(got) >= 1
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.createDataFrame([(1, "hello world", "s1"), (2, "abc", "s2")],
+                                 "doc_id long, text string, source string")
+    media = documents_as_media(docs)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    import hashlib
+
+    assert feats[1]["digest"] == hashlib.md5(b"hello world").hexdigest()
+    assert feats[1]["n_bytes"] == 11
+    assert feats[1]["feat"] == fake_decoder(b"hello world")
+    resized = resize_stub(media, 2, 3).collect()
+    assert all(r["meta"]["n_bytes"] == len(r["blob"]) for r in resized)
+    frames = frame_sample_stub(media, every_n=1).collect()
+    assert {r["media_id"] for r in frames} == {1, 2}
+    assert all(r["frame_no"] == 0 for r in frames)  # blobs < 1KB → 1 frame

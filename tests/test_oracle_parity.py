@@ -37,7 +37,8 @@ def _norm(v):
 
 
 def _rows(rows):
-    return sorted(tuple(_norm(v) for v in r) for r in rows)
+    # key=repr: total order even with None/mixed types (rollup NULLs)
+    return sorted((tuple(_norm(v) for v in r) for r in rows), key=repr)
 
 
 ORACLED = sorted(registry.oracle_sql().keys())
