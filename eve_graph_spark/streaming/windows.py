@@ -1,0 +1,101 @@
+"""Streaming window operators over event streams.
+
+The reference has no streaming — refresh is poll-based POST (SURVEY.md
+§2.8) — so this module is the Structured-Streaming analogue the north star
+asks for: the same aggregations as the batch `tumbling_window_events` /
+`sessionize_events` queries, but incremental, watermarked for late data,
+and runnable on `readStream` sources.
+
+All functions take an already-streaming DataFrame (spark.readStream...)
+with an event-time column and return the transformed streaming DataFrame;
+callers pick the sink (`writeStream`, `foreachBatch`, memory for tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, ts_col: str = "ts",
+                    window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time window: count + sum per (window, event_type).
+    Watermark bounds state: late rows beyond it are dropped, which is what
+    lets this run forever at 100 TB/day."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, ts_col: str = "ts",
+                   window: str = "10 minutes", slide: str = "5 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Sliding window variant (overlapping windows)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, ts_col: str = "ts",
+                   gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user with an inactivity gap — the streaming twin
+    of the batch gaps-and-islands `sessionize_events` query."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], ts_col: str = "ts",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon — state is bounded by the watermark, unlike a global
+    dropDuplicates which would grow forever."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def wormhole_expiry_stream(signatures: DataFrame, ts_col: str = "expires_at",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming analogue of POST /wormholes/refresh (reference:
+    src/sync.rs:66-94 + eve_scout.rs:31 `expires_at`): each micro-batch
+    emits the currently-valid wormhole edge set (bidirectional), watermarked
+    on expiry so state ages out exactly when the wormhole does."""
+    wh = (
+        signatures.withWatermark(ts_col, watermark)
+        .filter(F.col("signature_type") == "wormhole")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    fwd = wh.select(
+        F.col("in_system_id").alias("src_system_id"),
+        F.col("out_system_id").alias("dst_system_id"),
+        F.lit(1).cast("long").alias("cost"),
+        F.lit("wormhole").alias("kind"),
+        F.col(ts_col),
+    )
+    bwd = wh.select(
+        F.col("out_system_id").alias("src_system_id"),
+        F.col("in_system_id").alias("dst_system_id"),
+        F.lit(1).cast("long").alias("cost"),
+        F.lit("wormhole").alias("kind"),
+        F.col(ts_col),
+    )
+    return fwd.unionByName(bwd)

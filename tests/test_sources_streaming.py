@@ -1,0 +1,188 @@
+"""Source connectors (wire→model conversion, fan-out fetch, error policy)
+and Structured Streaming windows — hermetic fixtures, no network."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from eve_graph_spark import schemas
+from eve_graph_spark.sources import esi, eve_scout
+
+# Jita-shaped fixture — same canonical row as the reference's conversion
+# test (reference: src/sync.rs:358-386).
+JITA = {
+    "system_id": 30000142,
+    "name": "Jita",
+    "constellation_id": 20000020,
+    "planets": [
+        {"planet_id": 40009077, "asteroid_belts": [40009078], "moons": [40009080]},
+        {"planet_id": 40009087, "asteroid_belts": None, "moons": None},
+    ],
+    "position": {"x": -129064e12, "y": 60755e12, "z": -117469e12},
+    "security_class": "B",
+    "security_status": 0.9459,
+    "star_id": 40009076,
+    "stargates": [50001248, 50001249],
+}
+BARE = {"system_id": 30009999}  # all-nullable wire row → defaults
+
+# Stargate fixture mirrors reference src/sync.rs:389-413 (50011905 → 30000144).
+GATE = {
+    "stargate_id": 50011905,
+    "system_id": 30000142,
+    "destination": {"stargate_id": 50011906, "system_id": 30000144},
+    "name": "Stargate (Perimeter)",
+    "position": {"x": 1.0, "y": 2.0, "z": 3.0},
+    "type_id": 29624,
+}
+
+
+def test_systems_from_wire(spark, tmp_path):
+    p = tmp_path / "systems.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in [JITA, BARE]))
+    wire = esi.read_systems_json(spark, str(p))
+    rows = {r["system_id"]: r for r in esi.systems_from_wire(wire).collect()}
+    jita = rows[30000142]
+    assert jita["name"] == "Jita"
+    assert jita["planets"] == [40009077, 40009087]  # F4 nested flatten
+    assert jita["stargates"] == [50001248, 50001249]
+    assert jita["kills"] == 0 and jita["jumps"] == 0
+    bare = rows[30009999]
+    assert bare["name"] == "undefined"  # F3 defaults (sync.rs:29)
+    assert bare["constellation_id"] == -1 and bare["star_id"] == -1
+    assert bare["planets"] == [] and bare["stargates"] == []
+
+
+def test_stargates_from_wire(spark, tmp_path):
+    p = tmp_path / "gates.jsonl"
+    p.write_text(json.dumps(GATE))
+    wire = esi.read_stargates_json(spark, str(p))
+    r = esi.stargates_from_wire(wire).collect()[0]
+    assert r["stargate_id"] == 50011905
+    assert r["destination_stargate_id"] == 50011906  # F5 struct flatten
+    assert r["destination_system_id"] == 30000144
+    assert r["x"] == 1.0 and r["type_id"] == 29624
+
+
+def test_fanout_fetch_and_parse(spark):
+    data = {1: JITA, 2: BARE}
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    fetched = esi.fetch_details(ids, esi.make_dict_fetcher(data), concurrency=2)
+    by_status = {r["id"]: r["status"] for r in fetched.collect()}
+    assert by_status == {1: "ok", 2: "ok", 3: "not_found"}  # 404 → skip
+    parsed = esi.parse_payloads(fetched, schemas.ESI_SYSTEM_RESPONSE)
+    assert {r["system_id"] for r in parsed.collect()} == {30000142, 30009999}
+
+
+def test_signatures_filter_and_expiry(spark, tmp_path):
+    sigs = [
+        {"id": "a", "signature_type": "wormhole", "in_system_id": 1, "out_system_id": 2,
+         "created_at": "2026-01-01T00:00:00Z", "expires_at": "2026-01-01T16:00:00Z"},
+        {"id": "b", "signature_type": "data", "in_system_id": 3, "out_system_id": 4,
+         "created_at": "2026-01-01T00:00:00Z", "expires_at": "2026-01-02T00:00:00Z"},
+        {"id": "c", "signature_type": "wormhole", "in_system_id": 5, "out_system_id": 6,
+         "created_at": "2026-01-01T00:00:00Z", "expires_at": "2026-01-01T02:00:00Z"},
+    ]
+    p = tmp_path / "sigs.jsonl"
+    p.write_text("\n".join(json.dumps(s) for s in sigs))
+    parsed = eve_scout.parse_signatures(eve_scout.read_signatures_json(spark, str(p)))
+    active = eve_scout.active_wormholes(parsed, now="2026-01-01 08:00:00")
+    assert {r["id"] for r in active.collect()} == {"a"}  # b: not wormhole; c: expired
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    """File-based micro-batch stream of events with event-time column."""
+    rows = []
+    base = 1_700_000_000
+    for u in (1, 2):
+        for i in range(6):
+            rows.append({"event_id": u * 100 + i, "user_id": u,
+                         "ts": base + u * 40 + i * 60, "event_type": "click", "value": 1.5})
+    # duplicate delivery of one event (for dedup test)
+    rows.append(dict(rows[0]))
+    p = tmp_path / "stream"
+    p.mkdir()
+    (p / "part1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    raw = (
+        spark.readStream.schema("event_id long, user_id long, ts long, event_type string, value double")
+        .json(str(p))
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    return raw
+
+
+def _run_to_memory(stream_df, name: str, output_mode: str = "append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_tumbling_window(spark, event_stream):
+    from eve_graph_spark.streaming.windows import tumbling_counts
+
+    # events span ~6 min, so the watermark delay must be shorter than the
+    # span for append mode to close any window within this finite stream
+    _run_to_memory(
+        tumbling_counts(event_stream, window="5 minutes", watermark="1 minute"),
+        "tumb", "append")
+    rows = spark.sql("SELECT * FROM tumb").collect()
+    # append mode emits only watermark-closed windows; the no-data final
+    # micro-batch flushes windows whose end <= max_ts - 1 minute
+    assert sum(r["n_events"] for r in rows) >= 1
+    assert all(r["window_end"] > r["window_start"] for r in rows)
+
+
+def test_streaming_session_window(spark, event_stream):
+    from eve_graph_spark.streaming.windows import session_counts
+
+    # a session closes at last_event+gap, which is always past the finite
+    # stream's max ts, so append mode would emit nothing — use complete
+    _run_to_memory(session_counts(event_stream, gap="2 minutes"), "sess", "complete")
+    rows = spark.sql("SELECT * FROM sess").collect()
+    got = {(r["user_id"]): r["n_events"] for r in rows}
+    # each user's 6 events are 60s apart → one session of 6 (plus the dup)
+    assert got.get(1, 0) >= 6
+
+
+def test_streaming_dedup(spark, event_stream):
+    from eve_graph_spark.streaming.windows import dedup_within_watermark
+
+    _run_to_memory(dedup_within_watermark(event_stream, ["event_id"]), "dd", "append")
+    ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM dd").collect()]
+    assert len(ids) == len(set(ids)) == 12  # duplicate delivery dropped
+
+
+def test_wormhole_expiry_stream(spark, tmp_path):
+    from eve_graph_spark.streaming.windows import wormhole_expiry_stream
+
+    sigs = [
+        {"id": "a", "signature_type": "wormhole", "in_system_id": 1, "out_system_id": 2,
+         "expires_at": 1_700_000_000},
+        {"id": "a", "signature_type": "wormhole", "in_system_id": 1, "out_system_id": 2,
+         "expires_at": 1_700_000_000},  # duplicate delivery
+        {"id": "b", "signature_type": "data", "in_system_id": 3, "out_system_id": 4,
+         "expires_at": 1_700_000_600},
+    ]
+    p = tmp_path / "sigstream"
+    p.mkdir()
+    (p / "b.jsonl").write_text("\n".join(json.dumps(s) for s in sigs))
+    raw = (
+        spark.readStream.schema("id string, signature_type string, in_system_id long, out_system_id long, expires_at long")
+        .json(str(p))
+        .withColumn("expires_at", F.timestamp_seconds("expires_at"))
+    )
+    _run_to_memory(wormhole_expiry_stream(raw), "wh", "append")
+    rows = spark.sql("SELECT * FROM wh").collect()
+    pairs = {(r["src_system_id"], r["dst_system_id"]) for r in rows}
+    assert pairs == {(1, 2), (2, 1)}  # bidirectional, dedup'd, non-wormhole dropped
+    assert len(rows) == 2
