@@ -25,10 +25,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(winners.select(id_col), id_col, "left_semi")
 
 
-def shingles_expr(text_col: str, k: int = 3) -> Column:
-    """Distinct k-word shingles as an array<string> — SQL-expr form so the
-    lambda can use slice() with a column start offset."""
-    return F.expr(
+def _shingles_sql(text_col: str, k: int = 3) -> str:
+    """SQL for distinct k-word shingles as an array<string>."""
+    return (
         f"array_distinct(CASE WHEN size(split(lower({text_col}), ' ')) >= {k} THEN "
         f"transform(sequence(0, size(split(lower({text_col}), ' ')) - {k}), "
         f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {k}))) "
@@ -36,20 +35,27 @@ def shingles_expr(text_col: str, k: int = 3) -> Column:
     )
 
 
+def shingles_expr(text_col: str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string> — SQL-expr form so the
+    lambda can use slice() with a column start offset."""
+    return F.expr(_shingles_sql(text_col, k))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 16, k: int = 3) -> DataFrame:
     """(id, sig array<long>): sig[j] = min over shingles of xxhash64(shingle, seed=j).
 
-    One row per doc; the explode/min happens inside array expressions so no
-    shuffle is needed to build signatures.
+    One row per doc, ONE pass over the shingle array: the accumulator is the
+    running array of per-seed minima, so the text is shingled exactly once
+    (embedding the shingle expr in num_hashes separate array_min(transform())
+    calls makes Catalyst re-shingle the doc num_hashes times per row).
     """
-    def seeded_hash(j: int):
-        # closure (not a default arg: pyspark would treat the 2nd lambda
-        # param as the array index and silently ignore the seed)
-        return lambda s: F.xxhash64(s, F.lit(j))
-
-    sh = shingles_expr(text_col, k)
-    sigs = F.array(*[F.array_min(F.transform(sh, seeded_hash(j))) for j in range(num_hashes)])
+    sigs = F.expr(
+        f"aggregate({_shingles_sql(text_col, k)}, "
+        f"array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes}), "
+        f"(acc, s) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(a, j) -> least(a, xxhash64(s, j))))"
+    )
     return df.select(F.col(id_col), sigs.alias("sig"))
 
 
@@ -112,20 +118,26 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_expr(text_col: str, bits: int = 64, k: int = 2) -> Column:
     """64-bit SimHash: per-shingle xxhash64, each bit votes ±1, sign of the
-    vote sum is the signature bit. Pure array expressions, one pass."""
-    sh = shingles_expr(text_col, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    def vote_merge(bv: int):
-        # closure (not a default arg: pyspark counts lambda params)
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(bv)) != 0, 1).otherwise(-1)
+    vote sum is the signature bit.
 
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        # bit value as a Python-literal long (1<<63 is the sign bit)
-        bitval = (1 << b) if b < 63 else -(1 << 63)
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_merge(bitval))
-        sig = sig + F.when(vote > 0, F.lit(bitval)).otherwise(F.lit(0).cast("long"))
-    return sig
+    ONE pass over the shingle array with an array<long> vote accumulator
+    (one counter per bit), then one fold packs the signs into the signature.
+    The naive form — `bits` separate aggregate() calls each embedding the
+    shingle expression — re-shingles the doc 64× per row and produces a
+    codegen tree that runs ~50× slower.
+    """
+    votes = (
+        f"aggregate(transform({_shingles_sql(text_col, k)}, s -> xxhash64(s)), "
+        f"array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + 2 * (shiftright(h, b) & 1) - 1))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+        f"ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

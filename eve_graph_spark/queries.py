@@ -25,7 +25,7 @@ from eve_graph_spark.sources.graph_fixture import (
     build_jumps,
     build_systems,
 )
-from eve_graph_spark.sources.tables import events_with_ts, load_table
+from eve_graph_spark.sources.tables import events_with_ts, load_table, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -633,7 +633,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eve_graph_spark.operators.text_analysis import lang_id_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_guess"))
 
 
@@ -659,7 +659,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         word_count(F.col("text")).alias("n_words"),
@@ -679,7 +679,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eve_graph_spark.operators.text_analysis import token_count
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
@@ -698,7 +698,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eve_graph_spark.operators.text_analysis import fingerprint_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
 
 
@@ -729,7 +729,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH, below; consecutive pairs keep the oracle linear-sized).
     from eve_graph_spark.operators.dedup import jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = docs.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")).join(
         docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
     )
@@ -741,7 +741,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Full MinHash+LSH near-dup pipeline at threshold 0.5.
     from eve_graph_spark.operators.dedup import minhash_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return minhash_dedup(docs, threshold=0.5)
 
 
@@ -749,7 +749,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eve_graph_spark.operators.dedup import simhash_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash_expr("text").alias("simhash"))
 
 
@@ -794,7 +794,7 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eve_graph_spark.operators.similarity import brute_force_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return brute_force_topk(emb, ANN_QUERY_IDS, k=10, exact_fixed_point=True).select(
         "query_id", "vec_id", "cosine", "rank"
     )
@@ -804,7 +804,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eve_graph_spark.operators.similarity import lsh_bucketed_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return lsh_bucketed_topk(emb, ANN_QUERY_IDS, k=10)
 
 
@@ -825,6 +825,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector is covered by unit tests (deterministic fake decoder).
     from eve_graph_spark.operators.multimodal import documents_as_media, extract_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     media = documents_as_media(docs)
     return extract_features(media).select("media_id", "digest", "n_bytes")

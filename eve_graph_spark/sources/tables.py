@@ -39,6 +39,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame whose scan yields fewer
+    partitions than cores.
+
+    Single-row-group parquet files read as ONE task, which serializes any
+    compute-heavy per-row operator (shingling, hashing, vector math) that
+    runs before the first shuffle. At 100 TB the scan has thousands of
+    splits and this is a no-op — the conditional keeps the extra shuffle
+    out of plans that don't need it.
+    """
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts_ns` (long), `ts_sec` (long) and `ts` (timestamp, µs
     truncation) — the timestamp view downstream window ops expect."""
