@@ -80,6 +80,52 @@ class ProjectionRegistry:
         return self.project(name, edges, weight_col)
 
 
+DRIVER_SSSP_MAX_EDGES = 2_000_000  # below this, solve on the driver
+
+
+def _sssp_local(e: DataFrame, source_ids: list[int]) -> DataFrame:
+    """Small-graph fast path: collect edges, run the SAME frontier
+    relaxation on the driver (identical update rule and (dist, pred)
+    tie-break as the distributed loop, so results are bit-identical —
+    float addition order per path is the same IEEE-754 sequence).
+
+    Rationale: the reference's production graph is ~9k nodes / ~28k
+    directed edges; GDS itself solves it single-machine over CSR. A route
+    query on a graph that fits on the driver must not launch 30 Spark
+    jobs — the distributed loop below is for graphs that don't fit.
+    """
+    spark = e.sparkSession
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for r in e.collect():
+        adj.setdefault(r["src"], []).append((r["dst"], r["weight"]))
+    best: dict[int, tuple[float, int | None]] = {int(s): (0.0, None) for s in source_ids}
+    frontier = set(best)
+    while frontier:
+        candidates: dict[int, tuple[float, int]] = {}
+        for u in frontier:
+            du = best[u][0]
+            for v, w in adj.get(u, ()):
+                c = (du + w, u)
+                if v not in candidates or c < candidates[v]:
+                    candidates[v] = c
+        frontier = set()
+        for v, (d, p) in candidates.items():
+            if v not in best or d < best[v][0]:
+                best[v] = (d, p)
+                frontier.add(v)
+    rows = [(n, d, p) for n, (d, p) in best.items()]
+    return spark.createDataFrame(rows, _SSSP_SCHEMA)
+
+
+_SSSP_SCHEMA = T.StructType(
+    [
+        T.StructField("node", T.LongType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+        T.StructField("pred", T.LongType(), True),
+    ]
+)
+
+
 def sssp(
     edges: DataFrame,
     source_ids: list[int],
@@ -88,6 +134,7 @@ def sssp(
     dst_col: str = "dst",
     max_iterations: int = 200,
     checkpoint_every: int = 5,
+    driver_threshold: int = DRIVER_SSSP_MAX_EDGES,
 ) -> DataFrame:
     """Weighted single/multi-source shortest paths (G7/G8 kernel).
 
@@ -97,6 +144,9 @@ def sssp(
 
     Weights must be non-negative (true for cost ≡ 1 and risk ≥ baseline > 0,
     database.rs:375, :324-332).
+
+    Graphs with ≤ `driver_threshold` edges are solved on the driver
+    (`_sssp_local`); pass 0 to force the distributed loop.
     """
     spark = edges.sparkSession
     e = edges.select(
@@ -104,6 +154,8 @@ def sssp(
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("double").alias("weight"),
     )
+    if driver_threshold and e.limit(driver_threshold + 1).count() <= driver_threshold:
+        return _sssp_local(e, source_ids)
 
     seed_schema = T.StructType(
         [

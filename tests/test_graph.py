@@ -89,6 +89,23 @@ def test_oracle_sssp_bounds_are_safe(spark, fixture_edges):
     assert max(wd.values()) < 40
 
 
+def test_distributed_loop_matches_local_fast_path(spark, fixture_edges):
+    """driver_threshold=0 forces the iterative DataFrame loop; it must
+    produce bit-identical (node, dist) to the driver-local fast path."""
+    jumps, _ = fixture_edges
+    local = {
+        r["node"]: r["dist"]
+        for r in sssp(jumps, [0], weight_col="risk",
+                      src_col="src_system_id", dst_col="dst_system_id").collect()
+    }
+    dist = {
+        r["node"]: r["dist"]
+        for r in sssp(jumps, [0], weight_col="risk", src_col="src_system_id",
+                      dst_col="dst_system_id", driver_threshold=0).collect()
+    }
+    assert dist == local
+
+
 def test_graph_engine_routes(spark, sf_dir):
     systems = build_systems(spark, sf_dir)
     jumps = build_jumps(spark, sf_dir)
