@@ -61,8 +61,13 @@ def append_rows(base: DataFrame, new_rows: DataFrame) -> DataFrame:
 
 
 def bidirectional_edges(edges: DataFrame, src: str = "src_system_id", dst: str = "dst_system_id") -> DataFrame:
-    """W3 `save_wormhole` (database.rs:246-254): both directed edges."""
-    flipped = edges.withColumnsRenamed({src: dst, dst: src}).select(*edges.columns)
+    """W3 `save_wormhole` (database.rs:246-254): both directed edges.
+
+    The flip is an aliased select (withColumnsRenamed with a swap-map
+    leaves two columns with the same name and later selects go ambiguous).
+    """
+    swap = {src: dst, dst: src}
+    flipped = edges.select(*[F.col(swap.get(c, c)).alias(c) for c in edges.columns])
     return edges.unionByName(flipped)
 
 
@@ -89,8 +94,12 @@ def derive_gate_edges(stargates: DataFrame, systems: DataFrame) -> DataFrame:
 def upsert_edges_if_missing(existing: DataFrame, new_edges: DataFrame,
                             keys: Sequence[str] = ("src_system_id", "dst_system_id")) -> DataFrame:
     """W5 `create_system_jump_if_missing` (database.rs:355-365): idempotent
-    check-then-insert = left_anti against existing, then union."""
-    missing = new_edges.join(existing.select(*keys), list(keys), "left_anti")
+    check-then-insert = left_anti against existing, then union. The
+    reference checks before EACH insert, so duplicates within the new
+    batch also collapse — hence the dropDuplicates on the keys."""
+    missing = new_edges.dropDuplicates(list(keys)).join(
+        existing.select(*keys), list(keys), "left_anti"
+    )
     return existing.unionByName(missing)
 
 

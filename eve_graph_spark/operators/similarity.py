@@ -98,6 +98,39 @@ def _brute_force_topk_fixed_point(embeddings: DataFrame, q: DataFrame, k: int,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def pairwise_cosine(embeddings: DataFrame, pairs: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact fixed-point cosine for given (id_a, id_b) pairs — the verify
+    kernel of embedding-cosine near-dup dedup (candidate pairs come from
+    LSH buckets at scale; here they are caller-supplied).
+
+    Per-dimension products are fixed-pointed with floor(x*1e9+0.5) and
+    summed as exact integers so the result is bit-reproducible in SQL.
+    The dot product stays inside JVM array expressions — no posexplode,
+    no shuffle of the vectors beyond the pair join itself.
+    """
+    fp_dot = lambda a, b: (  # noqa: E731
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(float(FIXED_POINT_SCALE)) + F.lit(0.5)
+            ).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(FIXED_POINT_SCALE))
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    joined = pairs.join(ea, "id_a").join(eb, "id_b")
+    return joined.select(
+        "id_a",
+        "id_b",
+        (fp_dot(F.col("__va"), F.col("__vb"))
+         / (F.sqrt(fp_dot(F.col("__va"), F.col("__va")))
+            * F.sqrt(fp_dot(F.col("__vb"), F.col("__vb"))))).alias("cosine"),
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG, no numpy needed at the
     executor): values in [-1, 1)."""

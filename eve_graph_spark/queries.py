@@ -382,6 +382,120 @@ def safest_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stargate_diff_sync",
+    """
+    WITH sg_expected AS (
+        SELECT DISTINCT CAST(n_nationkey * 100 + i AS BIGINT) AS stargate_id
+        FROM nation, (VALUES (1), (2), (3)) v(i)
+        WHERE i <= 2 + n_nationkey % 2
+    ),
+    sg_current AS (
+        SELECT CAST(n_nationkey * 100 + i AS BIGINT) AS stargate_id
+        FROM nation, (VALUES (2), (3)) v(i)
+    )
+    SELECT 'to_add' AS action, stargate_id FROM sg_expected
+    WHERE stargate_id NOT IN (SELECT stargate_id FROM sg_current)
+    UNION ALL
+    SELECT 'to_remove', stargate_id FROM sg_current
+    WHERE stargate_id NOT IN (SELECT stargate_id FROM sg_expected)
+    """,
+)
+def stargate_diff_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D2 (sync.rs:172-221): expected gate ids = EXPLODE of the per-system
+    # stargates array, then two-way left_anti diff against current gates.
+    systems = build_systems(spark, sf_dir).withColumn(
+        "stargates",
+        F.expr("transform(sequence(1, 2 + cast(system_id % 2 as int)), i -> system_id * 100 + i)"),
+    )
+    expected = R.expected_stargates(systems)
+    current = build_systems(spark, sf_dir).select(
+        F.explode(F.expr("transform(sequence(2, 3), i -> system_id * 100 + i)")).alias("stargate_id")
+    )
+    to_add, to_remove = R.diff_sync(expected, current, "stargate_id")
+    return to_add.select(F.lit("to_add").alias("action"), "stargate_id").unionByName(
+        to_remove.select(F.lit("to_remove").alias("action"), "stargate_id")
+    )
+
+
+@register(
+    "drop_connections",
+    _graph_cte(
+        """
+        SELECT src_system_id, dst_system_id, cost, kind FROM fix_jumps
+        WHERE src_system_id NOT IN (0, 12) AND dst_system_id NOT IN (0, 12)
+        """
+    ),
+)
+def drop_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W13 drop_system_connections (database.rs:458-466): undirected edge
+    # delete for a node set — two broadcast anti-joins, no shuffle.
+    jumps = build_jumps(spark, sf_dir)
+    reset = build_systems(spark, sf_dir).filter(F.col("system_id").isin(0, 12)).select("system_id")
+    return R.drop_node_connections(jumps, reset).select(
+        "src_system_id", "dst_system_id", "cost", "kind"
+    )
+
+
+@register(
+    "wormhole_refresh",
+    _graph_cte(
+        """
+        , wr_sigs AS (
+            SELECT CAST(s_suppkey % 25 AS BIGINT) AS src,
+                   CAST((s_suppkey * 7 + 3) % 25 AS BIGINT) AS dst
+            FROM supplier WHERE s_suppkey % 3 = 0
+        ),
+        wr_kept AS (
+            SELECT * FROM fix_jumps
+            WHERE src_system_id NOT IN (2, 17) AND dst_system_id NOT IN (2, 17)
+        ),
+        wr_new AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM wr_sigs
+                UNION ALL SELECT dst AS src, src AS dst FROM wr_sigs
+            )
+        ),
+        wr_missing AS (
+            SELECT src AS src_system_id, dst AS dst_system_id FROM wr_new
+            WHERE NOT EXISTS (
+                SELECT 1 FROM wr_kept k
+                WHERE k.src_system_id = wr_new.src AND k.dst_system_id = wr_new.dst
+            )
+        )
+        SELECT src_system_id, dst_system_id, cost, risk, kind FROM wr_kept
+        UNION ALL
+        SELECT src_system_id, dst_system_id, CAST(1 AS BIGINT),
+               CAST(NULL AS DOUBLE), 'wormhole' FROM wr_missing
+        """
+    ),
+)
+def wormhole_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6 end-to-end (main.rs:201-212, sync.rs:66-94): reset wormhole-hub
+    # connections (W13), filter wormhole signatures (D3), insert both
+    # directions (W3) idempotently (W5). Signatures are derived
+    # deterministically from supplier so the whole dataflow is oracle-able.
+    jumps = build_jumps(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    sigs = sup.select(
+        F.when(F.col("s_suppkey") % 3 == 0, "wormhole").otherwise("data").alias("signature_type"),
+        (F.col("s_suppkey") % 25).cast("long").alias("in_system_id"),
+        ((F.col("s_suppkey") * 7 + 3) % 25).cast("long").alias("out_system_id"),
+    )
+    reset = spark.createDataFrame([(2,), (17,)], "system_id long")
+    kept = R.drop_node_connections(jumps, reset)
+    wh = R.filter_wormhole_signatures(sigs).select(
+        F.col("in_system_id").alias("src_system_id"),
+        F.col("out_system_id").alias("dst_system_id"),
+        F.lit(1).cast("long").alias("cost"),
+        F.lit(None).cast("double").alias("risk"),
+        F.lit("wormhole").alias("kind"),
+    )
+    return R.upsert_edges_if_missing(kept, R.bidirectional_edges(wh)).select(
+        "src_system_id", "dst_system_id", "cost", "risk", "kind"
+    )
+
+
 # =========================================================================
 # Sort / top-k / window — SURVEY §2.8 relational extensions
 # =========================================================================
@@ -537,6 +651,114 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "cube_orders",
+    f"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+           {_dsum_sql("o_totalprice", "sum_total")}
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouping-sets breadth (SURVEY §2.8): CUBE = all 4 grouping sets in
+    # one pass — Spark expands then partial-aggregates, one shuffle.
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum("o_totalprice", "sum_total"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT 100.0 * ({_dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", "x").replace(" AS x", "")})
+           / ({_dsum_sql("l_extendedprice * (1 - l_discount)", "y").replace(" AS y", "")}) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: fact ⋈ broadcast(part dim) + conditional aggregate.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).alias("__promo"),
+        rev.alias("__rev"),
+    )
+    agg = joined.agg(_dsum("__promo", "p"), _dsum("__rev", "r"))
+    return agg.select((F.lit(100.0) * F.col("p") / F.col("r")).alias("promo_revenue"))
+
+
+@register(
+    "sliding_window_events",
+    f"""
+    WITH slid AS (
+        SELECT unnest([(epoch_ms(ts) // 1000 // 300) * 300,
+                       (epoch_ms(ts) // 1000 // 300) * 300 - 300]) AS window_start,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           {_dsum_sql("value", "sum_value")}
+    FROM slid GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch analogue of the streaming sliding window (10-min window, 5-min
+    # slide): each event explodes into its two covering windows, then one
+    # aggregation — the same shape F.window(ts, '10 minutes', '5 minutes')
+    # plans, but epoch-bucketed so the oracle is engine-neutral.
+    ev = events_with_ts(spark, sf_dir)
+    ws = (F.expr("ts_sec div 300") * 300).cast("long")
+    return (
+        ev.select(
+            F.explode(F.array(ws, ws - 300)).alias("window_start"), "event_type", "value"
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "sum_value"))
+    )
+
+
+@register(
+    "embedding_near_dups",
+    """
+    WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
+    v AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val FROM embeddings, pos),
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               SUM(CAST(FLOOR(a.val * b.val * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 AS dot
+        FROM v a JOIN v b ON b.vec_id = a.vec_id + 1 AND b.pos = a.pos
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(val * val * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 AS sq
+        FROM v GROUP BY 1
+    )
+    SELECT id_a, id_b,
+           d.dot / (sqrt(na.sq) * sqrt(nb.sq)) AS cosine,
+           d.dot / (sqrt(na.sq) * sqrt(nb.sq)) >= 0.2 AS is_near
+    FROM dots d JOIN norms na ON na.vec_id = d.id_a
+                JOIN norms nb ON nb.vec_id = d.id_b
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup: exact fixed-point cosine on candidate
+    # pairs (consecutive ids keep the oracle linear; LSH generates the
+    # candidates at scale — see ann_lsh_topk).
+    from eve_graph_spark.operators.similarity import pairwise_cosine
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    pairs = emb.select(F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1).alias("id_b")).join(
+        emb.select(F.col("vec_id").alias("id_b")), "id_b", "left_semi"
+    )
+    scored = pairwise_cosine(emb, pairs)
+    return scored.select("id_a", "id_b", "cosine", (F.col("cosine") >= 0.2).alias("is_near"))
 
 
 @register(
