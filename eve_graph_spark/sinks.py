@@ -1,0 +1,55 @@
+"""Sinks — how engine tables land on storage at 100 TB.
+
+The reference's only sink is Neo4j CREATE/SET over Bolt (reference:
+src/database.rs:98-135, :256-292); the Spark engine's durable form is
+parquet with an explicit layout contract:
+
+- **systems** (vertices): partition by `constellation_id` region bucket —
+  point lookups prune to one partition, full scans stay parallel.
+- **jumps** (edges): bucket by `src_system_id` — the SSSP frontier join
+  and any edge-keyed upsert co-locate without a shuffle when both sides
+  share the bucketing (Spark SQL bucketed join).
+- **mutations**: the engine's keyed updates (W6-W8) produce a full new
+  snapshot DataFrame; `overwrite_snapshot` writes it atomically via a
+  staging directory + rename, the parquet analogue of the reference's
+  transactional SET.
+
+`dynamic` partition overwrite only rewrites partitions present in the
+incoming DataFrame — the 100 TB-friendly mode for incremental refresh
+(only regions whose systems changed are touched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite", dynamic: bool = True) -> None:
+    """Partitioned parquet write; `dynamic=True` limits an overwrite to the
+    partitions present in `df` (incremental refresh, W6-W8 overwrite)."""
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if dynamic and mode == "overwrite":
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str, num_buckets: int = 32,
+                   sort_col: str | None = None, mode: str = "overwrite") -> None:
+    """Bucketed managed table (saveAsTable — bucketing metadata needs the
+    catalog). Joins/aggregations keyed on `bucket_col` between two tables
+    bucketed the same way run shuffle-free; this is the layout for the
+    edge table keyed by src_system_id."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table, format="parquet")
+
+
+def overwrite_snapshot(df: DataFrame, path: str) -> None:
+    """Full-snapshot overwrite for un-partitioned tables (small dims)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,138 @@
+"""Plan-shape regression suite + sink round-trips.
+
+Correctness says what a query returns; these tests pin HOW it executes —
+the properties that decide whether the same plan survives a 100 TB input:
+filters pushed into the parquet scan, dimensions broadcast instead of
+shuffled, projections pruned to the read schema, codegen engaged.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eve_graph_spark import queries as registry
+from eve_graph_spark.sinks import read_back, write_partitioned
+from eve_graph_spark.sources.graph_fixture import build_jumps
+from eve_graph_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(registry.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    # AQE defers the physical plan, hiding codegen pre-execution — turn it
+    # off just to assert the aggregation pipeline compiles to one stage
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.q1_pricing_summary(spark, sf_dir)
+        s = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+        )
+        assert "WholeStageCodegen subtrees" in s and "Found 0" not in s
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_point_lookup_pushes_equality(spark, sf_dir):
+    plan = plan_of(registry.queries()["point_lookup"](spark, sf_dir))
+    assert "EqualTo(s_suppkey,7)" in plan.replace(" ", "")
+
+
+def test_projection_scan_prunes_columns(spark, sf_dir):
+    plan = plan_of(registry.queries()["projection_scan"](spark, sf_dir))
+    # ReadSchema carries only the projected column — no full-width read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema
+    assert "o_totalprice" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_q3_q5_broadcast_dimensions(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume"):
+        plan = plan_of(registry.queries()[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        # the fact table must NOT be broadcast: lineitem feeds the probe side
+        assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+
+
+def test_top_k_plans_take_ordered(spark, sf_dir):
+    # orderBy().limit() must plan TakeOrderedAndProject — a full sort of
+    # the table at 100 TB would be the bug this test exists to catch
+    plan = plan_of(registry.queries()["top_k_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_delete_is_broadcast(spark, sf_dir):
+    plan = plan_of(registry.queries()["anti_join_remove"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dedup_partial_aggregation(spark, sf_dir):
+    # dropDuplicates must partial-aggregate before the shuffle (two
+    # HashAggregate nodes around the Exchange), not ship raw rows
+    plan = plan_of(
+        load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates()
+    )
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_partitioned_sink_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "jumps_by_kind")
+    jumps = build_jumps(spark, sf_dir)
+    write_partitioned(jumps, path, ["kind"])
+    back = read_back(spark, path)
+    assert back.count() == jumps.count()
+    # partition pruning: a kind= filter must read only that directory
+    pruned = back.filter(F.col("kind") == "wormhole")
+    files = pruned.select(F.input_file_name()).distinct().collect()
+    assert all("kind=wormhole" in r[0] for r in files)
+    assert pruned.count() == jumps.filter(F.col("kind") == "wormhole").count()
+
+
+def test_dynamic_partition_overwrite_touches_one_partition(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "jumps_dyn")
+    jumps = build_jumps(spark, sf_dir)
+    write_partitioned(jumps, path, ["kind"])
+    gate_rows = jumps.filter(F.col("kind") == "gate").count()
+    # overwrite ONLY the wormhole partition with an empty-ish refresh
+    refresh = jumps.filter(F.col("kind") == "wormhole").limit(1)
+    write_partitioned(refresh, path, ["kind"])
+    back = read_back(spark, path)
+    assert back.filter(F.col("kind") == "gate").count() == gate_rows  # untouched
+    assert back.filter(F.col("kind") == "wormhole").count() == 1
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    from eve_graph_spark.sinks import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS jumps_bucketed")
+    spark.sql("DROP TABLE IF EXISTS jumps_bucketed_b")
+    jumps = build_jumps(spark, sf_dir)
+    write_bucketed(jumps, "jumps_bucketed", "src_system_id", 4)
+    write_bucketed(jumps, "jumps_bucketed_b", "src_system_id", 4)
+    a = spark.table("jumps_bucketed")
+    b = spark.table("jumps_bucketed_b").select(
+        F.col("src_system_id"), F.col("dst_system_id").alias("d2")
+    )
+    with pytest.MonkeyPatch.context() as mp:
+        # disable broadcast so the join would need an exchange if the
+        # bucketing were ignored
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(a.join(b, "src_system_id"))
+            sections = plan.split("== Physical Plan ==")[1]
+            assert "SortMergeJoin" in sections
+            # bucketed-bucketed join on the bucket key: no Exchange
+            assert "Exchange hashpartitioning(src_system_id" not in sections
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("DROP TABLE IF EXISTS jumps_bucketed")
+    spark.sql("DROP TABLE IF EXISTS jumps_bucketed_b")
