@@ -1,0 +1,79 @@
+"""applyInPandasWithState operators: state persists across micro-batches,
+timeouts fire on watermark advance."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def _stream_dir(tmp_path, name, batches):
+    p = tmp_path / name
+    p.mkdir()
+    for i, rows in enumerate(batches):
+        (p / f"b{i}.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def _run(stream_df, qname, tmp_path, mode="update"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
+    from eve_graph_spark.streaming.stateful import running_user_stats
+
+    base = 1_700_000_000
+    b0 = [{"user_id": 1, "ts": base + i, "value": 2.0} for i in range(3)]
+    b1 = [{"user_id": 1, "ts": base + 10 + i, "value": 4.0} for i in range(2)]
+    path = _stream_dir(tmp_path, "ev", [b0, b1])
+    raw = (
+        spark.readStream.schema("user_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    _run(running_user_stats(raw), "stats", tmp_path)
+    rows = spark.sql("SELECT * FROM stats").collect()
+    # memory sink in update mode appends each batch's emission: the LAST
+    # row per user carries the final running totals
+    final = sorted(rows, key=lambda r: r["n_events"])[-1]
+    assert final["n_events"] == 5
+    assert final["sum_value"] == 3 * 2.0 + 2 * 4.0
+    assert final["ewma_value"] is not None
+
+
+def test_wormhole_ttl_open_then_closed(spark, tmp_path):
+    from eve_graph_spark.streaming.stateful import wormhole_ttl_stream
+
+    base_ms = 1_700_000_000_000
+    # batch 0: wormhole A expiring soon; batch 1: later-expiring B advances
+    # the watermark past A's expiry -> A times out and closes
+    b0 = [{"id": "A", "in_system_id": 1, "out_system_id": 2, "expires_at": base_ms}]
+    b1 = [{"id": "B", "in_system_id": 3, "out_system_id": 4,
+           "expires_at": base_ms + 3_600_000}]
+    path = _stream_dir(tmp_path, "sigs", [b0, b1])
+    raw = (
+        spark.readStream.schema(
+            "id string, in_system_id long, out_system_id long, expires_at long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .withColumn("expires_at", F.timestamp_millis("expires_at"))
+    )
+    _run(wormhole_ttl_stream(raw), "ttl", tmp_path, mode="append")
+    rows = spark.sql("SELECT * FROM ttl").collect()
+    got = {(r["sig_id"], r["status"]) for r in rows}
+    assert ("A", "open") in got
+    assert ("B", "open") in got
+    assert ("A", "closed") in got  # timed out once watermark passed expiry
+    assert ("B", "closed") not in got
