@@ -42,6 +42,18 @@ def exists(df: DataFrame, condition: Column) -> bool:
     return df.filter(condition).limit(1).count() > 0
 
 
+def exists_many(df: DataFrame, probes: dict[str, Column]) -> DataFrame:
+    """Batched existence: all probes against one table in a SINGLE scan —
+    one conditional aggregate per probe, then stack to (probe, found)
+    rows. N separate exists() calls would scan the table N times."""
+    agg = df.agg(
+        *[F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(name)
+          for name, cond in probes.items()]
+    )
+    stack = ", ".join(f"'{name}', coalesce({name}, 0) > 0" for name in probes)
+    return agg.selectExpr(f"stack({len(probes)}, {stack}) as (probe, found)")
+
+
 def projection_scan(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Q2/Q3 projection scans (database.rs:164-176, :580-592) — column
     pruning reaches the parquet footer (ReadSchema shows only these)."""

@@ -166,15 +166,16 @@ def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def exists_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Q5/Q6 existence probes (database.rs:68-79, :334-353).
-    jumps = build_jumps(spark, sf_dir)
+    # Q5/Q6 existence probes (database.rs:68-79, :334-353), batched: all
+    # edge probes share ONE scan (exists_many), not one action per probe.
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
     systems = build_systems(spark, sf_dir)
-    probes = [
-        ("jump_0_1", R.exists(jumps, (F.col("src_system_id") == 0) & (F.col("dst_system_id") == 1))),
-        ("jump_0_9", R.exists(jumps, (F.col("src_system_id") == 0) & (F.col("dst_system_id") == 9))),
-        ("system_12", R.exists(systems, F.col("system_id") == 12)),
-    ]
-    return spark.createDataFrame(probes, "probe string, found boolean")
+    edge_probes = R.exists_many(jumps, {
+        "jump_0_1": (F.col("src_system_id") == 0) & (F.col("dst_system_id") == 1),
+        "jump_0_9": (F.col("src_system_id") == 0) & (F.col("dst_system_id") == 9),
+    })
+    sys_probes = R.exists_many(systems, {"system_12": F.col("system_id") == 12})
+    return edge_probes.unionByName(sys_probes)
 
 
 # =========================================================================
@@ -922,6 +923,54 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2 GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, score, rank FROM (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf * (SELECT n_docs FROM n) AS DOUBLE) / dfreq.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * (SELECT n_docs FROM n) AS DOUBLE) / dfreq.df DESC,
+                            tf.term
+               ) AS rank
+        FROM tf JOIN dfreq USING (term)
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TF-IDF-style term salience, top-3 per doc. Uses the exact rational
+    # tf * n_docs / docfreq instead of ln(idf): integer operands and ONE
+    # double division are bit-identical across engines; ln() is not.
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.dropDuplicates(["doc_id", "term"]).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
 
 
 # =========================================================================
