@@ -1,0 +1,90 @@
+"""Skew mitigation correctness + property-based SSSP fuzzing."""
+
+from __future__ import annotations
+
+import heapq
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from eve_graph_spark.operators.skew import salted_count, salted_join
+
+# --- salting ----------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (0) with 5k rows, long tail of 100 keys
+    big = spark.range(0, 6000).select(
+        F.when(F.col("id") < 5000, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    plain = big.join(small, "k").select("k", "payload", "v")
+    salted = salted_join(big, small, "k", salt_buckets=4).select("k", "payload", "v")
+    assert plain.exceptAll(salted).isEmpty() and salted.exceptAll(plain).isEmpty()
+
+
+def test_salted_join_scatters_hot_key(spark):
+    big = spark.range(0, 5000).select(F.lit(0).alias("k"), F.col("id").alias("payload"))
+    small = spark.range(0, 1).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    out = salted_join(big, small, "k", salt_buckets=8)
+    # the hot key's rows must occupy >1 shuffle partition after the join
+    n_parts = (
+        out.withColumn("p", F.spark_partition_id()).select("p").distinct().count()
+    )
+    assert n_parts > 1
+
+
+def test_salted_count_matches_group_count(spark):
+    df = spark.range(0, 3000).select(
+        F.when(F.col("id") < 2500, 7).otherwise(F.col("id") % 10).alias("k")
+    )
+    expected = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    got = {r["k"]: r["cnt"] for r in salted_count(df, "k").collect()}
+    assert got == expected
+
+
+# --- property-based SSSP ----------------------------------------------------
+
+
+def _py_dijkstra(edges, src):
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist = {src: 0.0}
+    pq = [(0.0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edge_lists)
+def test_sssp_matches_dijkstra_on_random_graphs(spark, edges):
+    from eve_graph_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [(u, v, float(w)) for u, v, w in edges], "src long, dst long, weight double"
+    )
+    got = {r["node"]: r["dist"] for r in sssp(e, [0]).collect()}
+    expected = _py_dijkstra([(u, v, float(w)) for u, v, w in edges], 0)
+    assert got == expected
