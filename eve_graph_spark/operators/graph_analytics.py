@@ -1,0 +1,177 @@
+"""Bulk graph analytics beyond SSSP — the GraphX/GraphFrames-style set.
+
+The reference's only graph algorithm is GDS Dijkstra (reference:
+src/database.rs:484-544); the north star asks for bulk graph analytics in
+Spark. Same execution design as `graph.py:sssp`:
+
+- iterative algorithms are Pregel-style DataFrame loops (join + min/sum
+  aggregation per superstep) with localCheckpoint lineage truncation and
+  early stop — the shape that scales to edge sets that don't fit anywhere;
+- below a driver threshold they solve locally (union-find / dict loops),
+  bit-identical to the distributed result, because launching 30 Spark jobs
+  on a 9k-node graph is the wrong tool;
+- PageRank is made bit-reproducible across engines by fixed-pointing each
+  superstep's contributions (exact integer sums, one double division per
+  step) — float sums are otherwise order-dependent and un-oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DRIVER_MAX_EDGES = 2_000_000
+PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point for PageRank contributions
+
+
+def _edge_frame(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    return edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+
+
+def _fits_driver(e: DataFrame, threshold: int) -> bool:
+    return bool(threshold) and e.limit(threshold + 1).count() <= threshold
+
+
+# --- connected components ---------------------------------------------------
+
+def connected_components(edges: DataFrame, src_col: str = "src_system_id",
+                         dst_col: str = "dst_system_id",
+                         driver_threshold: int = DRIVER_MAX_EDGES,
+                         max_iterations: int = 100,
+                         checkpoint_every: int = 3) -> DataFrame:
+    """(node, component) where component = min node id in the component.
+
+    Assumes a symmetric edge set (the JUMP table is: every gate pair and
+    wormhole is inserted in both directions, database.rs:241-254). For a
+    directed input, union the flipped edges first.
+
+    Distributed form: min-label propagation — label'(v) = min(label(v),
+    min over in-edges label(u)) until fixpoint. Converges in O(diameter)
+    supersteps on the label-join shape.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    spark = edges.sparkSession
+    if _fits_driver(e, driver_threshold):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in e.collect():
+            a, b = r["src"], r["dst"]
+            for k in (a, b):
+                if k not in parent:
+                    parent[k] = k
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, "node long, component long")
+
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for it in range(max_iterations):
+        msgs = (
+            labels.join(e, labels.node == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("cand"))
+        )
+        merged = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("cand") < F.col("component")).alias("__improved"),
+            )
+        )
+        merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("__improved")).limit(1).count()
+        labels = merged.drop("__improved")
+        if changed == 0:
+            break
+        if (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+# --- PageRank ---------------------------------------------------------------
+
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
+             src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+             checkpoint_every: int = 2) -> DataFrame:
+    """Fixed-iteration PageRank, bit-reproducible (see module doc).
+
+    rank0 = 1/n; rank'(v) = (1-d)/n + d * (Σ_u→v fp(rank(u)/deg(u)))/1e12
+    with fp(x) = floor(x*1e12 + 0.5) summed as exact integers. Dangling
+    mass is dropped (simplified PageRank), matching the SQL oracle.
+
+    No early stop — a fixed superstep count keeps the whole loop lazy; only
+    periodic localCheckpoints materialize. At scale each superstep is one
+    shuffle keyed by dst; edges reuse their partitioning across steps.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.count()
+    base = (1.0 - damping) / n
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for it in range(iterations):
+        contribs = (
+            ranks.join(deg, "node")
+            .join(e, ranks.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("rank") / F.col("deg") * F.lit(float(PR_SCALE)) + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base)
+             + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0)) / F.lit(float(PR_SCALE)))
+             ).alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+# --- triangle counting ------------------------------------------------------
+
+def triangle_count(edges: DataFrame, src_col: str = "src_system_id",
+                   dst_col: str = "dst_system_id") -> DataFrame:
+    """Global triangle count over a symmetric edge set — pure joins, no
+    iteration: canonicalize to a<b, then count (a,b),(b,c),(a,c) chains.
+    Two shuffle joins; at scale the canonical edge table is broadcast if
+    small or bucket-joined on its keys."""
+    canon = (
+        _edge_frame(edges, src_col, dst_col)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    e1 = canon
+    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = canon.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -497,6 +497,110 @@ def wormhole_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "connected_components",
+    _graph_cte(
+        """
+        , cc_edges AS (
+            SELECT src_system_id, dst_system_id FROM fix_jumps
+            WHERE src_system_id % 6 <> 0 AND dst_system_id % 6 <> 0
+        ),
+        cc_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src_system_id AS node FROM cc_edges
+                UNION ALL SELECT dst_system_id FROM cc_edges
+            )
+        ),
+        cc_walk(node, label) AS (
+            SELECT node, node FROM cc_nodes
+            UNION
+            SELECT e.dst_system_id, w.label
+            FROM cc_walk w JOIN cc_edges e ON e.src_system_id = w.node
+        )
+        SELECT node, MIN(label) AS component FROM cc_walk GROUP BY node
+        """
+    ),
+)
+def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GraphX-style connected components (min-label) on a deterministically
+    # disconnected subgraph (dropping nodes ≡0 mod 6 splits the ring).
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False).filter(
+        (F.col("src_system_id") % 6 != 0) & (F.col("dst_system_id") % 6 != 0)
+    )
+    return connected_components(jumps)
+
+
+_PR_ITER_SQL = """
+pr{i} AS (
+    SELECT n.node,
+           (1.0 - 0.85) / (SELECT n FROM pr_n)
+           + 0.85 * (COALESCE(c.s, 0) / 1000000000000.0) AS rank
+    FROM pr_nodes n LEFT JOIN (
+        SELECT e.dst_system_id AS node,
+               SUM(CAST(FLOOR(p.rank / d.deg * 1000000000000 + 0.5) AS BIGINT)) AS s
+        FROM pr{prev} p JOIN pr_deg d ON d.node = p.node
+                        JOIN fix_jumps e ON e.src_system_id = p.node
+        GROUP BY 1
+    ) c ON c.node = n.node
+)"""
+
+
+@register(
+    "pagerank",
+    _graph_cte(
+        """
+        , pr_nodes AS (
+            -- inside WITH RECURSIVE, DuckDB treats a bare UNION body as a
+            -- recursive union and skips cross-branch dedup; DISTINCT over
+            -- UNION ALL is the portable spelling
+            SELECT DISTINCT node FROM (
+                SELECT src_system_id AS node FROM fix_jumps
+                UNION ALL SELECT dst_system_id FROM fix_jumps
+            )
+        ),
+        pr_n AS (SELECT COUNT(*) AS n FROM pr_nodes),
+        pr_deg AS (SELECT src_system_id AS node, COUNT(*) AS deg FROM fix_jumps GROUP BY 1),
+        pr0 AS (SELECT node, 1.0 / (SELECT n FROM pr_n) AS rank FROM pr_nodes),
+        """
+        + ",".join(_PR_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT node, rank FROM pr3
+        """
+    ),
+)
+def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-point PageRank, 3 supersteps — bit-reproducible across engines
+    # (exact integer contribution sums, one double division per step).
+    from eve_graph_spark.operators.graph_analytics import pagerank
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    return pagerank(jumps, iterations=3)
+
+
+@register(
+    "triangle_count",
+    _graph_cte(
+        """
+        , tri_canon AS (
+            SELECT DISTINCT src_system_id AS a, dst_system_id AS b
+            FROM fix_jumps WHERE src_system_id < dst_system_id
+        )
+        SELECT COUNT(*) AS n_triangles
+        FROM tri_canon e1
+        JOIN tri_canon e2 ON e2.a = e1.b
+        JOIN tri_canon e3 ON e3.a = e1.a AND e3.b = e2.b
+        """
+    ),
+)
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global triangle count — pure joins over the canonical (a<b) edge set.
+    from eve_graph_spark.operators.graph_analytics import triangle_count
+
+    return triangle_count(build_jumps(spark, sf_dir, with_risk=False))
+
+
 # =========================================================================
 # Sort / top-k / window — SURVEY §2.8 relational extensions
 # =========================================================================

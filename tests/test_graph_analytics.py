@@ -1,0 +1,58 @@
+"""Bulk graph analytics: known-answer graphs + distributed/local parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eve_graph_spark.operators.graph_analytics import (
+    connected_components,
+    pagerank,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs, symmetric=True):
+    rows = list(pairs) + ([(b, a) for a, b in pairs] if symmetric else [])
+    return spark.createDataFrame(rows, "src_system_id long, dst_system_id long")
+
+
+def test_connected_components_two_islands(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_distributed_matches_local(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (11, 12), (3, 4)])
+    local = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(e, driver_threshold=0).collect()
+    }
+    assert dist == local
+
+
+def test_triangle_count_known(spark):
+    # triangle 1-2-3 plus a dangling edge: exactly one triangle
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert triangle_count(e).collect()[0]["n_triangles"] == 1
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    # 4-cycle: symmetric graph -> uniform ranks, total mass ~1
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    rows = pagerank(e, iterations=5).collect()
+    ranks = [r["rank"] for r in rows]
+    assert sum(ranks) == pytest.approx(1.0, abs=1e-6)
+    assert max(ranks) - min(ranks) < 1e-12  # symmetry => equal ranks
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star: everything points at 0 -> 0 gets the highest rank
+    e = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src_system_id long, dst_system_id long"
+    )
+    rows = pagerank(e, iterations=3).collect()
+    best = max(rows, key=lambda r: r["rank"])
+    assert best["node"] == 0
