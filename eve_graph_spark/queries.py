@@ -744,6 +744,33 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: EXISTS-subquery as a left_semi join, then aggregate.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
     "rollup_orders",
     """
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
@@ -1181,6 +1208,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return lsh_bucketed_topk(emb, ANN_QUERY_IDS, k=10)
+
+
+@register("ann_ivf_topk")  # data-adaptive cell probing → rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eve_graph_spark.operators.similarity import ivf_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return ivf_topk(emb, ANN_QUERY_IDS, k=10)
 
 
 # =========================================================================

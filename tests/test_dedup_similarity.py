@@ -108,6 +108,24 @@ def test_lsh_topk_subset_of_brute_force(embeddings):
     assert len(got) >= 1
 
 
+def test_ivf_topk_recall_on_real_embeddings(spark):
+    # IVF with enough probes must recover most of the exact top-k: measure
+    # recall@10 against brute force on the sf0.001 embeddings table
+    from eve_graph_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        r["vec_id"]
+        for r in brute_force_topk(emb, [0], k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(emb, [0], k=10, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with half the cells probed
+
+
 def test_multimodal_pipeline(spark):
     docs = spark.createDataFrame([(1, "hello world", "s1"), (2, "abc", "s2")],
                                  "doc_id long, text string, source string")
