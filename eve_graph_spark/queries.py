@@ -918,6 +918,43 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_events",
+    """
+    WITH l AS (
+        SELECT user_id, epoch_us(ts) AS ts, event_id FROM events
+        WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, epoch_us(ts) AS ts, MIN(event_id) AS r_event_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts, r.r_event_id
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join: each purchase matched to the user's most recent view at
+    # or before it — union-scan idiom (one shuffle), oracled against
+    # DuckDB's native ASOF JOIN.
+    from eve_graph_spark.operators.asof import asof_join
+
+    # µs timestamps on BOTH sides (DuckDB reads TIMESTAMP_NANOS at µs
+    # precision, so nanos would diverge in output AND tie semantics)
+    ev = events_with_ts(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("ts"), "event_id"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts_us").alias("ts"))
+        .agg(F.min("event_id").alias("r_event_id"))
+    )
+    return asof_join(left, right, on="ts", by=["user_id"]).select(
+        "event_id", "user_id", "ts", "r_event_id"
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
