@@ -955,6 +955,76 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_orders",
+    """
+    WITH pts AS (SELECT o_orderkey, o_orderkey % 997 AS val FROM orders),
+    bands AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+               CAST(n_nationkey * 40 AS BIGINT) AS lo,
+               CAST(n_nationkey * 40 + 60 AS BIGINT) AS hi
+        FROM nation
+    )
+    SELECT o_orderkey, val, band_id
+    FROM pts JOIN bands ON val >= lo AND val <= hi
+    """,
+)
+def range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range join via bin-bucketed equi-join (see operators/range_join.py);
+    # the oracle uses DuckDB's native inequality join — same result set.
+    from eve_graph_spark.operators.range_join import range_join
+
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 997).alias("val")
+    )
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("band_id"),
+        (F.col("n_nationkey") * 40).cast("long").alias("lo"),
+        (F.col("n_nationkey") * 40 + 60).cast("long").alias("hi"),
+    )
+    return range_join(pts, bands, "val", "lo", "hi", bin_width=64).select(
+        "o_orderkey", "val", "band_id"
+    )
+
+
+@register(
+    "time_rollup_events",
+    f"""
+    WITH e AS (
+        SELECT epoch_ms(ts) // 1000 AS tsec, value FROM events
+    ),
+    b AS (SELECT (tsec // 60) * 60 AS minute_start,
+                 (tsec // 3600) * 3600 AS hour_start, value FROM e)
+    SELECT 'minute' AS grain, minute_start AS bucket_start,
+           COUNT(*) AS n_events, {_dsum_sql("value", "sum_value")}
+    FROM b GROUP BY minute_start
+    UNION ALL
+    SELECT 'hour', hour_start, COUNT(*), {_dsum_sql("value", "x").replace(" AS x", "")}
+    FROM b GROUP BY hour_start
+    """,
+)
+def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style multi-resolution rollup: minute + hour aggregates,
+    # one partial-aggregated shuffle per grain. At scale the hour grain
+    # would fold the minute output (60x smaller input) instead of
+    # re-scanning — compose: hour = rollup(minute) — kept flat here so the
+    # oracle stays a plain GROUP BY.
+    ev = events_with_ts(spark, sf_dir).select(
+        (F.expr("ts_sec div 60") * 60).alias("minute_start"),
+        (F.expr("ts_sec div 3600") * 3600).alias("hour_start"),
+        "value",
+    )
+    minute = ev.groupBy("minute_start").agg(
+        F.count(F.lit(1)).alias("n_events"), _dsum("value", "sum_value")
+    ).select(F.lit("minute").alias("grain"), F.col("minute_start").alias("bucket_start"),
+             "n_events", "sum_value")
+    hour = ev.groupBy("hour_start").agg(
+        F.count(F.lit(1)).alias("n_events"), _dsum("value", "sum_value")
+    ).select(F.lit("hour").alias("grain"), F.col("hour_start").alias("bucket_start"),
+             "n_events", "sum_value")
+    return minute.unionByName(hour)
+
+
+@register(
     "sessionize_events",
     """
     WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
