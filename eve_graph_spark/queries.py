@@ -894,6 +894,81 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "full_outer_activity",
+    """
+    WITH act AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        WHERE o_orderkey % 2 = 0 GROUP BY o_custkey
+    ),
+    vip AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0)
+    SELECT COALESCE(v.c_custkey, a.o_custkey) AS custkey,
+           v.c_name, COALESCE(a.n_orders, 0) AS n_orders
+    FROM vip v FULL OUTER JOIN act a ON v.c_custkey = a.o_custkey
+    """,
+)
+def full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full outer join breadth: both sides deliberately partial so all
+    # three match classes (left-only / right-only / both) are non-empty.
+    act = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    vip = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_name"
+    )
+    return vip.join(act, vip.c_custkey == act.o_custkey, "full_outer").select(
+        F.coalesce(vip.c_custkey, act.o_custkey).alias("custkey"),
+        "c_name",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "exact_median_price",
+    """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag, l_extendedprice AS median_price
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact discrete median (lower median: element at (n+1)/2) — chosen
+    # over interpolated percentiles, whose (a + (b-a)*frac) float paths
+    # differ between engines. Total tie-break makes the pick deterministic.
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("l_returnflag", F.col("l_extendedprice").alias("median_price"))
+    )
+
+
+@register("sketches")  # approximate by design → rows-only; error bounded in tests
+def sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch surface: HyperLogLog++ distinct users and approximate value
+    # quantiles per event type — the O(1)-memory per group answers a
+    # 100 TB profiling pass actually uses (exact twins exist above).
+    ev = events_with_ts(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    )
+
+
+@register(
     "set_ops",
     """
     SELECT 'intersect' AS op, k FROM

@@ -126,6 +126,26 @@ def test_ivf_topk_recall_on_real_embeddings(spark):
     assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with half the cells probed
 
 
+def test_sketches_error_bounds(spark):
+    # approx_count_distinct at rsd=0.02 must land within ~10% of exact;
+    # the approximate median must sit inside the value range
+    from eve_graph_spark.queries import sketches
+    from eve_graph_spark.sources.tables import events_with_ts
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["event_type"]: r for r in sketches(spark, sf).collect()}
+    ev = events_with_ts(spark, sf)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et]["approx_users"] - n) <= max(2, 0.1 * n), et
+        q50, q95, q99 = approx[et]["value_quantiles"]
+        assert q50 <= q95 <= q99
+
+
 def test_multimodal_pipeline(spark):
     docs = spark.createDataFrame([(1, "hello world", "s1"), (2, "abc", "s2")],
                                  "doc_id long, text string, source string")
