@@ -73,6 +73,27 @@ def token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
 
 
+def chunk_expr(words_col: str, chunk_words: int = 50, stride: int = 40) -> Column:
+    """Overlapping word-window chunks as array<string> — the LLM-training
+    chunking pass (context-window splitting with overlap). Pure array
+    expressions: one split, n_chunks slices; no UDF, no shuffle.
+
+    `words_col` must be an array<string> column NAME (materialize
+    `split(text, ' ')` once in a projection first — embedding the split
+    here would make Catalyst re-split the doc once per chunk, the same
+    trap the simhash rewrite removed).
+
+    n_chunks = 1 for short docs, else 1 + ceil((n - chunk)/stride),
+    computed with exact integer `div` (a double division could round
+    across the boundary).
+    """
+    return F.expr(
+        f"transform(sequence(0, CASE WHEN size({words_col}) <= {chunk_words} THEN 0 "
+        f"ELSE (size({words_col}) - {chunk_words} + {stride} - 1) div {stride} END), "
+        f"i -> concat_ws(' ', slice({words_col}, i * {stride} + 1, {chunk_words})))"
+    )
+
+
 FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_PREFIX = 64
 

@@ -1239,6 +1239,57 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, 1 + CASE WHEN len(words) <= 50 THEN 0
+                                     ELSE (len(words) - 50 + 39) // 40 END),
+                   i -> array_to_string(list_slice(words, i * 40 + 1, i * 40 + 50), ' ')
+               ) AS chunks
+        FROM w
+    )
+    SELECT doc_id, (u.i - 1) AS chunk_no, chunks[u.i] AS chunk_text,
+           len(string_split(chunks[u.i], ' ')) AS n_words
+    FROM c, unnest(range(1, len(chunks) + 1)) AS u(i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LLM-training chunking: overlapping 50-word windows, stride 40,
+    # exploded to one row per chunk. The split materializes ONCE.
+    from eve_graph_spark.operators.text_analysis import chunk_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("__words"))
+        .select("doc_id", F.posexplode(chunk_expr("__words", 50, 40)).alias("chunk_no", "chunk_text"))
+        .select(
+            "doc_id", "chunk_no", "chunk_text",
+            F.size(F.split("chunk_text", " ")).alias("n_words"),
+        )
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE (event_id * 2654435761) % 100 < 10
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic ~10% sample via a portable integer hash (Knuth
+    # multiplicative) — reproducible across engines and runs, unlike
+    # df.sample(); stratification is per-key filtering, no shuffle at all.
+    ev = events_with_ts(spark, sf_dir)
+    return ev.filter((F.col("event_id") * 2654435761) % 100 < 10).select(
+        "event_id", "event_type"
+    )
+
+
+@register(
     "tfidf_top_terms",
     """
     WITH toks AS (
