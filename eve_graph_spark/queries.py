@@ -1239,6 +1239,30 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "normalize_by_group",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS norm_value
+    FROM (
+        SELECT event_id, event_type, value,
+               MIN(value) OVER (PARTITION BY event_type) AS mn,
+               MAX(value) OVER (PARTITION BY event_type) AS mx
+        FROM events
+    )
+    """,
+)
+def normalize_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-map applyInPandas (the UDAF surface) vs a window-function
+    # oracle: min-max normalization is exact in both formulations.
+    from eve_graph_spark.operators.pandas_surface import normalize_by_group
+
+    ev = events_with_ts(spark, sf_dir).select("event_id", "event_type", "value")
+    return normalize_by_group(ev, ["event_type"], "value").select(
+        "event_id", "event_type", "norm_value"
+    )
+
+
+@register(
     "chunk_documents",
     """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -126,6 +126,14 @@ def test_ivf_topk_recall_on_real_embeddings(spark):
     assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with half the cells probed
 
 
+def test_scalar_pandas_udf(spark):
+    from eve_graph_spark.operators.pandas_surface import vectorized_mean_word_len
+
+    df = spark.createDataFrame([("ab cd",), ("hello",)], "text string")
+    got = [r["m"] for r in df.select(vectorized_mean_word_len("text").alias("m")).collect()]
+    assert got == [2.0, 5.0]
+
+
 def test_sketches_error_bounds(spark):
     # approx_count_distinct at rsd=0.02 must land within ~10% of exact;
     # the approximate median must sit inside the value range
