@@ -93,6 +93,60 @@ def test_signatures_filter_and_expiry(spark, tmp_path):
     assert {r["id"] for r in active.collect()} == {"a"}  # b: not wormhole; c: expired
 
 
+def test_permissive_corrupt_records(spark, tmp_path):
+    # S7 decode-error policy: PERMISSIVE mode captures undecodable rows in
+    # _corrupt_record instead of failing the batch (esi.rs:109-138's
+    # JSON-decode arm, batch form)
+    p = tmp_path / "dirty.jsonl"
+    p.write_text('{"system_id": 1}\nNOT JSON AT ALL\n{"system_id": 2}')
+    df = (
+        spark.read.schema("system_id long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {r["system_id"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1, 2}
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+
+
+def test_foreachbatch_wormhole_refresh_updates_engine(spark, tmp_path):
+    # streaming -> engine integration: each micro-batch of signatures
+    # drives GraphEngine.refresh_wormholes (the A6 dataflow) via
+    # foreachBatch — the streaming analogue of POST /wormholes/refresh
+    import json as _json
+
+    from eve_graph_spark import schemas
+    from eve_graph_spark.api import GraphEngine
+
+    eng = GraphEngine(
+        spark.createDataFrame(
+            [(1, "Sys1", -1, 0.5, "B", -1, 0.0, 0.0, 0.0, [], [], 0, 0),
+             (2, "Sys2", -1, 0.5, "B", -1, 0.0, 0.0, 0.0, [], [], 0, 0)],
+            schemas.SYSTEM,
+        ),
+        spark.createDataFrame([], schemas.JUMP),
+    )
+    p = tmp_path / "sigstream2"
+    p.mkdir()
+    (p / "b0.jsonl").write_text(_json.dumps(
+        {"id": "w", "signature_type": "wormhole", "in_system_id": 1, "out_system_id": 2}))
+    raw = spark.readStream.schema(
+        "id string, signature_type string, in_system_id long, out_system_id long"
+    ).json(str(p))
+    q = (
+        raw.writeStream.foreachBatch(lambda batch, _bid: eng.refresh_wormholes(batch))
+        .option("checkpointLocation", str(tmp_path / "ckpt_wh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r["src_system_id"], r["dst_system_id"]) for r in eng.jumps.collect()}
+    assert pairs == {(1, 2), (2, 1)}
+
+
 @pytest.fixture()
 def event_stream(spark, tmp_path):
     """File-based micro-batch stream of events with event-time column."""
