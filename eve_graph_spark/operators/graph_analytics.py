@@ -17,6 +17,8 @@ Spark. Same execution design as `graph.py:sssp`:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -107,9 +109,33 @@ def connected_components(edges: DataFrame, src_col: str = "src_system_id",
 
 # --- PageRank ---------------------------------------------------------------
 
+def _pagerank_local(e: DataFrame, iterations: int, damping: float) -> DataFrame:
+    """Driver fast path — the SAME fixed-point superstep (identical IEEE
+    op sequence per value), so results are bit-identical to the loop."""
+    spark = e.sparkSession
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for r in e.collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+        nodes.add(r["src"])
+        nodes.add(r["dst"])
+    n = len(nodes)
+    base = (1.0 - damping) / n
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        sums: dict[int, int] = {}
+        for u, outs in adj.items():
+            c = int(math.floor(ranks[u] / len(outs) * float(PR_SCALE) + 0.5))
+            for v in outs:
+                sums[v] = sums.get(v, 0) + c
+        ranks = {v: base + damping * (sums.get(v, 0) / float(PR_SCALE)) for v in nodes}
+    return spark.createDataFrame(list(ranks.items()), "node long, rank double")
+
+
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
              src_col: str = "src_system_id", dst_col: str = "dst_system_id",
-             checkpoint_every: int = 2) -> DataFrame:
+             checkpoint_every: int = 2,
+             driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """Fixed-iteration PageRank, bit-reproducible (see module doc).
 
     rank0 = 1/n; rank'(v) = (1-d)/n + d * (Σ_u→v fp(rank(u)/deg(u)))/1e12
@@ -121,6 +147,8 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     shuffle keyed by dst; edges reuse their partitioning across steps.
     """
     e = _edge_frame(edges, src_col, dst_col)
+    if _fits_driver(e, driver_threshold):
+        return _pagerank_local(e, iterations, damping)
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()

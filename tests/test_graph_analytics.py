@@ -48,6 +48,16 @@ def test_pagerank_mass_and_symmetry(spark):
     assert max(ranks) - min(ranks) < 1e-12  # symmetry => equal ranks
 
 
+def test_pagerank_distributed_matches_local(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    local = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=3, driver_threshold=0).collect()
+    }
+    assert dist == local  # bit-identical fixed-point supersteps
+
+
 def test_pagerank_hub_ranks_highest(spark):
     # star: everything points at 0 -> 0 gets the highest rank
     e = spark.createDataFrame(
