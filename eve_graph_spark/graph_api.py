@@ -1,0 +1,99 @@
+"""GraphFrames-style property-graph API over the engine's operators.
+
+GraphFrames is the de-facto PySpark property-graph interface (vertices DF
+with `id`, edges DF with `src`/`dst`); exposing the engine's algorithms
+behind the same method names lets graph users keep their call sites. No
+GraphFrames jar is required — everything delegates to the self-contained
+operators in `operators/graph.py` / `operators/graph_analytics.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eve_graph_spark.operators.graph import sssp
+from eve_graph_spark.operators.graph_analytics import (
+    connected_components,
+    pagerank,
+    triangle_count,
+)
+
+
+class PropertyGraph:
+    """GraphFrames-convention graph: `vertices` has `id`, `edges` has
+    `src`, `dst` and optional weight columns."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        if "id" not in vertices.columns:
+            raise ValueError("vertices must have an 'id' column")
+        if not {"src", "dst"} <= set(edges.columns):
+            raise ValueError("edges must have 'src' and 'dst' columns")
+        self.vertices = vertices
+        self.edges = edges
+
+    @property
+    def degrees(self) -> DataFrame:
+        """(id, degree) — total degree, GraphFrames-compatible."""
+        ends = self.edges.select(F.col("src").alias("id")).unionAll(
+            self.edges.select(F.col("dst").alias("id"))
+        )
+        return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+    @property
+    def inDegrees(self) -> DataFrame:  # noqa: N802 - GraphFrames name
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("inDegree")
+        )
+
+    @property
+    def outDegrees(self) -> DataFrame:  # noqa: N802 - GraphFrames name
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("outDegree")
+        )
+
+    def shortestPaths(self, landmarks: list[int], weight_col: str | None = None) -> DataFrame:  # noqa: N802
+        """Distances from every landmark: (id, distances map<landmark,dist>).
+        Unweighted (cost=1) when `weight_col` is None, like GraphFrames;
+        weighted via the engine's SSSP otherwise (which GraphFrames lacks)."""
+        e = self.edges.withColumn("__w", F.lit(1.0) if weight_col is None else F.col(weight_col))
+        per_lm = None
+        for lm in landmarks:
+            d = sssp(e, [lm], weight_col="__w", src_col="src", dst_col="dst").select(
+                F.col("node").alias("id"), F.lit(lm).alias("lm"), "dist"
+            )
+            per_lm = d if per_lm is None else per_lm.unionByName(d)
+        return per_lm.groupBy("id").agg(
+            F.map_from_entries(F.collect_list(F.struct("lm", "dist"))).alias("distances")
+        )
+
+    def connectedComponents(self) -> DataFrame:  # noqa: N802
+        """(id, component) — undirected; edges are symmetrized first."""
+        sym = self.edges.select("src", "dst").unionAll(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return connected_components(sym, src_col="src", dst_col="dst").select(
+            F.col("node").alias("id"), "component"
+        )
+
+    def pageRank(self, maxIter: int = 3, resetProbability: float = 0.15) -> DataFrame:  # noqa: N802,N803
+        return pagerank(
+            self.edges, iterations=maxIter, damping=1.0 - resetProbability,
+            src_col="src", dst_col="dst",
+        ).select(F.col("node").alias("id"), F.col("rank").alias("pagerank"))
+
+    def triangleCount(self) -> DataFrame:  # noqa: N802
+        sym = self.edges.select("src", "dst").unionAll(
+            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return triangle_count(sym, src_col="src", dst_col="dst")
+
+    def bfs(self, from_id: int, to_id: int) -> list[int]:
+        """Unweighted shortest path between two vertex ids (node-id list,
+        empty when unreachable) — the GraphFrames bfs result reduced to
+        the path itself."""
+        from eve_graph_spark.operators.graph import reconstruct_path
+
+        e = self.edges.withColumn("__w", F.lit(1.0))
+        dist = sssp(e, [from_id], weight_col="__w", src_col="src", dst_col="dst")
+        return reconstruct_path(dist, to_id)

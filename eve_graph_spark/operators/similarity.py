@@ -144,6 +144,12 @@ def ivf_topk(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("__cvec")
         )
+        # centroids are n_centroids rows — materialize to the driver so the
+        # next Lloyd pass doesn't re-evaluate this whole lineage lazily
+        cents = cents.sparkSession.createDataFrame(
+            [(r["cell"], list(r["__cvec"])) for r in cents.collect()],
+            "cell long, __cvec array<double>",
+        )
     assigned = nearest_centroid(cents, embeddings.select(id_col, vec_col), vec_col).select(
         id_col, vec_col, "cell"
     )

@@ -1,0 +1,44 @@
+"""PropertyGraph (GraphFrames-style) API over the engine's algorithms."""
+
+from __future__ import annotations
+
+import pytest
+
+from eve_graph_spark.graph_api import PropertyGraph
+
+
+@pytest.fixture()
+def graph(spark):
+    v = spark.createDataFrame([(i, f"n{i}") for i in range(5)], "id long, name string")
+    # path 0-1-2-3 plus triangle 0-1-4
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 4), (4, 1)], "src long, dst long"
+    )
+    sym = e.unionAll(e.selectExpr("dst as src", "src as dst"))
+    return PropertyGraph(v, sym)
+
+
+def test_degrees(graph):
+    d = {r["id"]: r["degree"] for r in graph.degrees.collect()}
+    assert d[1] == 6 and d[3] == 2  # symmetric edges double the degree
+    ind = {r["id"]: r["inDegree"] for r in graph.inDegrees.collect()}
+    assert ind[1] == 3
+
+
+def test_shortest_paths_landmarks(graph):
+    rows = {r["id"]: r["distances"] for r in graph.shortestPaths([0, 3]).collect()}
+    assert rows[3][0] == 3.0 and rows[3][3] == 0.0
+    assert rows[4][0] == 1.0
+
+
+def test_connected_components_and_triangles(graph):
+    comp = {r["id"]: r["component"] for r in graph.connectedComponents().collect()}
+    assert len(set(comp.values())) == 1
+    assert graph.triangleCount().collect()[0]["n_triangles"] == 1  # 0-1-4
+
+
+def test_pagerank_and_bfs(graph):
+    pr = {r["id"]: r["pagerank"] for r in graph.pageRank(maxIter=3).collect()}
+    assert pr[1] == max(pr.values())  # best-connected node
+    assert graph.bfs(0, 3) == [0, 1, 2, 3]
+    assert graph.bfs(3, 3) == [3]
