@@ -84,6 +84,29 @@ def test_dedup_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
 
 
+def test_registry_wide_no_cartesian_products(spark, sf_dir):
+    """Every registered query's physical plan must be free of
+    CartesianProduct, and any BroadcastNestedLoopJoin must be the
+    intentional 1-row scalar broadcast (Join type: Cross, BuildRight) —
+    an Inner/Outer BNLJ means an equi-join failed to plan as one, which
+    is the O(n·m) bug this test exists to catch at review time instead
+    of at 100 TB."""
+    offenders = {}
+    for name, fn in sorted(registry.queries().items()):
+        plan = plan_of(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+            continue
+        for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+            # tree form: "... Cross BuildRight (6)"; detail form follows
+            # with "Join type: Cross" — either marks the scalar broadcast
+            head = seg[:80]
+            if "Cross" not in head:
+                offenders[name] = f"non-Cross BNLJ: {head!r}"
+                break
+    assert not offenders, offenders
+
+
 def test_partitioned_sink_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     path = str(tmp_path / "jumps_by_kind")
     jumps = build_jumps(spark, sf_dir)
