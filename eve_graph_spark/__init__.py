@@ -16,5 +16,19 @@ Design notes (SURVEY.md §1.6, §4):
 
 from eve_graph_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "GraphEngine", "PropertyGraph", "RouteNotFound"]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy re-exports: importing the package stays cheap (no pyspark sql
+    # module graph pulled in until an API object is actually requested)
+    if name in ("GraphEngine", "RouteNotFound"):
+        from eve_graph_spark import api
+
+        return getattr(api, name)
+    if name == "PropertyGraph":
+        from eve_graph_spark.graph_api import PropertyGraph
+
+        return PropertyGraph
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
