@@ -116,6 +116,93 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return jaccard_pairs(df, cands, text_col, id_col, k).filter(F.col("jaccard") >= threshold)
 
 
+# --- portable MinHash (oracle-checkable) ------------------------------------
+# xxhash64 is JVM-only; this variant builds the SAME pipeline on a
+# polynomial rolling hash + universal-hash seeding — pure 64-bit integer
+# arithmetic that any SQL engine reproduces bit-for-bit. Production uses
+# the xxhash64 path (faster, better dispersion); this one pins the
+# pipeline's correctness against the DuckDB oracle end-to-end.
+
+PORTABLE_P = 2_147_483_647  # 2^31-1: acc*31+code stays far inside int64
+
+
+def portable_shingle_hash_sql(shingles_sql: str) -> str:
+    """array<long>: rolling hash of each shingle's characters (Spark SQL)."""
+    return (
+        f"transform({shingles_sql}, s -> aggregate(sequence(1, length(s)), "
+        f"CAST(0 AS BIGINT), (acc, i) -> (acc * 31 + ascii(substring(s, i, 1))) % {PORTABLE_P}))"
+    )
+
+
+def portable_minhash_sql(text_col: str, num_hashes: int = 8, k: int = 3) -> str:
+    """array<long> signature: sig[j] = min over shingles of
+    (a_j*h + b_j) mod P with a_j = 2j+1, b_j = 97j+13 (Spark SQL)."""
+    hashes = portable_shingle_hash_sql(_shingles_sql(text_col, k))
+    return (
+        f"aggregate({hashes}, "
+        f"array_repeat(CAST({PORTABLE_P} AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(a, j) -> least(a, ((2 * j + 1) * h + 97 * j + 13) % {PORTABLE_P})))"
+    )
+
+
+def portable_band_buckets_sql(sig_col: str, bands: int = 4, rows_per_band: int = 2,
+                              one_based: bool = False) -> str:
+    """array<long> of `bands` bucket ids: rolling combine of each band's
+    signature rows. `sig_col` is an array column NAME; `one_based` emits
+    1-based element access (DuckDB) instead of 0-based (Spark)."""
+    buckets = []
+    for b in range(bands):
+        acc = "CAST(0 AS BIGINT)"
+        for r in range(rows_per_band):
+            idx = b * rows_per_band + r + (1 if one_based else 0)
+            acc = f"(({acc} * 31 + {sig_col}[{idx}]) % {PORTABLE_P})"
+        buckets.append(acc)
+    ctor = "list_value" if one_based else "array"  # DuckDB vs Spark SQL
+    return f"{ctor}({', '.join(buckets)})"
+
+
+def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                               threshold: float = 0.5, num_hashes: int = 8,
+                               bands: int = 4, rows_per_band: int = 2, k: int = 3) -> DataFrame:
+    """Near-dup pairs with exact-Jaccard verification — identical pipeline
+    shape to `minhash_dedup`, portable hashes. Returns (id_a, id_b,
+    jaccard) with id_a < id_b."""
+    sigs = df.select(
+        F.col(id_col), F.expr(portable_minhash_sql(text_col, num_hashes, k)).alias("__sig")
+    )
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.expr(portable_band_buckets_sql("__sig", bands, rows_per_band))
+        ).alias("band", "bucket"),
+    ).distinct()
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    return jaccard_pairs(df, cands, text_col, id_col, k).filter(F.col("jaccard") >= threshold)
+
+
+def portable_simhash_sql(text_col: str, bits: int = 31, k: int = 2) -> str:
+    """Portable SimHash (Spark SQL string): the same vote-accumulator shape
+    as `simhash_expr` but over the 31-bit polynomial shingle hash, so a SQL
+    oracle reproduces it bit-for-bit (xxhash64 is JVM-only)."""
+    hashes = portable_shingle_hash_sql(_shingles_sql(text_col, k))
+    votes = (
+        f"aggregate({hashes}, array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + 2 * (shiftright(h, b) & 1) - 1))"
+    )
+    return (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+        f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    )
+
+
 def simhash_expr(text_col: str, bits: int = 64, k: int = 2) -> Column:
     """64-bit SimHash: per-shingle xxhash64, each bit votes ±1, sign of the
     vote sum is the signature bit.

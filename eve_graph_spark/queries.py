@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from eve_graph_spark.functions.risk import risk_expr
 from eve_graph_spark.operators import relational as R
+from eve_graph_spark.operators.dedup import portable_band_buckets_sql
 from eve_graph_spark.operators.graph import sssp
 from eve_graph_spark.sources.graph_fixture import (
     GRAPH_SQL_CTE,
@@ -1395,6 +1396,60 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, pairs)
 
 
+@register(
+    "minhash_near_dups_portable",
+    f"""
+    WITH msh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+                   list_transform(range(0, len(string_split(lower(text), ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 3), ' '))
+                   ELSE [lower(text)] END) AS sh
+        FROM documents
+    ),
+    mhs AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(s) + 1),
+                           i -> CAST(ord(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647)) AS hs
+        FROM msh
+    ),
+    msigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), j ->
+                   list_min(list_transform(hs,
+                       h -> ((2 * j + 1) * h + 97 * j + 13) % 2147483647))) AS sig
+        FROM mhs
+    ),
+    mbanded AS (
+        SELECT DISTINCT doc_id, u.i AS band, ({portable_band_buckets_sql('sig', 4, 2, one_based=True)})[u.i] AS bucket
+        FROM msigs, unnest(range(1, 5)) AS u(i)
+    ),
+    mcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM mbanded a JOIN mbanded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+    FROM mcand c JOIN msh x ON x.doc_id = c.id_a JOIN msh y ON y.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+    """,
+)
+def minhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SAME MinHash-LSH pipeline as minhash_near_dups, on portable
+    # polynomial/universal hashes — fully oracle-checked end to end
+    # (signatures, banding, candidate generation, exact-Jaccard verify).
+    from eve_graph_spark.operators.dedup import portable_minhash_near_dups
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return portable_minhash_near_dups(docs, threshold=0.5)
+
+
 @register("minhash_near_dups")  # xxhash64-based → not SQL-oracle-able; rows-only
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Full MinHash+LSH near-dup pipeline at threshold 0.5.
@@ -1402,6 +1457,43 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return minhash_dedup(docs, threshold=0.5)
+
+
+@register(
+    "simhash_portable",
+    """
+    WITH psh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 2 THEN
+                   list_transform(range(0, len(string_split(lower(text), ' ')) - 1),
+                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 2), ' '))
+                   ELSE [lower(text)] END) AS sh
+        FROM documents
+    ),
+    phs AS (
+        SELECT doc_id,
+               list_transform(sh, s -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(s) + 1),
+                           i -> CAST(ord(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647)) AS hs
+        FROM psh
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 31), b ->
+               CASE WHEN list_sum(list_transform(hs, h -> 2 * ((h >> b) & 1) - 1)) > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END
+           )) AS BIGINT) AS simhash
+    FROM phs
+    """,
+)
+def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash on the portable 31-bit hash — fully oracle-checked twin of
+    # the xxhash64 production signature below.
+    from eve_graph_spark.operators.dedup import portable_simhash_sql
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.expr(portable_simhash_sql("text")).alias("simhash"))
 
 
 @register("simhash_signatures")  # xxhash64-based → rows-only
