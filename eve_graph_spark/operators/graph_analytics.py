@@ -22,6 +22,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eve_graph_spark.operators.graph import sssp
+
 DRIVER_MAX_EDGES = 2_000_000
 PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point for PageRank contributions
 
@@ -179,6 +181,62 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+# --- closeness centrality ---------------------------------------------------
+
+def closeness_centrality(edges: DataFrame, src_col: str = "src_system_id",
+                         dst_col: str = "dst_system_id",
+                         driver_threshold: int = DRIVER_MAX_EDGES,
+                         landmarks: int | None = None) -> DataFrame:
+    """(node, closeness) with closeness = (reached-1) / Σ hop-dist — exact
+    all-pairs BFS on the driver below the edge threshold (the graph that
+    fits on the driver is the only one where exact all-pairs is sane).
+
+    At scale, exact all-pairs is O(V) SSSP runs — pass `landmarks=k` to
+    approximate with k hash-chosen pivot sources instead (the standard
+    large-graph practice); that path runs k distributed SSSP sweeps.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    spark = e.sparkSession
+    if landmarks is None and _fits_driver(e, driver_threshold):
+        adj: dict[int, list[int]] = {}
+        nodes: set[int] = set()
+        for r in e.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+            nodes.update((r["src"], r["dst"]))
+        rows = []
+        for s in nodes:
+            dist = {s: 0}
+            frontier = [s]
+            while frontier:
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = dist[u] + 1
+                            nxt.append(v)
+                frontier = nxt
+            total = sum(dist.values())
+            rows.append((s, float(len(dist) - 1) / total if total else 0.0))
+        return spark.createDataFrame(rows, "node long, closeness double")
+
+    sources = (
+        e.select(F.col("src").alias("node")).union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if landmarks:
+        sources = sources.orderBy(F.xxhash64("node")).limit(landmarks)
+    pivot_ids = [r["node"] for r in sources.collect()]
+    ew = e.withColumn("w", F.lit(1.0))
+    acc = None
+    for s in pivot_ids:
+        d = sssp(ew, [s], weight_col="w", src_col="src", dst_col="dst",
+                 driver_threshold=0).select("node", "dist")
+        acc = d if acc is None else acc.unionByName(d)
+    return acc.groupBy("node").agg(
+        ((F.count(F.lit(1)) - 1).cast("double") / F.sum("dist")).alias("closeness")
+    )
 
 
 # --- triangle counting ------------------------------------------------------

@@ -602,6 +602,57 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(build_jumps(spark, sf_dir, with_risk=False))
 
 
+@register(
+    "two_hop_reach",
+    _graph_cte(
+        """
+        SELECT a.src_system_id AS system_id,
+               COUNT(DISTINCT b.dst_system_id) AS n_two_hop
+        FROM fix_jumps a JOIN fix_jumps b ON b.src_system_id = a.dst_system_id
+        WHERE b.dst_system_id <> a.src_system_id
+        GROUP BY a.src_system_id
+        """
+    ),
+)
+def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Motif-style 2-hop neighborhood size: (a)->(b)->(c), c != a —
+    # one self-join keyed on the intermediate node.
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    a = jumps.select(F.col("src_system_id"), F.col("dst_system_id").alias("mid"))
+    b = jumps.select(F.col("src_system_id").alias("mid"), F.col("dst_system_id").alias("two_hop"))
+    return (
+        a.join(b, "mid")
+        .filter(F.col("two_hop") != F.col("src_system_id"))
+        .groupBy(F.col("src_system_id").alias("system_id"))
+        .agg(F.count_distinct("two_hop").alias("n_two_hop"))
+    )
+
+
+@register(
+    "closeness_centrality",
+    _graph_cte(
+        """
+        , aw(src, node, dist) AS (
+            SELECT system_id, system_id, CAST(0 AS BIGINT) FROM fix_systems
+            UNION
+            SELECT w.src, e.dst_system_id, w.dist + 1
+            FROM aw w JOIN fix_jumps e ON e.src_system_id = w.node
+            WHERE w.dist < 12
+        ),
+        best AS (SELECT src, node, MIN(dist) AS d FROM aw GROUP BY src, node)
+        SELECT src AS node, CAST(COUNT(*) - 1 AS DOUBLE) / SUM(d) AS closeness
+        FROM best GROUP BY src
+        """
+    ),
+)
+def closeness_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Closeness = (reached-1)/Σ hop-dist: exact all-pairs BFS (driver fast
+    # path; landmark-sampled distributed variant for big graphs).
+    from eve_graph_spark.operators.graph_analytics import closeness_centrality
+
+    return closeness_centrality(build_jumps(spark, sf_dir, with_risk=False))
+
+
 # =========================================================================
 # Sort / top-k / window — SURVEY §2.8 relational extensions
 # =========================================================================

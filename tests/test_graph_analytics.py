@@ -58,6 +58,28 @@ def test_pagerank_distributed_matches_local(spark):
     assert dist == local  # bit-identical fixed-point supersteps
 
 
+def test_closeness_centrality_known_graph(spark):
+    from eve_graph_spark.operators.graph_analytics import closeness_centrality
+
+    # path graph 1-2-3 (symmetric): middle node is closest to everything
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = {r["node"]: r["closeness"] for r in closeness_centrality(e).collect()}
+    assert got[2] == 2 / 2  # dists 1+1
+    assert got[1] == got[3] == 2 / 3  # dists 1+2
+
+
+def test_closeness_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import closeness_centrality
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    local = {r["node"]: r["closeness"] for r in closeness_centrality(e).collect()}
+    dist = {
+        r["node"]: r["closeness"]
+        for r in closeness_centrality(e, driver_threshold=0).collect()
+    }
+    assert dist == local
+
+
 def test_pagerank_hub_ranks_highest(spark):
     # star: everything points at 0 -> 0 gets the highest rank
     e = spark.createDataFrame(
