@@ -73,6 +73,27 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], ts_col: str = "ts
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+                  ts_col: str = "ts", lookback: str = "10 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: each left event matched to right events of
+    the same key within [left.ts - lookback, left.ts]. Both sides are
+    watermarked so the join state store evicts rows once they can no
+    longer match — the condition that makes a stream-stream join runnable
+    forever (an unbounded-state stream join is a memory leak, not a join).
+    """
+    l_ = left.withWatermark(ts_col, watermark).alias("l")
+    r_ = right.withWatermark(ts_col, watermark).alias("r")
+    return l_.join(
+        r_,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{ts_col} >= l.{ts_col} - INTERVAL {lookback} AND "
+            f"r.{ts_col} <= l.{ts_col}"
+        ),
+    )
+
+
 def wormhole_expiry_stream(signatures: DataFrame, ts_col: str = "expires_at",
                            watermark: str = "1 hour") -> DataFrame:
     """Streaming analogue of POST /wormholes/refresh (reference:

@@ -216,6 +216,31 @@ def test_streaming_dedup(spark, event_stream):
     assert len(ids) == len(set(ids)) == 12  # duplicate delivery dropped
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    from eve_graph_spark.streaming.windows import interval_join
+
+    base = 1_700_000_000
+    views = [{"user_id": 1, "ts": base, "view_id": 100},
+             {"user_id": 1, "ts": base + 1200, "view_id": 101},  # outside lookback of p1
+             {"user_id": 2, "ts": base, "view_id": 200}]
+    purchases = [{"user_id": 1, "ts": base + 300, "purchase_id": 900},
+                 {"user_id": 3, "ts": base + 300, "purchase_id": 901}]
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(); pdir.mkdir()
+    (vdir / "v.jsonl").write_text("\n".join(json.dumps(r) for r in views))
+    (pdir / "p.jsonl").write_text("\n".join(json.dumps(r) for r in purchases))
+    vs = (spark.readStream.schema("user_id long, ts long, view_id long").json(str(vdir))
+          .withColumn("ts", F.timestamp_seconds("ts")))
+    ps = (spark.readStream.schema("user_id long, ts long, purchase_id long").json(str(pdir))
+          .withColumn("ts", F.timestamp_seconds("ts")))
+    joined = interval_join(ps, vs, key="user_id", lookback="10 minutes")
+    _run_to_memory(joined.select("purchase_id", "view_id"), "ssj", "append")
+    pairs = {(r["purchase_id"], r["view_id"]) for r in spark.sql("SELECT * FROM ssj").collect()}
+    # p900 matches only v100 (v101 is later than the purchase; user 2's
+    # view is another key; p901's user has no views)
+    assert pairs == {(900, 100)}
+
+
 def test_wormhole_expiry_stream(spark, tmp_path):
     from eve_graph_spark.streaming.windows import wormhole_expiry_stream
 
