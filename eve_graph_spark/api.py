@@ -71,6 +71,22 @@ class GraphEngine:
             self.build_risk_projection()
         return self._route(JUMP_RISK, from_name, to_name)
 
+    def route_alternatives(self, from_name: str, to_name: str, k: int = 3) -> list[tuple[float, list[str]]]:
+        """k best loop-free routes ranked by total cost (SURVEY §2.8 route
+        ranking) — beyond the reference's single-route API."""
+        from eve_graph_spark.operators.graph import k_shortest_paths
+
+        src, dst = self._resolve(from_name), self._resolve(to_name)
+        if not self.registry.exists(SYSTEM_MAP):
+            self.build_cost_projection()
+        edges = self.registry.get(SYSTEM_MAP)
+        routes = k_shortest_paths(edges, src, dst, k)
+        if not routes:
+            raise RouteNotFound("route not found")
+        names = {r["system_id"]: r["name"]
+                 for r in self.systems.select("system_id", "name").collect()}
+        return [(cost, [names[n] for n in path]) for cost, path in routes]
+
     # --- A3: POST /systems/refresh (sync.rs:121-170) ------------------------
     def refresh_systems(self, esi_systems: DataFrame) -> DataFrame:
         """Diff-sync: remove DB∖ESI, add ESI∖DB, dedup, return new table."""

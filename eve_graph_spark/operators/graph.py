@@ -204,6 +204,89 @@ def sssp(
     return dist
 
 
+def k_shortest_paths(edges: DataFrame, source: int, target: int, k: int = 3,
+                     weight_col: str = "weight", src_col: str = "src",
+                     dst_col: str = "dst",
+                     driver_threshold: int = DRIVER_SSSP_MAX_EDGES) -> list[tuple[float, list[int]]]:
+    """Yen's algorithm: the k best loop-free routes, ranked by total cost
+    (SURVEY §2.8 route ranking). Route alternatives only make sense on a
+    graph small enough to answer interactively, so this is driver-side
+    over the collected edge list (guarded by the same threshold as SSSP);
+    at cluster scale you'd run it per-request on the driver against the
+    broadcast edge snapshot, not as a distributed job.
+
+    Returns [(total_cost, [node, ...])], best first; ties by path nodes.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+    if e.limit(driver_threshold + 1).count() > driver_threshold:
+        raise ValueError("graph exceeds driver threshold; route alternatives "
+                         "are a driver-side interactive query")
+    import heapq
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for r in e.collect():
+        adj.setdefault(r["src"], []).append((r["dst"], r["weight"]))
+
+    def dijkstra(banned_edges: set, banned_nodes: set, s: int):
+        dist = {s: 0.0}
+        pred: dict[int, int] = {}
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, ()):
+                if (u, v) in banned_edges or v in banned_nodes:
+                    continue
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v], pred[v] = nd, u
+                    heapq.heappush(pq, (nd, v))
+        if target not in dist:
+            return None
+        path, cur = [target], target
+        while cur != s:
+            cur = pred[cur]
+            path.append(cur)
+        return dist[target], list(reversed(path))
+
+    first = dijkstra(set(), set(), source)
+    if first is None:
+        return []
+    found = [first]
+    candidates: list[tuple[float, list[int]]] = []
+    while len(found) < k:
+        _, prev_path = found[-1]
+        for i in range(len(prev_path) - 1):
+            spur, root = prev_path[i], prev_path[: i + 1]
+            banned_e = {
+                (p[len(root) - 1], p[len(root)])
+                for _, p in found
+                if len(p) > len(root) and p[: len(root)] == root
+            }
+            banned_n = set(root[:-1])
+            spur_res = dijkstra(banned_e, banned_n, spur)
+            if spur_res is None:
+                continue
+            spur_cost, spur_path = spur_res
+            root_cost = sum(
+                next(w for v, w in adj[a] if v == b)
+                for a, b in zip(root, root[1:])
+            )
+            cand = (root_cost + spur_cost, root[:-1] + spur_path)
+            if cand not in candidates and cand not in found:
+                candidates.append(cand)
+        if not candidates:
+            break
+        candidates.sort(key=lambda c: (c[0], c[1]))
+        found.append(candidates.pop(0))
+    return found
+
+
 def reconstruct_path(dist: DataFrame, target_id: int, max_hops: int = 10_000) -> list[int]:
     """Walk pred pointers target → source. The dist table for one route query
     is vertex-sized; route reconstruction is a driver-side walk over a

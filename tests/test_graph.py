@@ -119,6 +119,35 @@ def test_graph_engine_routes(spark, sf_dir):
         eng.shortest_route(names[0], "NO-SUCH-SYSTEM")
 
 
+def test_k_shortest_paths_ranked_and_distinct(spark):
+    from eve_graph_spark.operators.graph import k_shortest_paths
+
+    # diamond with a longer detour: 0->1->3 (cost 2), 0->2->3 (cost 3),
+    # 0->1->2->3 (cost 4)
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 3, 1.0), (0, 2, 2.0), (2, 3, 1.0), (1, 2, 2.0)],
+        "src long, dst long, weight double",
+    )
+    routes = k_shortest_paths(e, 0, 3, k=3)
+    assert [(c, p) for c, p in routes] == [
+        (2.0, [0, 1, 3]),
+        (3.0, [0, 2, 3]),
+        (4.0, [0, 1, 2, 3]),
+    ]
+
+
+def test_route_alternatives_api(spark, sf_dir):
+    from eve_graph_spark.sources.graph_fixture import build_jumps, build_systems
+
+    eng = GraphEngine(build_systems(spark, sf_dir), build_jumps(spark, sf_dir))
+    names = {r["system_id"]: r["name"] for r in eng.systems.collect()}
+    routes = eng.route_alternatives(names[0], names[13], k=3)
+    costs = [c for c, _ in routes]
+    assert costs == sorted(costs) and len(routes) == 3
+    assert all(p[0] == names[0] and p[-1] == names[13] for _, p in routes)
+    assert len({tuple(p) for _, p in routes}) == 3  # distinct paths
+
+
 def test_projection_registry(spark, sf_dir):
     jumps = build_jumps(spark, sf_dir)
     reg = ProjectionRegistry()
