@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -66,13 +67,13 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 def fake_decoder(blob: bytes) -> list[float]:
     """Deterministic stand-in for a real decode+featurize kernel: 4 moments
-    of the byte stream. Replace with PIL/librosa/ffmpeg when available."""
+    of the byte stream, vectorized over the buffer the way a production
+    decode kernel would be. Replace with PIL/librosa/ffmpeg when available."""
     if not blob:
         return [0.0, 0.0, 0.0, 0.0]
-    n = float(len(blob))
-    s1 = float(sum(blob))
-    s2 = float(sum(b * b for b in blob))
-    return [n, s1 / n, s2 / n, float(blob[0])]
+    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+    n = float(arr.size)
+    return [n, float(arr.mean()), float((arr * arr).mean()), float(arr[0])]
 
 
 def real_decoder(blob: bytes) -> list[float]:  # pragma: no cover - stub

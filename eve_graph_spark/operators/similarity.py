@@ -111,55 +111,85 @@ def ivf_topk(
     """IVF (inverted-file) ANN: k-means coarse quantizer → probe the
     query's `n_probe` nearest cells → exact cosine re-rank inside them.
 
-    Deterministic end to end: centroids seed from the `n_centroids`
-    smallest vec_ids and refine with fixed Lloyd iterations, all as
-    DataFrame ops (zip_with sums, one shuffle per iteration). At scale the
-    cell id is the table's partition key, so each query touches n_probe
-    partitions instead of the full corpus — same layout story as the LSH
-    variant, but with data-adaptive cells (better recall on clustered
-    embeddings; LSH needs no training pass).
-    """
-    def nearest_centroid(cents: DataFrame, vecs: DataFrame, vcol: str) -> DataFrame:
-        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-            "__d", cosine_expr(F.col(vcol), F.col("__cvec"))
-        )
-        w = Window.partitionBy(vecs.columns[0]).orderBy(F.col("__d").desc(), F.col("cell"))
-        return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    Scale shape: centroids are tiny (n_centroids rows) and live on the
+    driver; the corpus is huge and is only ever touched by NARROW maps.
+    Cell assignment is an argmax-dot against a centroid literal array —
+    no row blowup, no shuffle — so each Lloyd pass costs one map plus one
+    (n_centroids × dim)-cell partial aggregation. At scale the cell id is
+    the table's partition key, so each query touches n_probe partitions
+    instead of the full corpus — same layout story as the LSH variant,
+    but with data-adaptive cells (better recall on clustered embeddings;
+    LSH needs no training pass).
 
-    cents = (
+    Deterministic end to end: centroids seed from the `n_centroids`
+    smallest vec_ids, refined with fixed Lloyd iterations; assignment ties
+    break toward the lowest cell id (strict > in the fold keeps the first
+    maximum).
+    """
+    def _unit(vec: list[float]) -> list[float]:
+        n = sum(x * x for x in vec) ** 0.5 or 1.0
+        return [x / n for x in vec]
+
+    def _cent_lit(cents: list[tuple[int, list[float]]]) -> F.Column:
+        # unit-normalized driver-side so argmax dot == argmax cosine
+        return F.array(*[
+            F.struct(
+                F.lit(cell).cast("long").alias("cell"),
+                F.array(*[F.lit(x) for x in _unit(vec)]).alias("cvec"),
+            )
+            for cell, vec in cents
+        ])
+
+    def _cell_expr(cents: list[tuple[int, list[float]]], vcol: str) -> F.Column:
+        # narrow argmax: score all centroids in one transform, then pick the
+        # first maximum (ties → lowest cell id; cents is sorted by cell)
+        scores = F.transform(
+            _cent_lit(cents), lambda s: dot_expr(F.col(vcol), s["cvec"])
+        )
+        pos = F.array_position(scores, F.array_max(scores))
+        cell_ids = F.array(*[F.lit(c).cast("long") for c, _ in cents])
+        return F.element_at(cell_ids, pos.cast("int"))
+
+    seed = (
         embeddings.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("__cvec"))
+        .select(id_col, vec_col)
+        .collect()
     )
+    cents = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed)
+    ]
+    dim = len(cents[0][1])
     for _ in range(lloyd_iterations):
-        assigned = nearest_centroid(cents, embeddings.select(id_col, vec_col), vec_col)
-        # new centroid = dimension-wise mean, via posexplode so a hot cell
-        # spreads over (cell, dim) groups instead of one aggregation buffer
-        dim_means = (
-            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg((F.sum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("m"))
+        assigned = embeddings.select(
+            id_col, vec_col, _cell_expr(cents, vec_col).alias("cell")
         )
-        cents = dim_means.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("__cvec")
+        # new centroid = dimension-wise mean: one shuffle of
+        # (n_centroids × dim) map-combined partials, no row blowup
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.col(vec_col)[i].cast("double")).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        cents = sorted(
+            (r["cell"], [r[f"__s{i}"] / r["__n"] for i in range(dim)])
+            for r in sums
         )
-        # centroids are n_centroids rows — materialize to the driver so the
-        # next Lloyd pass doesn't re-evaluate this whole lineage lazily
-        cents = cents.sparkSession.createDataFrame(
-            [(r["cell"], list(r["__cvec"])) for r in cents.collect()],
-            "cell long, __cvec array<double>",
-        )
-    assigned = nearest_centroid(cents, embeddings.select(id_col, vec_col), vec_col).select(
-        id_col, vec_col, "cell"
+    assigned = embeddings.select(
+        id_col, vec_col, _cell_expr(cents, vec_col).alias("cell")
     )
     q = assigned.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    # probe cells: n_probe nearest centroids per query
+    # probe cells: n_probe nearest centroids per query (q is a handful of rows)
     qcells = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("__d", cosine_expr(F.col("qvec"), F.col("__cvec")))
+        q.select("query_id", "qvec", F.explode(_cent_lit(cents)).alias("__s"))
+        .select(
+            "query_id", "qvec",
+            F.col("__s")["cell"].alias("cell"),
+            dot_expr(F.col("qvec"), F.col("__s")["cvec"]).alias("__d"),
+        )
         .withColumn(
             "__rn",
             F.row_number().over(
