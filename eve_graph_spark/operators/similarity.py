@@ -107,6 +107,7 @@ def ivf_topk(
     lloyd_iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_local_threshold: int = 200_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer → probe the
     query's `n_probe` nearest cells → exact cosine re-rank inside them.
@@ -125,30 +126,47 @@ def ivf_topk(
     smallest vec_ids, refined with fixed Lloyd iterations; assignment ties
     break toward the lowest cell id (strict > in the fold keeps the first
     maximum).
+
+    Like SSSP/PageRank, a corpus under `driver_local_threshold` rows takes
+    a driver-local numpy fast path (the training loop is inherently
+    iterative; a sub-MB corpus shouldn't pay one Spark job per Lloyd
+    pass). The distributed path is the same algorithm and is parity-pinned
+    by tests; pass driver_local_threshold=0 to force it.
     """
+    if driver_local_threshold and embeddings.count() <= driver_local_threshold:
+        return _ivf_topk_local(
+            embeddings, query_ids, k, n_centroids, n_probe, lloyd_iterations,
+            id_col, vec_col,
+        )
     def _unit(vec: list[float]) -> list[float]:
         n = sum(x * x for x in vec) ** 0.5 or 1.0
         return [x / n for x in vec]
 
-    def _cent_lit(cents: list[tuple[int, list[float]]]) -> F.Column:
-        # unit-normalized driver-side so argmax dot == argmax cosine
-        return F.array(*[
-            F.struct(
-                F.lit(cell).cast("long").alias("cell"),
-                F.array(*[F.lit(x) for x in _unit(vec)]).alias("cvec"),
-            )
-            for cell, vec in cents
-        ])
+    spark = embeddings.sparkSession
 
-    def _cell_expr(cents: list[tuple[int, list[float]]], vcol: str) -> F.Column:
-        # narrow argmax: score all centroids in one transform, then pick the
-        # first maximum (ties → lowest cell id; cents is sorted by cell)
-        scores = F.transform(
-            _cent_lit(cents), lambda s: dot_expr(F.col(vcol), s["cvec"])
+    def _cents_1row(cents: list[tuple[int, list[float]]]) -> DataFrame:
+        # centroids as ONE broadcastable row holding a sorted struct array.
+        # Keeping centroid values in DATA (not literals) means the argmax
+        # expression tree is identical across Lloyd iterations, so codegen
+        # compiles once and is cache-hit afterwards.
+        rows = [(int(c), _unit(v)) for c, v in cents]
+        return (
+            spark.createDataFrame(rows, "cell long, cvec array<double>")
+            .groupBy()
+            .agg(F.sort_array(F.collect_list(F.struct("cell", "cvec"))).alias("__cents"))
         )
-        pos = F.array_position(scores, F.array_max(scores))
-        cell_ids = F.array(*[F.lit(c).cast("long") for c, _ in cents])
-        return F.element_at(cell_ids, pos.cast("int"))
+
+    def _with_cell(vecs: DataFrame, cents: list[tuple[int, list[float]]], vcol: str) -> DataFrame:
+        # narrow argmax: score all centroids in one transform, then pick the
+        # first maximum (ties → lowest cell id; __cents is sorted by cell)
+        scores = F.transform(F.col("__cents"), lambda s: dot_expr(F.col(vcol), s["cvec"]))
+        pos = F.array_position(scores, F.array_max(scores)).cast("int")
+        cell = F.element_at(F.transform(F.col("__cents"), lambda s: s["cell"]), pos)
+        return (
+            vecs.crossJoin(F.broadcast(_cents_1row(cents)))
+            .withColumn("cell", cell)
+            .drop("__cents")
+        )
 
     seed = (
         embeddings.orderBy(id_col).limit(n_centroids)
@@ -159,32 +177,38 @@ def ivf_topk(
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed)
     ]
     dim = len(cents[0][1])
-    for _ in range(lloyd_iterations):
-        assigned = embeddings.select(
-            id_col, vec_col, _cell_expr(cents, vec_col).alias("cell")
+    def _vec_sum(col: F.Column) -> F.Column:
+        # element-wise sum of an array column via collect_list + zip_with
+        # fold — one compact expression instead of `dim` aggregate columns
+        return F.aggregate(
+            F.collect_list(col),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
         )
-        # new centroid = dimension-wise mean: one shuffle of
-        # (n_centroids × dim) map-combined partials, no row blowup
-        sums = assigned.groupBy("cell").agg(
+
+    for _ in range(lloyd_iterations):
+        assigned = _with_cell(embeddings.select(id_col, vec_col), cents, vec_col)
+        # new centroid = dimension-wise mean, two-phase so the collect_list
+        # buffers stay partition-bounded at scale: fold per (cell,
+        # partition) first, then combine the per-partition partials
+        partials = assigned.groupBy("cell", F.spark_partition_id().alias("__pid")).agg(
             F.count(F.lit(1)).alias("__n"),
-            *[
-                F.sum(F.col(vec_col)[i].cast("double")).alias(f"__s{i}")
-                for i in range(dim)
-            ],
+            _vec_sum(F.col(vec_col).cast("array<double>")).alias("__vsum"),
+        )
+        sums = partials.groupBy("cell").agg(
+            F.sum("__n").alias("__n"), _vec_sum(F.col("__vsum")).alias("__vsum")
         ).collect()
         cents = sorted(
-            (r["cell"], [r[f"__s{i}"] / r["__n"] for i in range(dim)])
-            for r in sums
+            (r["cell"], [s / r["__n"] for s in r["__vsum"]]) for r in sums
         )
-    assigned = embeddings.select(
-        id_col, vec_col, _cell_expr(cents, vec_col).alias("cell")
-    )
+    assigned = _with_cell(embeddings.select(id_col, vec_col), cents, vec_col)
     q = assigned.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     # probe cells: n_probe nearest centroids per query (q is a handful of rows)
     qcells = (
-        q.select("query_id", "qvec", F.explode(_cent_lit(cents)).alias("__s"))
+        q.crossJoin(F.broadcast(_cents_1row(cents)))
+        .select("query_id", "qvec", F.explode("__cents").alias("__s"))
         .select(
             "query_id", "qvec",
             F.col("__s")["cell"].alias("cell"),
@@ -205,6 +229,73 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _ivf_topk_local(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    lloyd_iterations: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Driver-local IVF: one collect, then numpy. Same algorithm as the
+    distributed path (seed = n_centroids smallest ids, argmax-dot against
+    unit centroids with first-max/lowest-cell ties, mean update, n_probe
+    cells, exact cosine re-rank with id tie-break)."""
+    import numpy as np
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+
+    def _unit_rows(M: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return M / n
+
+    cents = V[: min(n_centroids, len(ids))].copy()
+    cell_ids = np.arange(len(cents), dtype=np.int64)
+    for _ in range(lloyd_iterations):
+        scores = V @ _unit_rows(cents).T          # (n, n_cells)
+        assign = cell_ids[np.argmax(scores, axis=1)]  # first max = lowest cell
+        kept, new_cents = [], []
+        for c in cell_ids:
+            members = V[assign == c]
+            if len(members):
+                kept.append(c)
+                new_cents.append(members.mean(axis=0))
+        cell_ids = np.array(kept, dtype=np.int64)
+        cents = np.array(new_cents)
+    scores = V @ _unit_rows(cents).T
+    assign = cell_ids[np.argmax(scores, axis=1)]
+
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    out = []
+    id_pos = {int(i): p for p, i in enumerate(ids)}
+    for qid in query_ids:
+        if qid not in id_pos:
+            continue
+        qp = id_pos[qid]
+        qv = V[qp]
+        # n_probe nearest cells: score desc, then lowest cell id
+        qscore = _unit_rows(cents) @ qv
+        order = sorted(range(len(cell_ids)), key=lambda i: (-qscore[i], cell_ids[i]))
+        probe = {int(cell_ids[i]) for i in order[:n_probe]}
+        cand = np.where(np.isin(assign, list(probe)) & (ids != qid))[0]
+        cos = (V[cand] @ qv) / (norms[cand] * norms[qp])
+        ranked = sorted(zip(cos, ids[cand]), key=lambda t: (-t[0], t[1]))[:k]
+        out.extend(
+            (int(qid), int(vid), float(c), r + 1)
+            for r, (c, vid) in enumerate(ranked)
+        )
+    return embeddings.sparkSession.createDataFrame(
+        out, f"query_id long, {id_col} long, cosine double, rank int"
+    )
 
 
 def pairwise_cosine(embeddings: DataFrame, pairs: DataFrame,

@@ -30,9 +30,30 @@ from eve_graph_spark.functions.risk import risk_expr
 
 WORMHOLE_PAIRS = ((2, 17), (5, 21))
 
+# Memoized fixture DataFrames, keyed per Spark application + SF dir. This
+# mirrors the reference's cached GDS projections (database.rs:422-456): the
+# graph is materialized once and every query reads the same snapshot instead
+# of re-deriving it. persist() of a 25-node graph is free; at 100 TB the
+# same pattern (persist the canonical edge DF, reuse across queries) is the
+# difference between one shuffle and one per query.
+_FIXTURE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, kind: str, sf_dir: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, kind, sf_dir)
+    df = _FIXTURE_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _FIXTURE_CACHE[key] = df
+    return df
+
 
 def build_systems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertex table: one System per nation, activity stats from nationkey."""
+    return _memo(spark, "systems", sf_dir, lambda: _build_systems(spark, sf_dir))
+
+
+def _build_systems(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     return nation.select(
         F.col("n_nationkey").cast("long").alias("system_id"),
@@ -89,12 +110,18 @@ def build_wormhole_edges(spark: SparkSession) -> DataFrame:
 
 
 def build_jumps(spark: SparkSession, sf_dir: str, with_risk: bool = True) -> DataFrame:
-    """Full JUMP edge table, optionally risk-weighted.
+    """Full JUMP edge table, optionally risk-weighted (memoized + persisted
+    per session/SF, like the reference's named projections).
 
     Risk join is a broadcast of the (tiny) systems dim onto edges keyed by
     destination — the bulk form of the reference's per-system inbound-edge
     update (database.rs:294-322): one shuffle-free join instead of N queries.
     """
+    kind = "jumps_risk" if with_risk else "jumps"
+    return _memo(spark, kind, sf_dir, lambda: _build_jumps(spark, sf_dir, with_risk))
+
+
+def _build_jumps(spark: SparkSession, sf_dir: str, with_risk: bool) -> DataFrame:
     edges = build_gate_edges(spark, sf_dir).union(build_wormhole_edges(spark))
     if not with_risk:
         return edges.withColumn("risk", F.lit(None).cast("double")).select(

@@ -169,3 +169,23 @@ def test_multimodal_pipeline(spark):
     frames = frame_sample_stub(media, every_n=1).collect()
     assert {r["media_id"] for r in frames} == {1, 2}
     assert all(r["frame_no"] == 0 for r in frames)  # blobs < 1KB → 1 frame
+
+
+def test_ivf_local_and_distributed_paths_agree(spark):
+    # The driver-local numpy fast path and the distributed DataFrame path
+    # are the same algorithm; on the fixture corpus they must return the
+    # same (query, neighbor) sets with matching ranks.
+    from eve_graph_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(k=5, n_centroids=8, n_probe=3)
+    local = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, [0, 7], **kw).collect()
+    }
+    dist = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, [0, 7], driver_local_threshold=0, **kw).collect()
+    }
+    assert local == dist
+    assert len(local) == 10
