@@ -261,3 +261,124 @@ def triangle_count(edges: DataFrame, src_col: str = "src_system_id",
         .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# --- strongly connected components ------------------------------------------
+
+def strongly_connected_components(edges: DataFrame,
+                                  src_col: str = "src_system_id",
+                                  dst_col: str = "dst_system_id",
+                                  driver_threshold: int = DRIVER_MAX_EDGES,
+                                  max_pivots: int = 10_000) -> DataFrame:
+    """(node, scc) over a DIRECTED edge set, scc = min node id in the
+    component (unlike connected_components, direction matters here).
+
+    Driver path: Tarjan (iterative, no recursion limit) when the edge set
+    fits. Distributed path: FW-BW decomposition — pick the min remaining
+    node as pivot, compute its forward and backward reachable sets with
+    the iterative frontier joins SSSP uses, intersect them into one SCC,
+    remove it, repeat. Each round is O(diameter) supersteps; worst case
+    (all singleton SCCs) degenerates to V rounds, which is why real
+    deployments run it after condensing trivial SCCs — `max_pivots` guards
+    the loop.
+    """
+    e = _edge_frame(edges, src_col, dst_col).distinct()
+    spark = e.sparkSession
+    if _fits_driver(e, driver_threshold):
+        adj: dict[int, list[int]] = {}
+        nodes: set[int] = set()
+        for r in e.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+            nodes.update((r["src"], r["dst"]))
+        # iterative Tarjan
+        index_of: dict[int, int] = {}
+        low: dict[int, int] = {}
+        on_stack: set[int] = set()
+        stack: list[int] = []
+        scc_of: dict[int, int] = {}
+        counter = 0
+        for root in sorted(nodes):
+            if root in index_of:
+                continue
+            work = [(root, iter(adj.get(root, ())))]
+            index_of[root] = low[root] = counter
+            counter += 1
+            stack.append(root)
+            on_stack.add(root)
+            while work:
+                v, it = work[-1]
+                advanced = False
+                for w in it:
+                    if w not in index_of:
+                        index_of[w] = low[w] = counter
+                        counter += 1
+                        stack.append(w)
+                        on_stack.add(w)
+                        work.append((w, iter(adj.get(w, ()))))
+                        advanced = True
+                        break
+                    if w in on_stack:
+                        low[v] = min(low[v], index_of[w])
+                if advanced:
+                    continue
+                work.pop()
+                if work:
+                    u = work[-1][0]
+                    low[u] = min(low[u], low[v])
+                if low[v] == index_of[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    rep = min(comp)
+                    for w in comp:
+                        scc_of[w] = rep
+        return spark.createDataFrame(
+            sorted(scc_of.items()), "node long, scc long"
+        )
+
+    # distributed FW-BW: peel one SCC per round
+    remaining = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    out: DataFrame | None = None
+    for _ in range(max_pivots):
+        head = remaining.orderBy("node").limit(1).collect()
+        if not head:
+            break
+        pivot = head[0]["node"]
+
+        def _reach(adj_df: DataFrame) -> DataFrame:
+            seen = spark.createDataFrame([(pivot,)], "node long")
+            frontier = seen
+            while True:
+                nxt = (
+                    adj_df.join(frontier.withColumnRenamed("node", "src"), "src")
+                    .select(F.col("dst").alias("node"))
+                    .join(remaining, "node", "left_semi")
+                    .join(seen, "node", "left_anti")
+                    .distinct()
+                    .localCheckpoint()
+                )
+                if nxt.limit(1).count() == 0:
+                    return seen
+                seen = seen.union(nxt).localCheckpoint()
+                frontier = nxt
+
+        fwd = _reach(e.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi"))
+        bwd = _reach(rev.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi"))
+        comp = fwd.join(bwd, "node", "left_semi").localCheckpoint()
+        rep = comp.agg(F.min("node").alias("m")).collect()[0]["m"]
+        tagged = comp.select("node", F.lit(rep).cast("long").alias("scc"))
+        out = tagged if out is None else out.union(tagged)
+        nxt_remaining = remaining.join(comp, "node", "left_anti").localCheckpoint()
+        remaining.unpersist()
+        remaining = nxt_remaining.persist()
+    return out if out is not None else spark.createDataFrame([], "node long, scc long")

@@ -2036,3 +2036,124 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(F.count(F.lit(1)).alias("numcust"), _dsum("c_acctbal", "totacctbal"))
     )
+
+
+# =========================================================================
+# Relational surface: pivot, grouping sets, window frames; directed SCC
+# =========================================================================
+
+@register(
+    "pivot_status_by_year",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           {_dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", "total_f")},
+           {_dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", "total_o")},
+           {_dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", "total_p")}
+    FROM orders GROUP BY o_year
+    """,
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot (long → wide): one shuffle, explicit value list so the output
+    # schema is static (no extra distinct-scan to discover pivot values —
+    # that matters at 100 TB).
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(_dsum("o_totalprice", "t"))
+        .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
+    )
+
+
+_GS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) / 1000000e0 AS total,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_orders", _GS_SQL)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arbitrary GROUPING SETS (beyond rollup/cube): the same SQL text runs
+    # on both engines — one pass, Expand feeds a single aggregation.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GS_SQL)
+
+
+@register(
+    "rolling_customer_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) / 1000000.0 AS rolling_total
+    FROM orders
+    """,
+)
+def rolling_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window FRAME (ROWS BETWEEN): 3-order rolling revenue per customer.
+    # The frame sums exact fixed-point longs, so every engine agrees on
+    # every prefix; (o_orderdate, o_orderkey) is a total order.
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    fixed = F.floor(F.col("o_totalprice") * 1000000 + F.lit(0.5)).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(fixed).over(w) / F.lit(1000000.0)).alias("rolling_total"),
+    )
+
+
+@register(
+    "scc_membership",
+    _graph_cte(
+        """
+        , dir_edges AS (
+            SELECT src_system_id AS src, dst_system_id AS dst FROM fix_jumps
+            WHERE kind = 'wormhole'
+               OR (dst_system_id = src_system_id + 1 AND src_system_id % 7 <> 0)
+        ),
+        reach AS (
+            SELECT src AS a, dst AS b FROM dir_edges
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN dir_edges e ON r.b = e.src
+        ),
+        verts AS (
+            SELECT DISTINCT src AS v FROM dir_edges
+            UNION SELECT DISTINCT dst FROM dir_edges
+        ),
+        mutual AS (
+            SELECT n.v AS node, m.v AS other
+            FROM verts n JOIN verts m
+              ON n.v = m.v
+              OR (EXISTS (SELECT 1 FROM reach WHERE a = n.v AND b = m.v)
+                  AND EXISTS (SELECT 1 FROM reach WHERE a = m.v AND b = n.v))
+        )
+        SELECT node, MIN(other) AS scc FROM mutual GROUP BY node
+        """
+    ),
+)
+def scc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Directed strongly connected components on a cycle-broken variant of
+    # the fixture graph (forward ring with every 7th edge cut + both
+    # wormhole directions): the two wormhole pairs are the only non-trivial
+    # SCCs, so direction-blind components would be wrong here.
+    from eve_graph_spark.operators.graph_analytics import strongly_connected_components
+
+    jumps = build_jumps(spark, sf_dir)
+    directed = jumps.filter(
+        (F.col("kind") == "wormhole")
+        | (
+            (F.col("dst_system_id") == F.col("src_system_id") + 1)
+            & (F.col("src_system_id") % 7 != 0)
+        )
+    )
+    return strongly_connected_components(directed)

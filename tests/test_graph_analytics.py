@@ -88,3 +88,28 @@ def test_pagerank_hub_ranks_highest(spark):
     rows = pagerank(e, iterations=3).collect()
     best = max(rows, key=lambda r: r["rank"])
     assert best["node"] == 0
+
+
+def test_scc_tarjan_and_fwbw_agree(spark):
+    # 1->2->3->1 cycle, 4->5 chain hanging off it, 6<->7 mutual pair:
+    # SCCs {1,2,3}, {4}, {5}, {6,7}. Direction-blind components would
+    # merge 1..5 — this pins that direction matters.
+    from eve_graph_spark.operators.graph_analytics import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7), (7, 6)],
+        "src_system_id long, dst_system_id long",
+    )
+    expect = {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6), (7, 6)}
+    driver = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert driver == expect
+    dist = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(edges, driver_threshold=0).collect()
+    }
+    assert dist == expect
