@@ -2157,3 +2157,171 @@ def scc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return strongly_connected_components(directed)
+
+
+# =========================================================================
+# Composite pipelines: end-to-end dedup (pairs → clusters → survivors) and
+# hypertable-style gap-fill with LOCF
+# =========================================================================
+
+_MINHASH_PAIRS_FOR_CC = f"""
+    msh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+                   list_transform(range(0, len(string_split(lower(text), ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 3), ' '))
+                   ELSE [lower(text)] END) AS sh
+        FROM documents
+    ),
+    mhs AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(s) + 1),
+                           i -> CAST(ord(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647)) AS hs
+        FROM msh
+    ),
+    msigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), j ->
+                   list_min(list_transform(hs,
+                       h -> ((2 * j + 1) * h + 97 * j + 13) % 2147483647))) AS sig
+        FROM mhs
+    ),
+    mbanded AS (
+        SELECT DISTINCT doc_id, u.i AS band, ({portable_band_buckets_sql('sig', 4, 2, one_based=True)})[u.i] AS bucket
+        FROM msigs, unnest(range(1, 5)) AS u(i)
+    ),
+    mcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM mbanded a JOIN mbanded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    mpairs AS (
+        SELECT c.id_a, c.id_b
+        FROM mcand c JOIN msh x ON x.doc_id = c.id_a JOIN msh y ON y.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+    )
+"""
+
+
+@register(
+    "dedup_pipeline_documents",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_FOR_CC},
+    dedup_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mpairs
+        UNION ALL SELECT id_b, id_a FROM mpairs
+    ),
+    dedup_reach AS (
+        SELECT src AS node, src AS r FROM dedup_edges
+        UNION
+        SELECT e.dst, r.r FROM dedup_reach r JOIN dedup_edges e ON e.src = r.node
+    ),
+    dedup_cc AS (SELECT node, MIN(r) AS cluster FROM dedup_reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id) AS cluster,
+           COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN dedup_cc c ON c.node = d.doc_id
+    """,
+)
+def dedup_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full LLM-corpus dedup pipeline in one query: MinHash-LSH near-dup
+    # PAIRS → connected components over the pair graph (transitive near-dup
+    # CLUSTERS) → keep-min survivor per cluster. Every stage oracle-checked
+    # (the recursive CTE replays the min-label propagation).
+    from eve_graph_spark.operators.dedup import portable_minhash_near_dups
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = portable_minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    cc = connected_components(sym, src_col="s", dst_col="d")
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(cc), docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+@register(
+    "time_gapfill_events",
+    f"""
+    WITH grid AS (
+        SELECT t.event_type, g.minute_ts
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-01 23:59:00',
+                                          INTERVAL 1 MINUTE)) AS minute_ts
+        ) g
+    ),
+    msum AS (
+        SELECT event_type, date_trunc('minute', ts) AS minute_ts,
+               COUNT(*) AS n_events, {_dsum_sql("value", "sum_value")}
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT g.event_type,
+           CAST(epoch(g.minute_ts) AS BIGINT) AS minute_sec,
+           COALESCE(m.n_events, 0) AS n_events,
+           COALESCE(LAST_VALUE(m.sum_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.minute_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0) AS filled_value
+    FROM grid g LEFT JOIN msum m USING (event_type, minute_ts)
+    """,
+)
+def time_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable gap-fill + LOCF: dense minute grid per event type (grid =
+    # types × sequence(), generated, never scanned), left join the sparse
+    # minute aggregates, carry the last observation forward. The grid size
+    # is fixed by the time range, not the data volume — at 100 TB the
+    # heavy side is still one partial-aggregated shuffle of the facts.
+    ev = events_with_ts(spark, sf_dir)
+    day = ev.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    msum = (
+        day.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute_ts"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "sum_value"))
+    )
+    grid = (
+        day.select("event_type").distinct()
+        .crossJoin(
+            F.broadcast(
+                day.sparkSession.range(1)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "sequence(timestamp'2024-01-01 00:00:00',"
+                            " timestamp'2024-01-01 23:59:00', interval 1 minute)"
+                        )
+                    ).alias("minute_ts")
+                )
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(msum, ["event_type", "minute_ts"], "left")
+        .select(
+            "event_type",
+            F.col("minute_ts").cast("long").alias("minute_sec"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce(F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)).alias(
+                "filled_value"
+            ),
+        )
+    )
