@@ -48,9 +48,15 @@ def main() -> None:
 
     from eve_graph_spark import queries as registry
 
-    # Warmup: JVM, codegen, parquet footer reads — excluded from timings.
+    # Warmup: JVM, codegen, parquet footer reads, AND the Python worker
+    # pool (one pandas/pyarrow import per core — otherwise the first
+    # pandas-UDF query is charged ~10s of fork+import that belongs to
+    # session setup, same as JVM warmup). Excluded from timings.
     t0 = time.perf_counter()
     registry.q1_pricing_summary(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(cpus * 100).repartition(cpus).mapInPandas(
+        lambda batches: batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
     warmup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

@@ -2240,7 +2240,14 @@ def dedup_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
         pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
     )
-    cc = connected_components(sym, src_col="s", dst_col="d")
+    # CC evaluates its input at least twice (size probe + solve); without
+    # this persist the whole MinHash pipeline would rerun each time.
+    sym = sym.persist()
+    try:
+        cc = connected_components(sym, src_col="s", dst_col="d")
+        cc = cc.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
     return (
         docs.select("doc_id")
         .join(F.broadcast(cc), docs.doc_id == cc.node, "left")
