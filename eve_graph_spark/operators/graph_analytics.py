@@ -382,3 +382,48 @@ def strongly_connected_components(edges: DataFrame,
         remaining.unpersist()
         remaining = nxt_remaining.persist()
     return out if out is not None else spark.createDataFrame([], "node long, scc long")
+
+
+# --- link prediction (neighborhood Jaccard) ----------------------------------
+
+def jaccard_link_prediction(edges: DataFrame, src_col: str = "src_system_id",
+                            dst_col: str = "dst_system_id") -> DataFrame:
+    """Score non-adjacent node pairs by neighborhood Jaccard similarity.
+
+    For a symmetric edge set: common(a,b) = |N(a) ∩ N(b)| via a self-join
+    on the shared neighbor (the standard wedge enumeration — same shuffle
+    shape as triangle counting: edges partitioned by the wedge center, so
+    at 100 TB the join co-locates by neighbor id and never materializes
+    the O(V²) pair space, only pairs that share >=1 neighbor).
+
+    Returns (node_a, node_b, common_cnt, jaccard) for non-adjacent a<b,
+    jaccard = common / (deg(a) + deg(b) - common) as ONE double division
+    of exact integer operands (bit-identical across engines).
+    """
+    e = _edge_frame(edges, src_col, dst_col).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    wedges = (
+        e.select(F.col("src").alias("node_a"), F.col("dst").alias("c"))
+        .join(e.select(F.col("src").alias("node_b"), F.col("dst").alias("c")), "c")
+        .filter(F.col("node_a") < F.col("node_b"))
+    )
+    common = wedges.groupBy("node_a", "node_b").agg(F.count("*").alias("common_cnt"))
+    adjacent = e.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("node_a"), F.col("dst").alias("node_b")
+    )
+    return (
+        common.join(adjacent, ["node_a", "node_b"], "left_anti")
+        .join(F.broadcast(deg.withColumnRenamed("node", "node_a")
+                          .withColumnRenamed("deg", "deg_a")), "node_a")
+        .join(F.broadcast(deg.withColumnRenamed("node", "node_b")
+                          .withColumnRenamed("deg", "deg_b")), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common_cnt",
+            (
+                F.col("common_cnt").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_cnt")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

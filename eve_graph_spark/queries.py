@@ -2332,3 +2332,251 @@ def time_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =========================================================================
+# Entity resolution, link prediction, JSON extraction, and time-series
+# smoothing/interpolation
+# =========================================================================
+
+@register(
+    "fuzzy_match_customers",
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS dirty_key, upper(c_name) AS dirty_name,
+               c_custkey % 1000 AS block
+        FROM customer
+    ),
+    clean AS (
+        SELECT c_custkey AS clean_key, c_name AS clean_name,
+               c_custkey % 1000 AS block
+        FROM customer
+    ),
+    scored AS (
+        SELECT d.dirty_key, c.clean_key,
+               levenshtein(d.dirty_name, c.clean_name) AS distance
+        FROM dirty d JOIN clean c USING (block)
+    ),
+    best AS (
+        SELECT dirty_key, clean_key, CAST(distance AS BIGINT) AS distance,
+               ROW_NUMBER() OVER (PARTITION BY dirty_key
+                                  ORDER BY distance, clean_key) AS rn
+        FROM scored WHERE distance <= 7
+    )
+    SELECT dirty_key, clean_key, distance FROM best WHERE rn = 1
+    """,
+)
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entity resolution: case-mangled customer names resolved back to their
+    # source rows by blocked levenshtein (block = custkey residue, so the
+    # candidate join is an equi-join — never all-pairs). distance<=7 keeps
+    # exactly the true match (7 case flips); any other in-block candidate
+    # differs in >=1 leading digit too (>=8).
+    from eve_graph_spark.operators.entity_resolution import blocked_fuzzy_match
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.upper("c_name").alias("name"),
+        (F.col("c_custkey") % 1000).alias("block"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        (F.col("c_custkey") % 1000).alias("block"),
+    )
+    return blocked_fuzzy_match(dirty, clean, max_distance=7)
+
+
+@register(
+    "link_prediction_jaccard",
+    _graph_cte("""
+    , lp_edges AS (SELECT DISTINCT src_system_id AS src, dst_system_id AS dst FROM fix_jumps),
+    lp_deg AS (SELECT src AS node, COUNT(*) AS deg FROM lp_edges GROUP BY src),
+    lp_common AS (
+        SELECT a.src AS node_a, b.src AS node_b, COUNT(*) AS common_cnt
+        FROM lp_edges a JOIN lp_edges b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY a.src, b.src
+    )
+    SELECT c.node_a, c.node_b, c.common_cnt,
+           CAST(c.common_cnt AS DOUBLE)
+             / CAST(da.deg + db.deg - c.common_cnt AS DOUBLE) AS jaccard
+    FROM lp_common c
+    JOIN lp_deg da ON da.node = c.node_a
+    JOIN lp_deg db ON db.node = c.node_b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lp_edges e WHERE e.src = c.node_a AND e.dst = c.node_b
+    )
+    """),
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Link prediction over the jump graph: neighborhood Jaccard for
+    # non-adjacent pairs (wedge self-join — the triangle-count shuffle
+    # shape, partitioned by the shared neighbor).
+    from eve_graph_spark.operators.graph_analytics import jaccard_link_prediction
+
+    return jaccard_link_prediction(build_jumps(spark, sf_dir))
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-structured column: per-row JSON payload parsed JVM-side
+    # (get_json_object, codegen'd — no Python), then a plain partial-agg
+    # shuffle. At 100 TB prefer from_json once into a struct column and
+    # write it back typed; this query is the ad-hoc exploration shape.
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "ewma_user_value",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY event_id),
+                       (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-user EWMA of event values in event order: non-associative fold
+    # pinned to a total order (operators/timeseries.py). One shuffle, fold
+    # runs inside the JVM aggregate expression.
+    from eve_graph_spark.operators.timeseries import ewma_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_by_group(ev, "user_id", "event_id", "value", alpha=0.25)
+
+
+@register(
+    "time_interpolate_events",
+    f"""
+    WITH grid AS (
+        SELECT t.event_type, g.minute_ts
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-01 23:59:00',
+                                          INTERVAL 1 MINUTE)) AS minute_ts
+        ) g
+    ),
+    msum AS (
+        SELECT event_type, date_trunc('minute', ts) AS minute_ts,
+               {_dsum_sql("value", "obs")}
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT g.event_type, CAST(epoch(g.minute_ts) AS BIGINT) AS minute_sec, m.obs
+        FROM grid g LEFT JOIN msum m USING (event_type, minute_ts)
+    ),
+    w AS (
+        SELECT event_type, minute_sec, obs,
+               LAST_VALUE(obs IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY minute_sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               LAST_VALUE(CASE WHEN obs IS NOT NULL THEN minute_sec END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY minute_sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+               FIRST_VALUE(obs IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY minute_sec
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN minute_sec END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY minute_sec
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+        FROM j
+    )
+    SELECT event_type, minute_sec,
+           CASE WHEN obs IS NOT NULL THEN obs
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(minute_sec - prev_t AS DOUBLE)
+                        / CAST(next_t - prev_t AS DOUBLE))
+           END AS interp_value
+    FROM w
+    """,
+)
+def time_interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear interpolation over the dense minute grid (companion to the
+    # LOCF gap-fill): carry prev/next observation + their timestamps with
+    # IGNORE NULLS frames, interpolate proportionally. Same scale shape as
+    # time_gapfill_events — the grid is generated, facts shuffle once.
+    ev = events_with_ts(spark, sf_dir)
+    day = ev.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    msum = day.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute_ts")
+    ).agg(_dsum("value", "obs"))
+    grid = (
+        day.select("event_type").distinct()
+        .crossJoin(
+            F.broadcast(
+                day.sparkSession.range(1).select(
+                    F.explode(
+                        F.expr(
+                            "sequence(timestamp'2024-01-01 00:00:00',"
+                            " timestamp'2024-01-01 23:59:00', interval 1 minute)"
+                        )
+                    ).alias("minute_ts")
+                )
+            )
+        )
+    )
+    j = grid.join(msum, ["event_type", "minute_ts"], "left").select(
+        "event_type", F.col("minute_ts").cast("long").alias("minute_sec"), "obs"
+    )
+    w_prev = (
+        Window.partitionBy("event_type").orderBy("minute_sec")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type").orderBy("minute_sec")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("obs").isNotNull(), F.col("minute_sec"))
+    w = j.select(
+        "event_type",
+        "minute_sec",
+        "obs",
+        F.last("obs", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("obs", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (
+                (F.col("minute_sec") - F.col("prev_t")).cast("double")
+                / (F.col("next_t") - F.col("prev_t")).cast("double")
+            )
+        )
+    )
+    return w.select("event_type", "minute_sec", interp.alias("interp_value"))
