@@ -2580,3 +2580,261 @@ def time_interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return w.select("event_type", "minute_sec", interp.alias("interp_value"))
+
+
+# =========================================================================
+# Relational breadth II: unpivot, time-RANGE frames, Q15/Q21 shapes, and a
+# one-pass column profiler
+# =========================================================================
+
+@register(
+    "unpivot_status_counts",
+    """
+    WITH wide AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_O,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_F,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_P
+        FROM orders GROUP BY 1
+    )
+    SELECT order_year, status, cnt FROM (
+        SELECT order_year, 'O' AS status, cnt_O AS cnt FROM wide
+        UNION ALL SELECT order_year, 'F', cnt_F FROM wide
+        UNION ALL SELECT order_year, 'P', cnt_P FROM wide
+    )
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide→long: conditional-count pivot then DataFrame.unpivot (Spark's
+    # melt). The unpivot is a zero-shuffle projection — only the pivot agg
+    # shuffles.
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("cnt_O"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("cnt_F"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("cnt_P"),
+    )
+    long = wide.unpivot(["order_year"], ["cnt_O", "cnt_F", "cnt_P"], "status", "cnt")
+    return long.select(
+        "order_year", F.substring("status", 5, 1).alias("status"), "cnt"
+    )
+
+
+@register(
+    "rolling_30d_customer_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_sec,
+           SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) / 1000000.0 AS spend_30d
+    FROM orders
+    """,
+)
+def rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-based RANGE frame: per customer, total spend in the trailing 30
+    # days of each order. The frame is on epoch seconds (RANGE needs a
+    # numeric order key); the frame sum is exact fixed-point so engines
+    # agree bit-for-bit regardless of in-frame order.
+    o = load_table(spark, sf_dir, "orders")
+    # tz-free epoch seconds for a TIMESTAMP_NTZ (a direct long cast is
+    # illegal, and unix_timestamp() would re-interpret in the session tz)
+    sec = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        * 86400
+        + F.hour("o_orderdate") * 3600
+        + F.minute("o_orderdate") * 60
+        + F.second("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(sec.alias("order_sec"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        sec.alias("order_sec"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 1000000 + F.lit(0.5))).over(w)
+            / F.lit(1000000.0)
+        ).alias("spend_30d"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5)
+                        AS BIGINT)) AS total_fp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_fp / 1000000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_fp = (SELECT MAX(total_fp) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15: top supplier by 3-month revenue. The max is a scalar
+    # broadcast (one row) against the revenue agg — no second scan of the
+    # fact table; the comparison is on the exact fixed-point sum.
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1000000
+                    + F.lit(0.5)
+                )
+            ).alias("total_fp")
+        )
+    )
+    mx = rev.agg(F.max("total_fp").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_fp == mx.mx)
+        .join(sup, rev.supplier_no == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", (F.col("total_fp") / F.lit(1000000.0)).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    multi AS (
+        SELECT l1.l_orderkey, l1.l_suppkey
+        FROM late l1
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        )
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM multi JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape (lateness adapted to the driver schema: shipped >90
+    # days after order date): the sole late supplier on multi-supplier
+    # orders. One semi-join + one anti-join against the fact table — the
+    # decorrelated form Catalyst picks for EXISTS/NOT EXISTS.
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    li_k = li.select(
+        F.col("l_orderkey").alias("k_orderkey"), F.col("l_suppkey").alias("k_suppkey")
+    )
+    multi = late.join(
+        li_k,
+        (F.col("l_orderkey") == F.col("k_orderkey"))
+        & (F.col("l_suppkey") != F.col("k_suppkey")),
+        "left_semi",
+    )
+    late_k = late.select(
+        F.col("l_orderkey").alias("k_orderkey"), F.col("l_suppkey").alias("k_suppkey")
+    )
+    sole = multi.join(
+        late_k,
+        (F.col("l_orderkey") == F.col("k_orderkey"))
+        & (F.col("l_suppkey") != F.col("k_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(sup, sole.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "profile_lineitem",
+    f"""
+    SELECT 'l_quantity' AS column_name, COUNT(*) AS n,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+           {_dsum_sql("l_quantity", "sum_v")}
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice),
+           MAX(l_extendedprice), {_dsum_sql("l_extendedprice", "sum_v")}
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount),
+           {_dsum_sql("l_discount", "sum_v")}
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax),
+           {_dsum_sql("l_tax", "sum_v")}
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-profiling op: per-column stats in ONE scan of the fact table
+    # (the oracle's UNION ALL is 4 scans — DuckDB's cost, not ours). The
+    # count-distincts expand the agg but stay a single pass; output is
+    # long-format (one row per column) via explode of a struct array.
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            _dsum(c, f"{c}__sum"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+                F.col(f"{c}__sum").alias("sum_v"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
