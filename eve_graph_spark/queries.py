@@ -2838,3 +2838,198 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# =========================================================================
+# Training-corpus ops III: benchmark decontamination, sequence packing,
+# and the end-to-end corpus curation pipeline
+# =========================================================================
+
+_SHINGLE5_SQL = """
+    list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 5 THEN
+        list_transform(range(0, len(string_split(lower(text), ' ')) - 4),
+            i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 5), ' '))
+        ELSE [lower(text)] END)
+"""
+
+
+@register(
+    "decontaminate_documents",
+    f"""
+    WITH bench_sh AS (
+        SELECT DISTINCT unnest({_SHINGLE5_SQL}) AS sh
+        FROM documents WHERE doc_id < 20
+    ),
+    corp_sh AS (
+        SELECT doc_id, unnest({_SHINGLE5_SQL}) AS sh
+        FROM documents WHERE doc_id >= 20
+    ),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corp_sh c JOIN bench_sh b USING (sh)
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared, 0) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id >= 20
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination: flag corpus docs sharing any 5-gram with
+    # the benchmark set (doc_id < 20 stands in for the eval suite). The
+    # benchmark shingle set is tiny and broadcast — the corpus side is one
+    # explode + hash join + count, no self-join. At 100 TB the benchmark
+    # side stays driver-size (eval suites are small) so the plan is a
+    # broadcast semi-ish join against the exploded corpus.
+    from eve_graph_spark.operators.dedup import shingles_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bench_sh = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(shingles_expr("text", 5)).alias("sh"))
+        .distinct()
+    )
+    corp = docs.filter(F.col("doc_id") >= 20)
+    corp_sh = corp.select("doc_id", F.explode(shingles_expr("text", 5)).alias("sh"))
+    hits = (
+        corp_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        corp.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS prev_cum
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           prev_cum // 2048 AS bin,
+           prev_cum % 2048 AS bin_offset
+    FROM cum
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequence packing for training: docs are appended in doc_id order into
+    # 2048-token context bins, one stream per source shard (the partition
+    # key — so the window never needs a global sort; at 100 TB each shard
+    # packs independently, which is how packing is actually run).
+    from eve_graph_spark.operators.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = toks.withColumn("prev_cum", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("prev_cum") / F.lit(2048)).cast("long").alias("bin"),
+        (F.col("prev_cum") % 2048).alias("bin_offset"),
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    """
+    WITH lang AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS en,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('el','la','de','que','y','en','un','es','se','no'))) AS es,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('der','die','und','das','in','zu','den','ist','von','mit'))) AS de
+        FROM documents
+    ),
+    en_docs AS (
+        SELECT doc_id, text FROM lang
+        WHERE NOT (en = 0 AND es = 0 AND de = 0) AND en >= es AND en >= de
+    ),
+    scored AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' '))
+                 + CAST(len(list_filter(string_split(lower(text), ' '),
+                        w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
+                   / len(string_split(lower(text), ' '))
+                 - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS quality
+        FROM en_docs
+    ),
+    good AS (SELECT doc_id, text FROM scored WHERE quality > 5.2),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id FROM good GROUP BY md5(text)
+    ),
+    shuffled AS (
+        SELECT g.doc_id,
+               (g.doc_id * 2654435761) % 1000000007 AS shuffle_pos,
+               CAST(len(regexp_extract_all(g.text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT)
+                   AS n_tokens
+        FROM good g JOIN deduped d ON g.doc_id = d.doc_id
+    )
+    SELECT doc_id, shuffle_pos, n_tokens FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY shuffle_pos, doc_id) AS rn FROM shuffled
+    ) WHERE rn <= 100
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The end-to-end corpus curation run, as one declarative plan:
+    # lang-ID filter → quality filter → exact dedup (keep-min per digest)
+    # → deterministic hash shuffle → take the first 100 → token counts.
+    # Every stage is an operator from the registry (lang_id_expr,
+    # quality_score_expr, exact-dedup shape, Knuth-hash sampling), composed
+    # the way a production curation job chains them: filters first (cheap,
+    # pushed down), dedup's shuffle only sees survivors, the top-k is a
+    # TakeOrderedAndProject — never a global sort of the corpus.
+    from eve_graph_spark.operators.text_analysis import (
+        lang_id_expr,
+        quality_score_expr,
+        token_count,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    en_docs = docs.filter(lang_id_expr(F.col("text")) == "en")
+    good = en_docs.filter(quality_score_expr(F.col("text")) > 5.2)
+    keep = good.groupBy(F.md5(F.encode("text", "utf-8")).alias("__digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = good.join(keep.select("doc_id"), "doc_id", "left_semi")
+    shuffled = survivors.select(
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 1000000007).alias("shuffle_pos"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy("shuffle_pos", "doc_id")
+    return (
+        shuffled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 100)
+        .select("doc_id", "shuffle_pos", "n_tokens")
+    )
