@@ -1,0 +1,121 @@
+"""Unit tests: entity resolution, link prediction, EWMA, sequence packing,
+decontamination — synthetic inputs with hand-checked ground truth (the
+oracle parity tests cover the registry queries; these pin the operator
+semantics directly)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eve_graph_spark.operators.entity_resolution import blocked_fuzzy_match
+from eve_graph_spark.operators.graph_analytics import jaccard_link_prediction
+from eve_graph_spark.operators.timeseries import ewma_by_group
+
+
+def test_blocked_fuzzy_match_picks_nearest_in_block(spark):
+    clean = spark.createDataFrame(
+        [(1, "alice smith", 0), (2, "alicia smith", 0), (3, "bob jones", 1)],
+        "key long, name string, block long",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "alice smyth", 0), (11, "bob jonez", 1), (12, "zzzzz", 1)],
+        "key long, name string, block long",
+    )
+    got = {r["dirty_key"]: (r["clean_key"], r["distance"])
+           for r in blocked_fuzzy_match(dirty, clean, max_distance=3).collect()}
+    assert got[10] == (1, 1)  # smyth->smith is 1 edit; alicia is further
+    assert got[11] == (3, 1)
+    assert 12 not in got  # nothing within max_distance
+
+
+def test_blocked_fuzzy_match_never_crosses_blocks(spark):
+    clean = spark.createDataFrame([(1, "same", 0)], "key long, name string, block long")
+    dirty = spark.createDataFrame([(2, "same", 1)], "key long, name string, block long")
+    assert blocked_fuzzy_match(dirty, clean).count() == 0
+
+
+def test_jaccard_link_prediction_path_graph(spark):
+    # path 1-2-3: only non-adjacent pair is (1,3), N(1)={2}, N(3)={2}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src_system_id long, dst_system_id long"
+    )
+    rows = jaccard_link_prediction(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["node_a"], r["node_b"], r["common_cnt"]) == (1, 3, 1)
+    assert r["jaccard"] == 1.0  # 1 / (1 + 1 - 1)
+
+
+def test_jaccard_excludes_adjacent_pairs(spark):
+    # triangle: every pair adjacent -> no predictions
+    e = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    edges = spark.createDataFrame(e, "src_system_id long, dst_system_id long")
+    assert jaccard_link_prediction(edges).count() == 0
+
+
+def test_ewma_matches_pandas_fold(spark):
+    import pandas as pd
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "g long, i long, v double"
+    )
+    got = ewma_by_group(df, "g", "i", "v", alpha=0.25).collect()[0]
+    expected = pd.Series(vals).ewm(alpha=0.25, adjust=False).mean().iloc[-1]
+    assert got["n_obs"] == len(vals)
+    assert got["ewma"] == pytest.approx(expected, abs=1e-12)
+
+
+def test_ewma_singleton_group_is_identity(spark):
+    df = spark.createDataFrame([(1, 0, 7.5)], "g long, i long, v double")
+    assert ewma_by_group(df, "g", "i", "v").collect()[0]["ewma"] == 7.5
+
+
+def test_ewma_order_independence_of_input(spark):
+    # fold must follow the order column, not arrival order
+    rows = [(1, 2, 10.0), (1, 0, 1.0), (1, 1, 5.0)]
+    df = spark.createDataFrame(rows, "g long, i long, v double")
+    acc = 1.0
+    for x in (5.0, 10.0):
+        acc = acc * 0.75 + x * 0.25
+    assert ewma_by_group(df, "g", "i", "v").collect()[0]["ewma"] == acc
+
+
+def test_sequence_packing_bins_never_skip(spark):
+    from eve_graph_spark import queries as registry
+
+    out = registry.queries()["sequence_packing"](spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    for _, grp in pdf.groupby("source"):
+        g = grp.sort_values("doc_id")
+        # bins are a non-decreasing sequence starting at 0 per shard
+        bins = g["bin"].tolist()
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) or b2 > b1 for b1, b2 in zip(bins, bins[1:]))
+        # offset is the running total modulo nothing — it resets across bins
+        assert ((g["bin_offset"] >= 0) & (g["bin_offset"] < 2048)).all()
+
+
+def test_decontamination_flags_verbatim_overlap(spark):
+    from eve_graph_spark.operators.dedup import shingles_expr
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text),  # benchmark (id < 20)
+            (21, "prefix words then alpha beta gamma delta epsilon here"),
+            (22, "totally unrelated content with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    bench_sh = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(shingles_expr("text", 5)).alias("sh"))
+        .distinct()
+    )
+    corp_sh = docs.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(shingles_expr("text", 5)).alias("sh")
+    )
+    hits = {r["doc_id"] for r in corp_sh.join(bench_sh, "sh").select("doc_id").distinct().collect()}
+    assert hits == {21}
