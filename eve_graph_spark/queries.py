@@ -3033,3 +3033,119 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 100)
         .select("doc_id", "shuffle_pos", "n_tokens")
     )
+
+
+# =========================================================================
+# Window variants (lag, ntile, percent_rank) and exact moments
+# =========================================================================
+
+@register(
+    "event_value_deltas",
+    """
+    SELECT user_id, event_id, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_id
+    FROM events
+    """,
+)
+def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Change detection per user stream: LAG over the per-user total order.
+    # One shuffle on user_id; delta is one double subtraction of identical
+    # operands in both engines.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+@register(
+    "customer_spend_quartiles",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS spend_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend_fp / 1000000.0 AS total_spend, n_orders,
+           NTILE(4) OVER (ORDER BY spend_fp, o_custkey) AS quartile,
+           PERCENT_RANK() OVER (ORDER BY spend_fp, o_custkey) AS pct_rank
+    FROM spend
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTILE + PERCENT_RANK over per-customer lifetime spend. The rank order
+    # is total (exact fixed-point spend, then custkey), so tile assignment
+    # is deterministic. The global window runs on the agg output (one row
+    # per customer), not the fact table — at 100 TB that's the difference
+    # between sorting 1e7 rows and 1e11.
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1000000 + F.lit(0.5))).alias("spend_fp"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("spend_fp", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        (F.col("spend_fp") / F.lit(1000000.0)).alias("total_spend"),
+        "n_orders",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
+    "event_value_moments",
+    """
+    WITH fp AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_value,
+           CAST(COUNT(*) * SUM(v * v) - SUM(v) * SUM(v) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / (COUNT(*) - 1)
+             / 1000000.0 / 1000000.0 AS var_value
+    FROM fp
+    GROUP BY event_type
+    """,
+)
+def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact mean and sample variance via integer sufficient statistics
+    # (Σv, Σv² on fixed-point values): var = (nΣv² − (Σv)²)/n/(n−1). Built-in
+    # stddev/variance stream float partials in engine-specific order — this
+    # form is a partial-aggregable integer sum, so it's both one-shuffle
+    # scalable AND bit-identical across engines.
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    # Σv² (and the nΣv²−(Σv)² combination) exceeds int64 — accumulate in
+    # DECIMAL(38,0), the exact-integer 128-bit path (DuckDB promotes its
+    # BIGINT sums to HUGEINT automatically; this is the Spark equivalent).
+    agg = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n") / F.lit(1000000.0)).alias("mean_value"),
+        (
+            num.cast("double")
+            / F.col("n").cast("double")
+            / (F.col("n") - 1)
+            / F.lit(1000000.0)
+            / F.lit(1000000.0)
+        ).alias("var_value"),
+    )
