@@ -427,3 +427,58 @@ def jaccard_link_prediction(edges: DataFrame, src_col: str = "src_system_id",
             ).alias("jaccard"),
         )
     )
+
+
+# --- k-core decomposition ----------------------------------------------------
+
+def k_core(edges: DataFrame, k: int, src_col: str = "src_system_id",
+           dst_col: str = "dst_system_id",
+           driver_threshold: int = DRIVER_MAX_EDGES,
+           max_iterations: int = 100) -> DataFrame:
+    """Nodes of the k-core: iteratively peel nodes with degree < k.
+
+    Assumes a symmetric edge set (degree = out-degree). Non-monotone
+    (deletion-based), so no SQL/recursive-CTE oracle exists — membership
+    is pinned by unit tests on known graphs instead.
+
+    Distributed form: each round is one degree aggregation + one semi-join
+    edge filter; rounds are O(peel depth), each a single shuffle keyed by
+    src — the same budget as one superstep of the CC loop. Driver path
+    below `driver_threshold` edges is an exact bucket-queue peel.
+    """
+    e = _edge_frame(edges, src_col, dst_col).distinct()
+    spark = edges.sparkSession
+    if _fits_driver(e, driver_threshold):
+        adj: dict[int, set[int]] = {}
+        for r in e.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        changed = True
+        while changed:
+            weak = [v for v, ns in adj.items() if len(ns) < k]
+            changed = bool(weak)
+            for v in weak:
+                for u in adj.pop(v):
+                    if u in adj:
+                        adj[u].discard(v)
+        rows = [(v,) for v in sorted(adj)]
+        return spark.createDataFrame(rows, "node long") if rows else (
+            spark.createDataFrame([], "node long"))
+
+    cur = e
+    for _ in range(max_iterations):
+        deg = cur.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return spark.createDataFrame([], "node long")
+        removed = cur.select("src").distinct().join(
+            nxt.select("src").distinct(), "src", "left_anti")
+        cur = nxt
+        if removed.limit(1).count() == 0:
+            break
+    return cur.select(F.col("src").alias("node")).distinct()

@@ -3149,3 +3149,43 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("var_value"),
     )
+
+
+# =========================================================================
+# k-core membership (rows-only: deletion-based fixpoint, no SQL oracle) and
+# weighted deterministic sampling
+# =========================================================================
+
+@register("kcore_membership")  # non-monotone peel → rows-only; unit-test-pinned
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-core of the jump graph: ring edges alone give degree 2, so the
+    # 3-core is held up by hubs and wormholes. Membership semantics pinned
+    # on known graphs in tests/test_pipeline_ops.py.
+    from eve_graph_spark.operators.graph_analytics import k_core
+
+    return k_core(build_jumps(spark, sf_dir), k=3)
+
+
+@register(
+    "weighted_sample_documents",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+    WHERE (doc_id * 2654435761) % 1000
+          < len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic weighted sampling: keep probability ∝ token count
+    # (hash-threshold on a portable integer hash). Reproducible across
+    # engines, runs, and partitionings — unlike rand()-based sampling —
+    # and zero-shuffle: the predicate runs in the scan stage.
+    from eve_graph_spark.operators.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = token_count(F.col("text")).cast("long")
+    return docs.select("doc_id", tok.alias("n_tokens")).filter(
+        (F.col("doc_id") * 2654435761) % 1000 < F.col("n_tokens")
+    )

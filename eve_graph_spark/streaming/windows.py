@@ -120,3 +120,15 @@ def wormhole_expiry_stream(signatures: DataFrame, ts_col: str = "expires_at",
         F.col(ts_col),
     )
     return fwd.unionByName(bwd)
+
+
+def enrich_with_static(stream: DataFrame, static_dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) static dimension — the streaming analogue of the star-join
+    dims. The static side is re-read per micro-batch by Spark, so a
+    dimension backed by a path picks up slowly-changing updates without
+    restarting the query; no watermark needed (the static side holds no
+    stream state)."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(static_dim), key, "left")

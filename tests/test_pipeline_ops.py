@@ -119,3 +119,52 @@ def test_decontamination_flags_verbatim_overlap(spark):
     )
     hits = {r["doc_id"] for r in corp_sh.join(bench_sh, "sh").select("doc_id").distinct().collect()}
     assert hits == {21}
+
+
+def test_k_core_peels_tail_keeps_triangle(spark):
+    from eve_graph_spark.operators.graph_analytics import k_core
+
+    # triangle 1-2-3 plus a pendant 4-1: 2-core = the triangle
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 1)]
+    e = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(e, "src_system_id long, dst_system_id long")
+    assert {r["node"] for r in k_core(edges, k=2).collect()} == {1, 2, 3}
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_k_core_distributed_matches_driver_path(spark):
+    from eve_graph_spark.operators.graph_analytics import k_core
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)]
+    e = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(e, "src_system_id long, dst_system_id long")
+    local = {r["node"] for r in k_core(edges, k=2).collect()}
+    dist = {r["node"] for r in k_core(edges, k=2, driver_threshold=0).collect()}
+    assert local == dist == {1, 2, 3, 4, 5}
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from eve_graph_spark.streaming.windows import enrich_with_static
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "user_id long, value double"
+    ).write.mode("overwrite").parquet(str(src / "batch0"))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema("user_id long, value double").parquet(
+        str(src / "batch0")
+    )
+    out = enrich_with_static(stream, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["user_id"]: r["tier"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {1: "gold", 2: "silver", 3: None}
