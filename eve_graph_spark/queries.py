@@ -3189,3 +3189,118 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tok.alias("n_tokens")).filter(
         (F.col("doc_id") * 2654435761) % 1000 < F.col("n_tokens")
     )
+
+
+# =========================================================================
+# Embedding centroids, grouped exact median, exact correlation
+# =========================================================================
+
+@register(
+    "label_centroids",
+    """
+    SELECT label, i - 1 AS idx,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_val
+    FROM embeddings, unnest(range(1, 65)) AS u(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-class embedding centroids (the building block of IVF cells,
+    # nearest-class-mean classification, and diversity balancing): explode
+    # by dimension, one partial-agg shuffle keyed by (label, dim). The
+    # per-dimension sums are fixed-pointed so the mean is bit-identical.
+    # At 100 TB: the explode is map-side (64 rows out per vector, no text),
+    # and the shuffle carries only (label, idx, partial sums) — 640 cells.
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return (
+        emb.select("label", F.posexplode("embedding").alias("idx", "val"))
+        .groupBy("label", "idx")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+                ).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("mean_val")
+        )
+    )
+
+
+@register(
+    "median_value_by_event_type",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type, value AS median_value
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def median_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped exact (discrete, lower-median) percentile: rank within group,
+    # pick row (n+1)/2 — engine-portable because the picked value is an
+    # input datum, never an interpolated float. Same shape scales: one
+    # shuffle by group, and at 100 TB swap in approx_percentile for the
+    # sketch variant (the `sketches` query) when exactness isn't required.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("value").alias("median_value"))
+    )
+
+
+@register(
+    "price_quantity_corr",
+    """
+    WITH fp AS (
+        SELECT CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)) AS DOUBLE)
+             / sqrt(CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                         - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)) AS DOUBLE))
+             / sqrt(CAST(COUNT(*) * SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                         - SUM(CAST(y AS HUGEINT)) * SUM(CAST(y AS HUGEINT)) AS DOUBLE)) AS corr_xy
+    FROM fp
+    """,
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact Pearson correlation from integer sufficient statistics
+    # (Σx, Σy, Σxy, Σx², Σy² on fixed-point values; 128-bit accumulation).
+    # sqrt is IEEE-correctly-rounded in both engines, so applying it to
+    # identical doubles keeps the result bit-identical — unlike corr(),
+    # whose float partials are order-dependent. One partial-agg shuffle.
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 1000000 + F.lit(0.5)).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 1000000 + F.lit(0.5)).cast("long")
+    agg = li.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))).alias("sxy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))).alias("sxx"),
+        F.sum((F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))).alias("syy"),
+    )
+    nD = F.col("n").cast("decimal(38,0)")
+    cov = (nD * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy").cast("decimal(38,0)")).cast("double")
+    vx = (nD * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx").cast("decimal(38,0)")).cast("double")
+    vy = (nD * F.col("syy") - F.col("sy").cast("decimal(38,0)") * F.col("sy").cast("decimal(38,0)")).cast("double")
+    return agg.select(
+        "n", (cov / F.sqrt(vx) / F.sqrt(vy)).alias("corr_xy")
+    )
