@@ -159,3 +159,40 @@ def test_bucketed_table_join_avoids_shuffle(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.sql("DROP TABLE IF EXISTS jumps_bucketed")
     spark.sql("DROP TABLE IF EXISTS jumps_bucketed_b")
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    from eve_graph_spark import queries as registry
+
+    plan = plan_of(registry.queries()["decontaminate_documents"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_curation_topk_plans_take_ordered_or_window(spark, sf_dir):
+    from eve_graph_spark import queries as registry
+
+    # the final sample is a bounded window (rn<=100) — the plan must not
+    # contain a global Sort over the full corpus without a limit
+    plan = plan_of(registry.queries()["corpus_curation_pipeline"](spark, sf_dir))
+    assert "Window" in plan
+
+
+def test_q21_plans_semi_and_anti_joins(spark, sf_dir):
+    from eve_graph_spark import queries as registry
+
+    plan = plan_of(registry.queries()["q21_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_rolling_30d_uses_range_frame(spark, sf_dir):
+    from eve_graph_spark import queries as registry
+
+    plan = plan_of(registry.queries()["rolling_30d_customer_spend"](spark, sf_dir))
+    assert "RANGE BETWEEN" in plan or "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_fuzzy_match_is_equi_join_not_cartesian(spark, sf_dir):
+    from eve_graph_spark import queries as registry
+
+    plan = plan_of(registry.queries()["fuzzy_match_customers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
