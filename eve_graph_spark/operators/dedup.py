@@ -43,20 +43,33 @@ def shingles_expr(text_col: str, k: int = 3) -> Column:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 16, k: int = 3) -> DataFrame:
-    """(id, sig array<long>): sig[j] = min over shingles of xxhash64(shingle, seed=j).
+    """(id, sig array<long>): sig[j] = min over shingles of
+    xxhash64(xxhash64(shingle), seed=j) (double-hashing MinHash: the
+    variable-length string is hashed once, per-seed values re-hash the
+    8-byte long).
 
-    One row per doc, ONE pass over the shingle array: the accumulator is the
-    running array of per-seed minima, so the text is shingled exactly once
-    (embedding the shingle expr in num_hashes separate array_min(transform())
-    calls makes Catalyst re-shingle the doc num_hashes times per row).
+    Formulated as explode → whole-stage-codegen'd hash → 16 min() partial
+    aggregates, NOT as a higher-order aggregate()/zip_with fold over the
+    shingle array: lambda evaluation is interpreted row-at-a-time (~3x
+    slower on the bench), while explode + min() stays inside codegen and
+    combines map-side. The added shuffle carries (id, 16 longs) per doc —
+    ~0.1% of the text size, the same budget as the LSH band shuffle that
+    follows it.
     """
-    sigs = F.expr(
-        f"aggregate({_shingles_sql(text_col, k)}, "
-        f"array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes}), "
-        f"(acc, s) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
-        f"(a, j) -> least(a, xxhash64(s, j))))"
+    ex = df.select(
+        F.col(id_col), F.explode(F.expr(_shingles_sql(text_col, k))).alias("__s")
+    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(j))).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col), F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("sig")
+        )
     )
-    return df.select(F.col(id_col), sigs.alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
