@@ -51,3 +51,26 @@ def normalize_by_group(df: DataFrame, key_cols: list[str], value_col: str,
         return pdf.assign(**{out_col: norm})
 
     return df.groupBy(*key_cols).applyInPandas(_norm, schema)
+
+
+@pandas_udf("double")
+def weighted_mean_udaf(values: pd.Series, weights: pd.Series) -> float:
+    """Grouped-agg pandas UDF (a Python UDAF): weighted mean per group,
+    usable directly in groupBy().agg(...) and as a window function. The
+    whole group arrives as Arrow-backed Series; Spark handles the
+    partial/merge plumbing by shuffling full groups (grouped-agg UDFs
+    cannot partial-aggregate — for map-side combine use the pure-column
+    fixed-point formulation, e.g. `_dsum` in queries.py)."""
+    denom = float(weights.sum())
+    if denom == 0.0:
+        return float("nan")
+    return float((values * weights).sum() / denom)
+
+
+def weighted_mean_by_group(df: DataFrame, key_col: str, value_col: str,
+                           weight_col: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.groupBy(key_col).agg(
+        weighted_mean_udaf(F.col(value_col), F.col(weight_col)).alias("weighted_mean")
+    )

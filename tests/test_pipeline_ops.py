@@ -168,3 +168,49 @@ def test_stream_static_enrichment(spark, tmp_path):
     q.awaitTermination(60)
     rows = {r["user_id"]: r["tier"] for r in spark.sql("SELECT * FROM enriched").collect()}
     assert rows == {1: "gold", 2: "silver", 3: None}
+
+
+def test_custom_datasource_reads_and_pushes_filters(spark, tmp_path):
+    import json
+
+    from eve_graph_spark.sources.custom_datasource import register_eve_scout
+
+    recs = [
+        {"id": "sig-1", "signature_type": "wormhole", "out_system_id": 31000005,
+         "out_signature": "ABC-123", "in_system_id": 30000142,
+         "in_signature": "DEF-456", "max_ship_size": "large",
+         "expires_at": "2024-01-01T12:00:00Z", "remaining_hours": 10},
+        {"id": "sig-2", "signature_type": "gas", "out_system_id": 31000006,
+         "out_signature": "GGG-777", "in_system_id": 30000144,
+         "in_signature": "HHH-888", "max_ship_size": "small",
+         "expires_at": "2024-01-01T13:00:00Z", "remaining_hours": 5},
+        {"id": "sig-3", "signature_type": "wormhole", "out_system_id": 31000007,
+         "out_signature": "III-999", "in_system_id": 30000145,
+         "in_signature": "JJJ-000", "max_ship_size": "medium",
+         "expires_at": "2024-01-01T14:00:00Z", "remaining_hours": 8},
+    ]
+    p = tmp_path / "sigs.json"
+    p.write_text(json.dumps(recs))
+    register_eve_scout(spark)
+    df = spark.read.format("eve_scout").option("path", str(p)).load()
+    assert df.count() == 3
+    wh = df.filter(df.signature_type == "wormhole")
+    assert {r["id"] for r in wh.collect()} == {"sig-1", "sig-3"}
+    # partitioned read: more partitions than records still yields all rows
+    df8 = (
+        spark.read.format("eve_scout")
+        .option("path", str(p))
+        .option("numPartitions", "8")
+        .load()
+    )
+    assert df8.count() == 3
+
+
+def test_weighted_mean_udaf_matches_exact(spark):
+    from eve_graph_spark.operators.pandas_surface import weighted_mean_by_group
+
+    rows = [(1, 10.0, 1.0), (1, 20.0, 3.0), (2, 5.0, 2.0)]
+    df = spark.createDataFrame(rows, "k long, v double, w double")
+    got = {r["k"]: r["weighted_mean"] for r in weighted_mean_by_group(df, "k", "v", "w").collect()}
+    assert got[1] == pytest.approx((10 * 1 + 20 * 3) / 4.0)
+    assert got[2] == pytest.approx(5.0)
