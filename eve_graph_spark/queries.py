@@ -3304,3 +3304,272 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n", (cov / F.sqrt(vx) / F.sqrt(vy)).alias("corr_xy")
     )
+
+
+# =========================================================================
+# TPC-H sweep completion: Q2/Q11/Q12/Q16/Q20 adapted to the driver schema.
+# The fixtures have no partsupp table, so lineitem's (l_partkey, l_suppkey)
+# pairs serve as the part-supplier relationship (51k distinct pairs at
+# sf0.01) — same join topology, same plan shapes.
+# =========================================================================
+
+@register(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+               AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (l_linestatus stands in for l_shipmode): fact-fact
+    # join with conditional counting folded into the aggregate. The
+    # shipdate range prunes lineitem at the scan; both sides are large at
+    # scale, so this is a shuffle join on orderkey — the projection keeps
+    # it to two columns per side.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH supply AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT s_suppkey, s_acctbal, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+        FROM supply JOIN eu ON ps_suppkey = s_suppkey
+        GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost AS supplycost
+    FROM part JOIN supply ON p_partkey = supply.ps_partkey
+              JOIN eu ON ps_suppkey = s_suppkey
+              JOIN best ON supply.ps_partkey = best.ps_partkey
+                       AND ps_supplycost = min_cost
+    WHERE p_size <= 15 AND p_type = 'SMALL'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 10
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape: correlated MIN subquery decorrelated into a per-part
+    # minimum joined back on (partkey, cost). supply is the one shuffle
+    # (groupBy partkey+suppkey over the fact); everything downstream of it
+    # is partkey/suppkey-sized and broadcasts. MIN over identical doubles
+    # is exact, so the equality join-back is deterministic in both engines.
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu_supply = supply.join(F.broadcast(eu), supply.ps_suppkey == eu.s_suppkey)
+    best = eu_supply.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    return (
+        eu_supply.join(
+            F.broadcast(best),
+            (eu_supply.ps_partkey == best.ps_partkey)
+            & (eu_supply.ps_supplycost == best.min_cost),
+        )
+        .drop(best.ps_partkey)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey")
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(FLOOR(l_extendedprice * l_quantity * 1000000 + 0.5) AS BIGINT))
+                   AS value_fp
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, value_fp / 1000000.0 AS stock_value
+    FROM val
+    WHERE CAST(value_fp AS DOUBLE) > (SELECT CAST(SUM(value_fp) AS DOUBLE) * 0.01 FROM val)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape: per-group value vs a global-scalar HAVING threshold.
+    # The per-part aggregate is computed once, persisted implicitly via the
+    # two consumers of one shuffle output; the global total is a 1-row
+    # broadcast crossJoin, never a second scan of the fact. Values stay
+    # fixed-point integers until the final projection, so the threshold
+    # comparison is bit-identical across engines.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(asia_supp), li.l_suppkey == asia_supp.s_suppkey)
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * F.col("l_quantity") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("__v"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("__v").alias("value_fp"))
+    )
+    threshold = val.agg((F.sum("value_fp").cast("double") * F.lit(0.01)).alias("__thr"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value_fp").cast("double") > F.col("__thr"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("value_fp") / F.lit(1000000.0)).alias("stock_value"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape: NOT IN (non-null key -> plain anti-join) feeding a
+    # COUNT(DISTINCT) grouped by dim attributes. The excluded-supplier set
+    # and the filtered part dim both broadcast; the only shuffle is the
+    # distinct aggregate itself (Spark plans it as a two-phase
+    # expand/partial-agg, which is exactly right at 100 TB).
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "ECONOMY")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    f"""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, {_dsum_sql("l_quantity", "qty")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO' AND qty > 60.0
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape: nested semi-join chain — an aggregated subquery
+    # (per part+supplier shipped volume) filtered by a dim predicate and a
+    # volume threshold, collapsed to a supplier id set that semi-joins the
+    # supplier dim. One fact shuffle (the groupBy); the id set is
+    # supplier-sized and broadcasts into the semi-join.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(_dsum("l_quantity", "qty"))
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    qualifying = (
+        shipped.join(F.broadcast(promo), shipped.l_partkey == promo.p_partkey)
+        .filter(F.col("qty") > 60.0)
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
