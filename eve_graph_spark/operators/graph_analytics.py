@@ -482,3 +482,101 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src_system_id",
         if removed.limit(1).count() == 0:
             break
     return cur.select(F.col("src").alias("node")).distinct()
+
+
+# --- Label propagation (community detection) --------------------------------
+
+def label_propagation(edges: DataFrame, iterations: int = 5,
+                      src_col: str = "src_system_id",
+                      dst_col: str = "dst_system_id",
+                      driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """(node, community) via synchronous label propagation (LPA).
+
+    Deterministic spec (so driver-local and distributed paths agree
+    bit-for-bit, and reruns are stable — unlike textbook LPA's random
+    tie-breaks): start with community = node id; each superstep every
+    node adopts the most frequent label among its in-neighbors, ties
+    broken by the SMALLEST label; nodes with no in-edges keep their
+    label. Synchronous updates for a fixed number of supersteps with
+    early stop at fixpoint (fixed cap because synchronous LPA can
+    oscillate on bipartite structures — it never converges there, so
+    "run to convergence" is not a well-defined contract).
+
+    Assumes a symmetric edge set like the JUMP table (reference:
+    src/database.rs:241-254). Integer-only state — no float order
+    dependence anywhere.
+
+    Distributed superstep = one join (labels onto edge sources) + one
+    (node, label) count aggregation + one argmax per node: two shuffles
+    keyed by dst/node, the same budget as a CC superstep. At 100 TB the
+    edge table is the static side — pre-partitioned by src once and
+    reused every superstep; only the label frame moves.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    spark = edges.sparkSession
+
+    if _fits_driver(e, driver_threshold):
+        inbound: dict[int, list[int]] = {}
+        nodes: set[int] = set()
+        for r in e.collect():
+            inbound.setdefault(r["dst"], []).append(r["src"])
+            nodes.add(r["src"])
+            nodes.add(r["dst"])
+        labels = {v: v for v in nodes}
+        for _ in range(iterations):
+            nxt = {}
+            for v in nodes:
+                srcs = inbound.get(v)
+                if not srcs:
+                    nxt[v] = labels[v]
+                    continue
+                counts: dict[int, int] = {}
+                for u in srcs:
+                    lbl = labels[u]
+                    counts[lbl] = counts.get(lbl, 0) + 1
+                nxt[v] = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            if nxt == labels:
+                break
+            labels = nxt
+        return spark.createDataFrame(
+            sorted(labels.items()), "node long, community long"
+        )
+
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("community", F.col("node"))
+    )
+    for _ in range(iterations):
+        counts = (
+            labels.join(e, labels.node == e.src)
+            .groupBy(F.col("dst").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # lexicographic struct max = (highest count, then smallest label)
+        pick = counts.groupBy("node").agg(
+            F.max(
+                F.struct(
+                    F.col("cnt"),
+                    (-F.col("community")).alias("__neg"),
+                    F.col("community"),
+                )
+            )["community"].alias("__new")
+        )
+        merged = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("community")).alias("community"),
+                (F.coalesce(F.col("__new"), F.col("community")) != F.col("community")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("__changed")).limit(1).count()
+        labels = merged.drop("__changed")
+        if changed == 0:
+            break
+    return labels

@@ -3156,6 +3156,17 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weighted deterministic sampling
 # =========================================================================
 
+@register("label_propagation_communities")  # iterative argmax → rows-only; unit-test-pinned
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Community detection on the jump graph via deterministic synchronous
+    # LPA (most-frequent neighbor label, min-label tie-break — no random
+    # state, so reruns and engines agree). Semantics pinned on known
+    # graphs in tests/test_graph_analytics.py.
+    from eve_graph_spark.operators.graph_analytics import label_propagation
+
+    return label_propagation(build_jumps(spark, sf_dir), iterations=5)
+
+
 @register("kcore_membership")  # non-monotone peel → rows-only; unit-test-pinned
 def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-core of the jump graph: ring edges alone give degree 2, so the

@@ -113,3 +113,44 @@ def test_scc_tarjan_and_fwbw_agree(spark):
         for r in strongly_connected_components(edges, driver_threshold=0).collect()
     }
     assert dist == expect
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from eve_graph_spark.operators.graph_analytics import label_propagation
+
+    # two K4 cliques {1..4} and {10..13} joined by one bridge 4-10:
+    # LPA floods each clique with its min label; the bridge can't flip
+    # anyone (clique-internal majority always wins 2-vs-1).
+    k4a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    k4b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    e = _edges(spark, k4a + k4b + [(4, 10)])
+    got = {r["node"]: r["community"] for r in label_propagation(e, iterations=10).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    assert len({got[n] for n in got}) == 2
+
+
+def test_label_propagation_distributed_matches_local(spark):
+    import random
+
+    from eve_graph_spark.operators.graph_analytics import label_propagation
+
+    rng = random.Random(7)
+    pairs = {(rng.randrange(30), rng.randrange(30)) for _ in range(60)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    local = {r["node"]: r["community"] for r in label_propagation(e, iterations=4).collect()}
+    dist = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, iterations=4, driver_threshold=0).collect()
+    }
+    assert dist == local
+
+
+def test_label_propagation_isolated_direction_keeps_label(spark):
+    from eve_graph_spark.operators.graph_analytics import label_propagation
+
+    # directed edge 1->2 only: node 1 has no in-neighbors, keeps label 1
+    e = _edges(spark, [(1, 2)], symmetric=False)
+    got = {r["node"]: r["community"] for r in label_propagation(e, iterations=3).collect()}
+    assert got[1] == 1 and got[2] == 1
