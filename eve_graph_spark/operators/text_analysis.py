@@ -108,3 +108,23 @@ def fingerprint_expr(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
     )
+
+
+# PII redaction — training-data curation scrub pass. Patterns stay inside
+# the RE2 ∩ Java-regex common subset (no lookarounds, no backrefs) so the
+# same pattern string runs JVM-side in Spark and in DuckDB oracles.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{1,3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and +CC phone numbers with typed
+    placeholder tokens. Pure regexp_replace chain: JVM-side, codegen'd,
+    zero shuffle — runs inside the scan stage at any scale."""
+    out = text
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
