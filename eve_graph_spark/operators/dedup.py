@@ -26,12 +26,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingles_sql(text_col: str, k: int = 3) -> str:
-    """SQL for distinct k-word shingles as an array<string>."""
+    """SQL for distinct k-word shingles as an array<string>.
+
+    NULL text is coalesced to '' so null-text docs keep one ('') shingle
+    and stay in the dedup universe — explode over a NULL array would emit
+    no rows and silently drop the doc from signatures and every
+    downstream stage (keep-first survivors would lose it entirely).
+    """
+    t = f"coalesce({text_col}, '')"
     return (
-        f"array_distinct(CASE WHEN size(split(lower({text_col}), ' ')) >= {k} THEN "
-        f"transform(sequence(0, size(split(lower({text_col}), ' ')) - {k}), "
-        f"i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {k}))) "
-        f"ELSE array(lower({text_col})) END)"
+        f"array_distinct(CASE WHEN size(split(lower({t}), ' ')) >= {k} THEN "
+        f"transform(sequence(0, size(split(lower({t}), ' ')) - {k}), "
+        f"i -> concat_ws(' ', slice(split(lower({t}), ' '), i + 1, {k}))) "
+        f"ELSE array(lower({t})) END)"
     )
 
 

@@ -340,7 +340,7 @@ def strongly_connected_components(edges: DataFrame,
             sorted(scc_of.items()), "node long, scc long"
         )
 
-    # distributed FW-BW: peel one SCC per round
+    # distributed FW-BW-Trim: bulk-peel trivial SCCs, then one pivot/round.
     remaining = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -349,9 +349,39 @@ def strongly_connected_components(edges: DataFrame,
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     out: DataFrame | None = None
+
+    def _trim(rem: DataFrame, acc: DataFrame | None):
+        # A node with no in-neighbor or no out-neighbor inside `rem` is a
+        # singleton SCC. Peel to fixpoint — on a DAG this resolves the
+        # whole graph in O(longest path) distributed rounds with ZERO
+        # pivot rounds (the per-SCC driver round-trip was the old
+        # degenerate case: 1 collect() per singleton).
+        while True:
+            live = (
+                e.join(rem.withColumnRenamed("node", "src"), "src", "left_semi")
+                .join(rem.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            )
+            core = (
+                rem.join(live.select(F.col("src").alias("node")).distinct(),
+                         "node", "left_semi")
+                .join(live.select(F.col("dst").alias("node")).distinct(),
+                      "node", "left_semi")
+                .localCheckpoint()
+            )
+            trivial = rem.join(core, "node", "left_anti")
+            if trivial.limit(1).count() == 0:
+                return core, acc
+            tagged = trivial.select("node", F.col("node").cast("long").alias("scc"))
+            acc = tagged if acc is None else acc.union(tagged)
+            acc = acc.localCheckpoint()
+            rem = core
+
+    remaining, out = _trim(remaining, out)
+    exhausted = True
     for _ in range(max_pivots):
         head = remaining.orderBy("node").limit(1).collect()
         if not head:
+            exhausted = False
             break
         pivot = head[0]["node"]
 
@@ -380,7 +410,18 @@ def strongly_connected_components(edges: DataFrame,
         out = tagged if out is None else out.union(tagged)
         nxt_remaining = remaining.join(comp, "node", "left_anti").localCheckpoint()
         remaining.unpersist()
+        # Re-trim after each peel: removing an SCC can expose new trivial
+        # SCCs (its DAG neighbors), keeping pivot rounds ≈ #non-trivial SCCs.
+        nxt_remaining, out = _trim(nxt_remaining, out)
         remaining = nxt_remaining.persist()
+    if exhausted and remaining.limit(1).count() > 0:
+        # Never return a silently-partial mapping (nodes missing from the
+        # output would read as "not in any SCC").
+        raise RuntimeError(
+            f"scc_membership: {max_pivots} pivot rounds exhausted with nodes "
+            "still unassigned; raise max_pivots (non-trivial SCC count "
+            "exceeds the cap)"
+        )
     return out if out is not None else spark.createDataFrame([], "node long, scc long")
 
 
@@ -413,10 +454,12 @@ def jaccard_link_prediction(edges: DataFrame, src_col: str = "src_system_id",
     )
     return (
         common.join(adjacent, ["node_a", "node_b"], "left_anti")
-        .join(F.broadcast(deg.withColumnRenamed("node", "node_a")
-                          .withColumnRenamed("deg", "deg_a")), "node_a")
-        .join(F.broadcast(deg.withColumnRenamed("node", "node_b")
-                          .withColumnRenamed("deg", "deg_b")), "node_b")
+        # deg is node-cardinality — no forced broadcast (would OOM on the
+        # graphs this targets); AQE picks broadcast when deg is small.
+        .join(deg.withColumnRenamed("node", "node_a")
+                 .withColumnRenamed("deg", "deg_a"), "node_a")
+        .join(deg.withColumnRenamed("node", "node_b")
+                 .withColumnRenamed("deg", "deg_b"), "node_b")
         .select(
             "node_a",
             "node_b",

@@ -33,6 +33,20 @@ from eve_graph_spark.operators.text_analysis import (
 )
 
 
+_KNUTH = 2654435761
+
+
+def _knuth_mod(col, m: int):
+    """(id * 2654435761) % m without int64 overflow.
+
+    Reduce both factors mod m first: identical residue for id >= 0, and the
+    product is bounded by m * (2654435761 % m) < ~7e17 for any m <= ~1e9 —
+    safe under Spark 4 ANSI mode for arbitrary int64 ids (the naive product
+    overflows at id >= ~3.5e9). Ports verbatim to the DuckDB oracles.
+    """
+    return (col % m) * (_KNUTH % m) % m
+
+
 class CorpusPipeline:
     """Lazy curation chain over a documents DataFrame with columns
     (doc_id long, text string, ...)."""
@@ -108,14 +122,14 @@ class CorpusPipeline:
         """Deterministic hash sample (reproducible across runs/engines)."""
         bound = int(fraction * 1000000)
         return self._with(
-            self._df.filter((F.col(self._id) * 2654435761) % 1000000 < bound)
+            self._df.filter(_knuth_mod(F.col(self._id), 1000000) < bound)
         )
 
     def shuffle(self) -> "CorpusPipeline":
         """Attach a deterministic pseudo-random position (training order)."""
         return self._with(
             self._df.withColumn(
-                "shuffle_pos", (F.col(self._id) * 2654435761) % 1000000007
+                "shuffle_pos", _knuth_mod(F.col(self._id), 1000000007)
             )
         )
 

@@ -43,12 +43,50 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver oracle-checks the FIRST 50 entries of queries() per round.
+# Round 1 verified registrations 1-50; this list front-loads the 52 that got
+# no CORRECTNESS row (46 with oracles, then the two round-1 reds now fixed,
+# then rows-only probes), so round 2's window covers the unverified half.
+# Round-1-green queries keep their relative order at the tail.
+_CHECK_PRIORITY = [
+    # -- unchecked in round 1, oracle-backed --
+    "ngram_jaccard_pairs", "minhash_near_dups_portable", "simhash_portable",
+    "ann_brute_force_topk", "multimodal_features", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_items", "q13_customer_distribution",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q22_sales_opportunity", "pivot_status_by_year",
+    "grouping_sets_orders", "rolling_customer_revenue", "scc_membership",
+    "dedup_pipeline_documents", "time_gapfill_events", "fuzzy_match_customers",
+    "link_prediction_jaccard", "events_json_extract", "ewma_user_value",
+    "time_interpolate_events", "unpivot_status_counts",
+    "rolling_30d_customer_spend", "q15_top_supplier", "q21_waiting_suppliers",
+    "profile_lineitem", "decontaminate_documents", "sequence_packing",
+    "corpus_curation_pipeline", "event_value_deltas",
+    "customer_spend_quartiles", "event_value_moments",
+    "weighted_sample_documents", "label_centroids",
+    "median_value_by_event_type", "price_quantity_corr",
+    "q12_priority_by_status", "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_cnt", "q20_potential_promotion",
+    # -- round-1 reds, fixed this round --
+    "sessionize_events", "sketches",
+    # -- rows-only production twins of the portable-hash oracles above --
+    "minhash_near_dups", "simhash_signatures",
+]
+
+
+def _prioritized(d: dict[str, object]) -> dict[str, object]:
+    out = {n: d[n] for n in _CHECK_PRIORITY if n in d}
+    out.update((n, v) for n, v in d.items() if n not in out)
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _prioritized(dict(_QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _prioritized(dict(_ORACLES))
 
 
 def _dsum(col, alias: str):
@@ -1013,10 +1051,15 @@ def sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sketch surface: HyperLogLog++ distinct users and approximate value
     # quantiles per event type — the O(1)-memory per group answers a
     # 100 TB profiling pass actually uses (exact twins exist above).
+    # Scalar p50/p95/p99 columns (not one array column): the driver's
+    # canonicalizer sorts column values and cannot order arrays.
     ev = events_with_ts(spark, sf_dir)
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        q.getItem(0).alias("p50"),
+        q.getItem(1).alias("p95"),
+        q.getItem(2).alias("p99"),
     )
 
 
@@ -1055,7 +1098,8 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, epoch_us(ts) AS ts, MIN(event_id) AS r_event_id
         FROM events WHERE event_type = 'view' GROUP BY 1, 2
     )
-    SELECT l.event_id, l.user_id, l.ts, r.r_event_id
+    SELECT l.event_id, l.user_id, l.ts,
+           COALESCE(r.r_event_id, -1) AS r_event_id
     FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
 )
@@ -1076,8 +1120,14 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.col("ts_us").alias("ts"))
         .agg(F.min("event_id").alias("r_event_id"))
     )
+    # -1 sentinel for "no prior view": a NULL here makes pandas lift the
+    # oracle's whole r_event_id column to float64 (66 -> 66.0), failing the
+    # driver's hash on every matched row whenever ANY row is unmatched.
     return asof_join(left, right, on="ts", by=["user_id"]).select(
-        "event_id", "user_id", "ts", "r_event_id"
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("r_event_id", F.lit(-1)).cast("long").alias("r_event_id"),
     )
 
 
@@ -1162,8 +1212,8 @@ def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END AS new_s
                 FROM o),
     sess AS (SELECT user_id, tns,
-                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_no
+                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
              FROM flagged)
     SELECT user_id, session_no, COUNT(*) AS n_events,
            (MAX(tns) - MIN(tns)) // 1000000000 AS duration_sec
@@ -1352,7 +1402,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratified_sample",
     """
     SELECT event_id, event_type FROM events
-    WHERE (event_id * 2654435761) % 100 < 10
+    WHERE ((event_id % 100) * 61) % 100 < 10
     """,
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,7 +1410,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplicative) — reproducible across engines and runs, unlike
     # df.sample(); stratification is per-key filtering, no shuffle at all.
     ev = events_with_ts(spark, sf_dir)
-    return ev.filter((F.col("event_id") * 2654435761) % 100 < 10).select(
+    return ev.filter((F.col("event_id") % 100) * 61 % 100 < 10).select(
         "event_id", "event_type"
     )
 
@@ -2300,8 +2350,10 @@ def time_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute_ts"))
         .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "sum_value"))
     )
+    # Grid types from the UNFILTERED frame — matches the oracle's grid CTE
+    # (a type first seen after the filled day still gets empty grid rows).
     grid = (
-        day.select("event_type").distinct()
+        ev.select("event_type").distinct()
         .crossJoin(
             F.broadcast(
                 day.sparkSession.range(1)
@@ -2423,7 +2475,7 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
     FROM events
@@ -2530,8 +2582,10 @@ def time_interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     msum = day.groupBy(
         "event_type", F.date_trunc("minute", "ts").alias("minute_ts")
     ).agg(_dsum("value", "obs"))
+    # Grid types from the UNFILTERED frame — matches the oracle's grid CTE
+    # (a type first seen after the filled day still gets empty grid rows).
     grid = (
-        day.select("event_type").distinct()
+        ev.select("event_type").distinct()
         .crossJoin(
             F.broadcast(
                 day.sparkSession.range(1).select(
@@ -2926,8 +2980,8 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     )
     SELECT doc_id, source, n_tokens,
-           prev_cum // 2048 AS bin,
-           prev_cum % 2048 AS bin_offset
+           CAST(prev_cum // 2048 AS BIGINT) AS bin,
+           CAST(prev_cum % 2048 AS BIGINT) AS bin_offset
     FROM cum
     """,
 )
@@ -2990,7 +3044,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     shuffled AS (
         SELECT g.doc_id,
-               (g.doc_id * 2654435761) % 1000000007 AS shuffle_pos,
+               ((g.doc_id % 1000000007) * 654435747) % 1000000007 AS shuffle_pos,
                CAST(len(regexp_extract_all(g.text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT)
                    AS n_tokens
         FROM good g JOIN deduped d ON g.doc_id = d.doc_id
@@ -3024,7 +3078,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = good.join(keep.select("doc_id"), "doc_id", "left_semi")
     shuffled = survivors.select(
         "doc_id",
-        ((F.col("doc_id") * 2654435761) % 1000000007).alias("shuffle_pos"),
+        ((F.col("doc_id") % 1000000007) * 654435747 % 1000000007).alias("shuffle_pos"),
         token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     w = Window.orderBy("shuffle_pos", "doc_id")
@@ -3044,7 +3098,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_id, value,
            value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta,
-           LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_id
+           COALESCE(LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id), -1)
+               AS prev_event_id
     FROM events
     """,
 )
@@ -3059,7 +3114,9 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
-        F.lag("event_id").over(w).alias("prev_event_id"),
+        # -1 sentinel: a NULL first-row-per-user lifts the oracle's whole
+        # column to float64 through pandas, hash-breaking every row
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_event_id"),
     )
 
 
@@ -3184,7 +3241,7 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT)
                AS n_tokens
     FROM documents
-    WHERE (doc_id * 2654435761) % 1000
+    WHERE ((doc_id % 1000) * 761) % 1000
           < len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))
     """,
 )
@@ -3198,7 +3255,7 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = token_count(F.col("text")).cast("long")
     return docs.select("doc_id", tok.alias("n_tokens")).filter(
-        (F.col("doc_id") * 2654435761) % 1000 < F.col("n_tokens")
+        (F.col("doc_id") % 1000) * 761 % 1000 < F.col("n_tokens")
     )
 
 
@@ -3328,10 +3385,10 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_status",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-               AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+               AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_linestatus

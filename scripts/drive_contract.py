@@ -17,6 +17,7 @@ import time
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -28,14 +29,23 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
-    if v is None:
+    # Mirror the driver's pandas-mediated canonicalization: DuckDB HUGEINT
+    # (e.g. SUM over a window) materializes as float64 in fetchdf(), so a
+    # Spark bigint 4 vs oracle 4.0 must MISMATCH here like it does there.
+    import numpy as np
+
+    # NaN ≡ NULL: a DuckDB NULL in a float64 column surfaces as NaN through
+    # fetchdf, and the real driver hash-matched such rows against Spark
+    # None in round 1 (wormhole_refresh) — so both map to "NULL".
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NULL" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, np.integer):
+        return str(int(v))
     return str(v)
 
 
@@ -73,9 +83,9 @@ def main() -> int:
         if name not in oracles:
             print(f"  {name:35s} rows-only: {len(rows)} rows [{took:.1f}s]")
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        opdf = con.execute(oracles[name]).fetchdf()
+        ocols = list(opdf.columns)
+        orows = list(opdf.itertuples(index=False, name=None))
         sh, oh = value_hash(cols, rows), value_hash(ocols, orows)
         ok = sh == oh and sorted(cols) == sorted(ocols) and len(rows) == len(orows)
         print(f"  {name:35s} {'OK ' if ok else 'MISMATCH'} rows={len(rows)}/{len(orows)} hash={sh}/{oh} [{took:.1f}s]")

@@ -150,8 +150,8 @@ def test_sketches_error_bounds(spark):
     }
     for et, n in exact.items():
         assert abs(approx[et]["approx_users"] - n) <= max(2, 0.1 * n), et
-        q50, q95, q99 = approx[et]["value_quantiles"]
-        assert q50 <= q95 <= q99
+        r = approx[et]
+        assert r["p50"] <= r["p95"] <= r["p99"]
 
 
 def test_multimodal_pipeline(spark):

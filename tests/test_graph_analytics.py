@@ -115,6 +115,47 @@ def test_scc_tarjan_and_fwbw_agree(spark):
     assert dist == expect
 
 
+def test_scc_dag_resolved_by_trim_not_pivots(spark):
+    # A 12-node DAG chain has 12 singleton SCCs. The old FW-BW peeled one
+    # SCC per driver round-trip; trim-to-fixpoint must resolve the whole
+    # DAG with ZERO pivot rounds — pinned by max_pivots=0 succeeding.
+    from eve_graph_spark.operators.graph_analytics import (
+        strongly_connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src_system_id long, dst_system_id long"
+    )
+    got = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(
+            chain, driver_threshold=0, max_pivots=0
+        ).collect()
+    }
+    assert got == {(i, i) for i in range(13)}
+
+    # Cycle + tail: one pivot round for the cycle, trim for the tail.
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)],
+        "src_system_id long, dst_system_id long",
+    )
+    got = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(
+            cyc, driver_threshold=0, max_pivots=1
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)}
+
+    # Never a silently-partial mapping: two disjoint cycles but only one
+    # pivot round allowed -> loud failure, not missing nodes.
+    two = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], "src_system_id long, dst_system_id long"
+    )
+    with pytest.raises(RuntimeError, match="unassigned"):
+        strongly_connected_components(two, driver_threshold=0, max_pivots=1)
+
+
 def test_label_propagation_two_cliques_bridge(spark):
     from eve_graph_spark.operators.graph_analytics import label_propagation
 
