@@ -70,6 +70,31 @@ def main() -> None:
             print(f"FAIL {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # Regression guardrail: compare against the committed baseline (stderr
+    # only — stdout stays ONE JSON line for the driver).
+    base_path = Path(_REPO) / "BENCH_BASELINE.json"
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        if base.get("sf") == sf:
+            bq = base.get("queries", {})
+            regressed = sorted(
+                (
+                    (name, bq[name], t)
+                    for name, t in timings.items()
+                    if t >= 0 and bq.get(name, 0) > 0 and t > bq[name] * 1.5 and t - bq[name] > 0.25
+                ),
+                key=lambda x: x[2] - x[1],
+                reverse=True,
+            )
+            print(
+                f"baseline: total {base.get('value')}s -> {total}s "
+                f"({len(regressed)} quer{'y' if len(regressed) == 1 else 'ies'} regressed >1.5x)",
+                file=sys.stderr,
+            )
+            for name, b, t in regressed[:15]:
+                print(f"  REGRESSED {name}: {b}s -> {t}s", file=sys.stderr)
+
     print(
         json.dumps(
             {

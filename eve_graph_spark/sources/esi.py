@@ -30,6 +30,18 @@ from eve_graph_spark import schemas
 Fetcher = Callable[[int], str]  # id -> raw JSON text (raises on HTTP error)
 
 
+class RateLimitError(Exception):
+    """HTTP 420/429: the reference aborts the WHOLE sync on rate limiting
+    (sync.rs:323-350) — never retried per-item; re-raised to fail the
+    stage fast."""
+
+
+class TransientFetchError(Exception):
+    """Retryable failure (5xx / connection reset): retried per-item with
+    bounded backoff, the analogue of the reference's 10x5s connect budget
+    (main.rs:25, database.rs:50)."""
+
+
 def read_system_ids_json(spark: SparkSession, path: str) -> DataFrame:
     """S1 get_system_ids (esi.rs:79-83): the full universe id list."""
     return spark.read.schema("system_id long").json(path)
@@ -95,29 +107,51 @@ def fetch_details(
     fetcher: Fetcher,
     concurrency: int = 50,
     on_not_found: str = "skip",
+    retries: int = 3,
+    backoff_sec: float = 0.5,
+    sleeper: Callable[[float], None] | None = None,
 ) -> DataFrame:
     """D5/D6/D8 fan-out fetch: one HTTP GET per id, executor-side.
 
     `repartition(concurrency)` makes the task count the rate cap — the
     Spark-native Semaphore(50) (sync.rs:106). Per-item error policy
-    (sync.rs:323-350): KeyError/404-style misses are skipped (status
-    'not_found'), rate-limit errors re-raise to fail the stage (the
-    reference aborts the whole batch on 420/429 — Spark's task→stage
-    failure gives the same fail-fast semantics).
+    (sync.rs:323-350):
 
-    Returns (id long, payload string, status string); payload is raw JSON
-    to be parsed with the wire schema by the caller.
+    - KeyError (404): skipped, status 'not_found' — never retried;
+    - RateLimitError (420/429): re-raised immediately to fail the stage —
+      the reference aborts the whole batch on rate limiting, and Spark's
+      task→stage failure gives the same fail-fast semantics;
+    - TransientFetchError (5xx/resets): retried up to `retries` times with
+      exponential backoff (the reference's bounded connect budget,
+      main.rs:25 10x5s); exhausting the budget re-raises.
+
+    `sleeper` is injectable for hermetic tests. Returns (id long, payload
+    string, status string); payload is raw JSON for the wire-schema parse.
     """
+    import time as _time
+
     import pandas as pd
 
     id_col = ids.columns[0]
+    sleep = sleeper or _time.sleep
+
+    def _fetch_one(i: int) -> str:
+        attempt = 0
+        while True:
+            try:
+                return fetcher(i)
+            except TransientFetchError:
+                if attempt >= retries:
+                    raise
+                sleep(backoff_sec * (2 ** attempt))
+                attempt += 1
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, payloads, statuses = [], [], []
             for i in pdf[id_col]:
                 try:
-                    payloads.append(fetcher(int(i)))
+                    payloads.append(_fetch_one(int(i)))
                     statuses.append("ok")
                 except KeyError:
                     if on_not_found != "skip":

@@ -76,3 +76,51 @@ def test_incremental_resync_removes_systems(spark, universe):
     eng.refresh_systems(esi_systems.filter("system_id != 6"))
     assert eng.systems.count() == 5
     assert {r["system_id"] for r in eng.systems.collect()} == {1, 2, 3, 4, 5}
+
+
+def test_engine_over_persisted_bucketed_tables(spark, universe, tmp_path):
+    # Durable-table lifecycle: bootstrap -> persist through the sinks'
+    # layout contract (systems partitioned, jumps BUCKETED by
+    # src_system_id) -> rebuild the engine from storage -> identical
+    # routes. This is the "engine over bucketed persisted tables" run the
+    # in-memory tests don't cover.
+    from pyspark.sql import functions as F
+
+    from eve_graph_spark.sinks import read_back, write_bucketed, write_partitioned
+
+    esi_systems, stargates, kills, jumps_act, sigs = universe
+    eng = GraphEngine(
+        spark.createDataFrame([], schemas.SYSTEM), spark.createDataFrame([], schemas.JUMP)
+    )
+    eng.bootstrap(esi_systems, stargates, kills, jumps_act, sigs)
+    eng.refresh_risk(kills, jumps_act)
+
+    sys_path = str(tmp_path / "systems")
+    write_partitioned(eng.systems, sys_path, ["constellation_id"])
+    spark.sql("DROP TABLE IF EXISTS jumps_engine_e2e")
+    write_bucketed(eng.jumps, "jumps_engine_e2e", "src_system_id", 4)
+    try:
+        eng2 = GraphEngine(read_back(spark, sys_path), spark.table("jumps_engine_e2e"))
+        eng2.build_cost_projection()
+        eng2.build_risk_projection()
+        assert eng2.shortest_route("Sys1", "Sys6") == ["Sys1", "Sys2", "Sys6"]
+        assert eng2.safest_route("Sys1", "Sys6") == ["Sys1", "Sys2", "Sys6"]
+
+        # Layout contract: an edge-keyed self-join on the bucketed table
+        # (the co-located upsert/frontier shape) plans with NO exchange on
+        # src_system_id when broadcast is off.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("jumps_engine_e2e")
+            b = spark.table("jumps_engine_e2e").select(
+                "src_system_id", F.col("dst_system_id").alias("d2")
+            )
+            from tests.test_plans_and_sinks import plan_of
+
+            plan = plan_of(a.join(b, "src_system_id"))
+            physical = plan.split("== Physical Plan ==")[-1]
+            assert "Exchange hashpartitioning(src_system_id" not in physical
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS jumps_engine_e2e")

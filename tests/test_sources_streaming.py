@@ -77,6 +77,54 @@ def test_fanout_fetch_and_parse(spark):
     assert {r["system_id"] for r in parsed.collect()} == {30000142, 30009999}
 
 
+def test_fanout_retry_then_success(spark):
+    # Transient failures retry with backoff INSIDE the task (the
+    # reference's bounded connect budget, main.rs:25); the flaky-twice
+    # fetcher must still produce 'ok' without a task failure. Attempt
+    # state lives in the worker process — retries happen in-call.
+    def flaky(i: int, _attempts={}) -> str:
+        n = _attempts.get(i, 0)
+        _attempts[i] = n + 1
+        if n < 2:
+            raise esi.TransientFetchError(f"503 for {i}")
+        return json.dumps(JITA)
+
+    naps = []
+    ids = spark.createDataFrame([(1,)], "id long")
+    fetched = esi.fetch_details(
+        ids, flaky, concurrency=1, retries=3, backoff_sec=0.01,
+        sleeper=naps.append,
+    )
+    assert [r["status"] for r in fetched.collect()] == ["ok"]
+
+    # Budget exhausted -> the error propagates (no silent 'error' rows).
+    def always_down(i: int) -> str:
+        raise esi.TransientFetchError("503 forever")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="503 forever"):
+        esi.fetch_details(
+            ids, always_down, concurrency=1, retries=2, backoff_sec=0.0,
+            sleeper=lambda s: None,
+        ).collect()
+
+
+def test_fanout_rate_limit_aborts_batch(spark):
+    # 420/429 aborts the WHOLE batch (sync.rs:323-350): no retry, the
+    # stage fails fast — and 404-skip still applies to other ids first.
+    def limited(i: int) -> str:
+        if i == 2:
+            raise esi.RateLimitError("429 too many requests")
+        return json.dumps(JITA)
+
+    ids = spark.createDataFrame([(1,), (2,)], "id long")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="429"):
+        esi.fetch_details(ids, limited, concurrency=1).collect()
+
+
 def test_signatures_filter_and_expiry(spark, tmp_path):
     sigs = [
         {"id": "a", "signature_type": "wormhole", "in_system_id": 1, "out_system_id": 2,
