@@ -70,8 +70,8 @@ _CHECK_PRIORITY = [
     "q16_supplier_cnt", "q20_potential_promotion",
     # -- round-1 reds, fixed this round --
     "sessionize_events", "sketches",
-    # -- rows-only production twins of the portable-hash oracles above --
-    "minhash_near_dups", "simhash_signatures",
+    # -- newly oracle-backed this round (were rows-only) --
+    "label_propagation_communities", "kcore_membership",
 ]
 
 
@@ -3213,22 +3213,76 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weighted deterministic sampling
 # =========================================================================
 
-@register("label_propagation_communities")  # iterative argmax → rows-only; unit-test-pinned
+def _lpa_unrolled_sql(iterations: int) -> str:
+    """DuckDB replay of deterministic synchronous LPA: the fixed superstep
+    count is unrolled into chained CTEs (each = most-frequent in-neighbor
+    label, ties to the smallest label, keep own label when no in-edges).
+    Spark's early fixpoint stop is safe to over-unroll: applying a step to
+    fixpoint labels returns them unchanged."""
+    # NB: the outer query is WITH RECURSIVE (for _graph_cte siblings); under
+    # WITH RECURSIVE, DuckDB 1.0 treats any CTE with a *top-level* UNION as
+    # recursive and emits duplicate rows — so dedup via subquery + DISTINCT.
+    steps = [", lpa_nodes AS (SELECT DISTINCT node FROM ("
+             "SELECT src_system_id AS node FROM fix_jumps"
+             " UNION ALL SELECT dst_system_id FROM fix_jumps))",
+             ", lpa0 AS (SELECT node, node AS community FROM lpa_nodes)"]
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    , lpa{i} AS MATERIALIZED (
+        SELECT n.node, COALESCE(w.community, n.community) AS community
+        FROM lpa{i - 1} n LEFT JOIN (
+            SELECT dst, community FROM (
+                SELECT e.dst_system_id AS dst, l.community,
+                       ROW_NUMBER() OVER (PARTITION BY e.dst_system_id
+                                          ORDER BY COUNT(*) DESC, l.community) AS rn
+                FROM fix_jumps e JOIN lpa{i - 1} l ON l.node = e.src_system_id
+                GROUP BY e.dst_system_id, l.community
+            ) t WHERE rn = 1
+        ) w ON w.dst = n.node
+    )""")
+    steps.append(f" SELECT node, community FROM lpa{iterations}")
+    return _graph_cte("".join(steps))
+
+
+@register("label_propagation_communities", _lpa_unrolled_sql(5))
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Community detection on the jump graph via deterministic synchronous
     # LPA (most-frequent neighbor label, min-label tie-break — no random
-    # state, so reruns and engines agree). Semantics pinned on known
+    # state, so reruns and engines agree). Fully oracle-checked: the fixed
+    # superstep count unrolls into chained SQL CTEs; also pinned on known
     # graphs in tests/test_graph_analytics.py.
     from eve_graph_spark.operators.graph_analytics import label_propagation
 
     return label_propagation(build_jumps(spark, sf_dir), iterations=5)
 
 
-@register("kcore_membership")  # non-monotone peel → rows-only; unit-test-pinned
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """DuckDB replay of the k-core peel, unrolled `rounds` times (peel
+    depth on the fixed 25-node jump graph is < rounds; parity at every SF
+    because `nation` is fixed-size). Each round: out-degree over surviving
+    edges, keep nodes with deg >= k, keep edges with both endpoints kept.
+    Over-unrolling past the fixpoint is a no-op round."""
+    steps = [", kc0 AS MATERIALIZED (SELECT DISTINCT src_system_id AS src, dst_system_id AS dst"
+             " FROM fix_jumps)"]
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    , kcn{i} AS MATERIALIZED (
+        SELECT src AS node FROM kc{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+    )
+    , kc{i} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM kc{i - 1} e
+        JOIN kcn{i} a ON e.src = a.node JOIN kcn{i} b ON e.dst = b.node
+    )""")
+    steps.append(f" SELECT DISTINCT src AS node FROM kc{rounds}")
+    return _graph_cte("".join(steps))
+
+
+@register("kcore_membership", _kcore_unrolled_sql(3, 8))
 def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-core of the jump graph: ring edges alone give degree 2, so the
-    # 3-core is held up by hubs and wormholes. Membership semantics pinned
-    # on known graphs in tests/test_pipeline_ops.py.
+    # 3-core is held up by hubs and wormholes. Fully oracle-checked via an
+    # unrolled peel replay; also pinned on known graphs in
+    # tests/test_pipeline_ops.py.
     from eve_graph_spark.operators.graph_analytics import k_core
 
     return k_core(build_jumps(spark, sf_dir), k=3)
