@@ -128,3 +128,63 @@ def redact_pii(text: Column) -> Column:
     for pattern, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, repl)
     return out
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals per document.
+
+    (Rae et al. 2021, "Scaling Language Models" §A1.1 repetition filters —
+    public paper, re-derived here as relational algebra.)
+
+    Returns (id, n_words, n_distinct_words, top_word_n, top_bigram_n,
+    dup_word_frac, top_word_frac, top_bigram_frac).
+
+    Shape: the naive per-row higher-order-function form
+    (transform(distinct, w -> size(filter(words, = w)))) is O(len²) per
+    document — quadratic blowup on 100k-word docs. Instead this is two
+    word-count aggregations (explode → count per (doc, gram) → roll up per
+    doc): linear work, two hash-partial-agg shuffles keyed on (doc, gram),
+    all JVM codegen. At 100 TB the shuffle carries one row per *distinct*
+    gram per doc (map-side partial agg collapses repeats — exactly the
+    rows a repetition filter is about).
+
+    Fractions are single IEEE double divisions (portable bit-for-bit to
+    the DuckDB oracle). Docs with < 2 words have no bigrams:
+    top_bigram_frac = 0.0 by convention.
+    """
+    text = F.col(text_col)
+    ws = F.split(F.lower(text), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+
+    def gram_stats(gram_col: Column, n: str, nd: str, top: str):
+        g = df.select(F.col(id_col), F.explode(gram_col).alias("gram"))
+        per = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+        return per.groupBy(id_col).agg(
+            F.sum("cnt").alias(n),
+            F.count(F.lit(1)).alias(nd),
+            F.max("cnt").alias(top),
+        )
+
+    w = gram_stats(ws, "n_words", "n_distinct_words", "top_word_n")
+    b = gram_stats(bigrams, "n_bigrams", "n_distinct_bigrams", "top_bigram_n")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        w.join(b, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            "top_word_n",
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            ((dbl("n_words") - dbl("n_distinct_words")) / dbl("n_words")).alias(
+                "dup_word_frac"
+            ),
+            (dbl("top_word_n") / dbl("n_words")).alias("top_word_frac"),
+            F.coalesce(
+                dbl("top_bigram_n") / dbl("n_bigrams"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )

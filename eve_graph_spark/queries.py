@@ -3695,3 +3695,307 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# =========================================================================
+# Round-2 additions: training-data curation operators (all oracle-backed).
+# New registrations land after _CHECK_PRIORITY's window on purpose — the
+# round-2 driver window is already committed to the round-1-unverified set;
+# these rotate into the round-3 window.
+# =========================================================================
+
+_QUALITY_SQL = """CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' '))
+             + CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
+               / len(string_split(lower(text), ' '))
+             - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE)"""
+
+
+@register(
+    "repetition_stats_documents",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS gram FROM documents
+    ),
+    b AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(1, len(string_split(lower(text), ' '))),
+                   i -> string_split(lower(text), ' ')[i] || ' ' ||
+                        string_split(lower(text), ' ')[i + 1])) AS gram
+        FROM documents
+    ),
+    wc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM w GROUP BY doc_id, gram),
+    bc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM b GROUP BY doc_id, gram),
+    ws AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct_words, CAST(MAX(cnt) AS BIGINT) AS top_word_n
+        FROM wc GROUP BY doc_id
+    ),
+    bs AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(MAX(cnt) AS BIGINT) AS top_bigram_n
+        FROM bc GROUP BY doc_id
+    )
+    SELECT ws.doc_id, ws.n_words, ws.n_distinct_words, ws.top_word_n,
+           COALESCE(bs.top_bigram_n, 0) AS top_bigram_n,
+           (CAST(ws.n_words AS DOUBLE) - CAST(ws.n_distinct_words AS DOUBLE))
+               / CAST(ws.n_words AS DOUBLE) AS dup_word_frac,
+           CAST(ws.top_word_n AS DOUBLE) / CAST(ws.n_words AS DOUBLE) AS top_word_frac,
+           COALESCE(CAST(bs.top_bigram_n AS DOUBLE) / CAST(bs.n_bigrams AS DOUBLE),
+                    0.0) AS top_bigram_frac
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filters (duplicate-word fraction, top-word /
+    # top-bigram fraction) — the quality gate every LLM corpus pass runs
+    # before training. Linear explode→count shape, not per-row O(len²).
+    from eve_graph_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "pii_redact_documents",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d{1,3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             + len(regexp_extract_all(text, '\+\d{1,3}[- ]\d{3}[- ]\d{4}\b')) AS n_hits
+    FROM documents
+    """,
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub pass over the corpus: typed placeholder substitution +
+    # per-doc hit count. Regexes live in the RE2 ∩ Java common subset so
+    # the oracle runs the *same pattern strings* — this query is literally
+    # a cross-engine regex-semantics parity check. Zero shuffle.
+    from eve_graph_spark.operators.text_analysis import PII_PATTERNS, redact_pii
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_hits = None
+    for pattern, _ in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0)))
+        n_hits = c if n_hits is None else n_hits + c
+    return docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        n_hits.cast("long").alias("n_hits"),
+    )
+
+
+@register(
+    "train_test_split_leakage",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               CASE WHEN ((doc_id % 1000003) * 2654435761 % 1000003) % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split,
+               md5(substr(text, 1, 32)) AS prefix_digest
+        FROM documents
+    )
+    SELECT doc_id, split,
+           MIN(split) OVER (PARTITION BY prefix_digest)
+             <> MAX(split) OVER (PARTITION BY prefix_digest) AS leaked
+    FROM s
+    """,
+)
+def train_test_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic hash split (90/10) + cross-split contamination check:
+    # a doc is `leaked` when another doc with the same 32-char-prefix
+    # fingerprint landed in the other split (prefix fingerprints are the
+    # standard cheap proxy for benchmark contamination). Knuth
+    # multiplicative hash with mod-before-multiply so int64 never
+    # overflows (ANSI-safe); min/max-over-window instead of the
+    # COUNT(DISTINCT)-over-window Spark lacks.
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    m = 1000003
+    bucket = (F.col("doc_id") % m) * F.lit(2654435761) % m % 100
+    s = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+        F.md5(F.substring("text", 1, 32).cast("binary")).alias("prefix_digest"),
+    )
+    w = Window.partitionBy("prefix_digest")
+    return s.select(
+        "doc_id",
+        "split",
+        (F.min("split").over(w) != F.max("split").over(w)).alias("leaked"),
+    )
+
+
+@register(
+    "unigram_logprob_quality",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_w FROM w GROUP BY word),
+    t AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM v),
+    lp AS (
+        SELECT word,
+               CAST(floor(ln(CAST(n_w AS DOUBLE) / CAST((SELECT n_total FROM t) AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lp
+        FROM v
+    )
+    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logprob
+    FROM w JOIN lp USING (word)
+    GROUP BY w.doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perplexity-proxy quality score: corpus unigram LM, per-doc mean log
+    # prob. Two wordcount aggs + one join keyed on word — at 100 TB the
+    # vocab side is zipf-small but unbounded, so no forced broadcast (AQE
+    # decides). ln() differs across engines by ≤1-2 ulp → fixed-pointed at
+    # 1e-6 (house determinism idiom) before the order-independent integer
+    # sum; the two final divisions are single IEEE ops, portable.
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    v = w.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = v.agg(F.sum("n_w").alias("n_total"))
+    lp = v.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.floor(
+            F.log(F.col("n_w").cast("double") / F.col("n_total").cast("double"))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    return (
+        w.join(lp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1)) / 1000000.0).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+_DOMAIN_MIX_WEIGHTS: tuple[tuple[str, int], ...] = (
+    # lang → doc quota in the mixed sample (a "data recipe": upsample en,
+    # cap the rest), fixture-independent constants shared with the oracle.
+    ("en", 40), ("de", 15), ("es", 15), ("fr", 15), ("zh", 15),
+)
+
+
+@register(
+    "domain_mix_documents",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id % 1000003) * 2654435761 % 1000003, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked
+    WHERE rn <= CASE lang {' '.join(f"WHEN '{lang}' THEN {q}" for lang, q in _DOMAIN_MIX_WEIGHTS)} ELSE 0 END
+    """,
+)
+def domain_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Domain-mixture sampling (the "data recipe" step): deterministic
+    # per-domain quotas filled in portable-hash order, so every engine —
+    # and every rerun — picks the same docs. One shuffle keyed on lang;
+    # rank-within-group never materializes more than the quota per
+    # partition after the filter. Skew note: at 100 TB a single giant
+    # domain makes ROW_NUMBER over one partition a straggler — the quota
+    # is a constant, so the scale path is TABLESAMPLE-then-rank or a
+    # bucket < quota/count filter; here quotas ≪ group sizes and the
+    # window is the exact, portable form.
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    m = 1000003
+    quota = F.lit(0)
+    for lang, q in _DOMAIN_MIX_WEIGHTS:
+        quota = F.when(F.col("lang") == lang, q).otherwise(quota)
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy((F.col("doc_id") % m) * F.lit(2654435761) % m, "doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", quota.alias("__q"), rn.alias("__rn"))
+        .filter(F.col("__rn") <= F.col("__q"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "dedup_survivors_quality",
+    f"""
+    WITH RECURSIVE {{pairs}},
+    dedup_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mpairs
+        UNION ALL SELECT id_b, id_a FROM mpairs
+    ),
+    dedup_reach AS (
+        SELECT src AS node, src AS r FROM dedup_edges
+        UNION
+        SELECT e.dst, r.r FROM dedup_reach r JOIN dedup_edges e ON e.src = r.node
+    ),
+    dedup_cc AS (SELECT node, MIN(r) AS cluster FROM dedup_reach GROUP BY node),
+    member AS (
+        SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+               {_QUALITY_SQL} AS quality
+        FROM documents d LEFT JOIN dedup_cc c ON c.node = d.doc_id
+    ),
+    best AS (
+        SELECT cluster, doc_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY quality DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        FROM member
+    )
+    SELECT cluster, doc_id AS survivor_doc_id, n_members, quality AS survivor_quality
+    FROM best WHERE rn = 1
+    """.replace("{pairs}", _MINHASH_PAIRS_FOR_CC),
+)
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-aware survivor selection: near-dup clusters (MinHash-LSH →
+    # connected components) keep their *highest-quality* member, not the
+    # min id — what a production corpus dedup actually ships. Ties on
+    # quality break to min doc_id for determinism. The quality score is
+    # the same portable expression the quality_scores query pins.
+    from eve_graph_spark.operators.dedup import portable_minhash_near_dups
+    from eve_graph_spark.operators.graph_analytics import connected_components
+    from eve_graph_spark.operators.text_analysis import quality_score_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = portable_minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    sym = sym.persist()
+    try:
+        cc = connected_components(sym, src_col="s", dst_col="d")
+        cc = cc.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
+    member = (
+        docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+        .join(F.broadcast(cc), F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster"), "quality")
+    )
+    w = Window.partitionBy("cluster")
+    best = member.select(
+        "cluster",
+        "doc_id",
+        "quality",
+        F.row_number().over(w.orderBy(F.desc("quality"), "doc_id")).alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return best.filter(F.col("__rn") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("survivor_doc_id"),
+        "n_members",
+        F.col("quality").alias("survivor_quality"),
+    )
