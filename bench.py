@@ -67,12 +67,22 @@ def main() -> None:
     build_jumps(spark, sf_dir, with_risk=False).write.format("noop").mode("overwrite").save()
     warmup = time.perf_counter() - t0
 
+    # Best-of-2 for non-trivial queries (matching BENCH_BASELINE.json's
+    # methodology): this box is co-tenant and single runs show up to 4x
+    # wall-clock noise on multi-second queries; min-of-2 measures the
+    # plan, not the neighbor. Sub-second queries keep single-run timings
+    # (noise there is bounded by the threshold itself).
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.queries().items()):
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter() - t0
+            if t1 > 1.0:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t1 = min(t1, time.perf_counter() - t0)
+            timings[name] = round(t1, 3)
         except Exception as exc:  # a broken query must not hide the rest
             timings[name] = -1.0
             print(f"FAIL {name}: {exc}", file=sys.stderr)
@@ -106,7 +116,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "sum of per-query wall seconds over the full query registry (noop sink)",
+                "metric": "sum of per-query wall seconds over the full query registry (noop sink, best-of-2 above 1s)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
