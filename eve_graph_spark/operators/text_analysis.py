@@ -154,10 +154,15 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     """
     text = F.col(text_col)
     ws = F.split(F.lower(text), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-    )
+    # Guard: sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults
+    # to -1 when start > stop), so a 1-word doc would index out of bounds.
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
     def gram_stats(gram_col: Column, n: str, nd: str, top: str):
         g = df.select(F.col(id_col), F.explode(gram_col).alias("gram"))
