@@ -44,41 +44,79 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver oracle-checks the FIRST 50 entries of queries() per round.
-# Round 1 verified registrations 1-50; this list front-loads the 52 that got
-# no CORRECTNESS row (46 with oracles, then the two round-1 reds now fixed,
-# then rows-only probes), so round 2's window covers the unverified half.
-# Round-1-green queries keep their relative order at the tail.
-_CHECK_PRIORITY = [
-    # -- unchecked in round 1, oracle-backed --
-    "ngram_jaccard_pairs", "minhash_near_dups_portable", "simhash_portable",
-    "ann_brute_force_topk", "multimodal_features", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "q10_returned_items", "q13_customer_distribution",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q22_sales_opportunity", "pivot_status_by_year",
-    "grouping_sets_orders", "rolling_customer_revenue", "scc_membership",
-    "dedup_pipeline_documents", "time_gapfill_events", "fuzzy_match_customers",
-    "link_prediction_jaccard", "events_json_extract", "ewma_user_value",
-    "time_interpolate_events", "unpivot_status_counts",
-    "rolling_30d_customer_spend", "q15_top_supplier", "q21_waiting_suppliers",
-    "profile_lineitem", "decontaminate_documents", "sequence_packing",
-    "corpus_curation_pipeline", "event_value_deltas",
-    "customer_spend_quartiles", "event_value_moments",
-    "weighted_sample_documents", "label_centroids",
-    "median_value_by_event_type", "price_quantity_corr",
-    "q12_priority_by_status", "q2_min_cost_supplier", "q11_important_stock",
-    "q16_supplier_cnt", "q20_potential_promotion",
-    # -- round-1 reds, fixed this round --
-    "sessionize_events", "sketches",
-    # -- newly oracle-backed this round (were rows-only) --
-    "label_propagation_communities", "kcore_membership",
-]
+# The check order is DERIVED from the committed CORRECTNESS_r*.json files
+# (no hand-maintained list): queries with no driver row in any prior round
+# come first, then queries whose most-recent row was red, then everything
+# already green/rows-only — registration order within each tier. This way
+# newly-registered or newly-fixed queries always rotate into the window
+# automatically.
+_PRIORITY_CACHE: dict[str, int] | None = None
+
+
+def _correctness_tiers(root=None) -> dict[str, int]:
+    """name -> tier from CORRECTNESS_r*.json at the repo root.
+
+    0 = never driver-checked, 1 = latest row red, 2 = latest row green or
+    rows-only-by-design. Names absent from every file default to 0.
+    """
+    global _PRIORITY_CACHE
+    if root is None and _PRIORITY_CACHE is not None:
+        return _PRIORITY_CACHE
+    import json
+    import re
+    from pathlib import Path
+
+    caching = root is None
+    root = Path(root) if root is not None else Path(__file__).resolve().parents[1]
+    latest: dict[str, dict] = {}
+    rounds = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
+    )
+    for path in rounds:
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            latest.update(rows)
+    tiers: dict[str, int] = {}
+    for name, row in latest.items():
+        if not isinstance(row, dict):
+            continue
+        err = row.get("err")
+        if row.get("hash_match") is False or err not in (None, "no_oracle"):
+            tiers[name] = 1
+        else:
+            tiers[name] = 2
+    if caching:
+        _PRIORITY_CACHE = tiers
+    return tiers
+
+
+# Queries whose Spark plan or oracle changed in the current round: forced
+# into the driver window right after the never-checked tier, so changed code
+# is always externally re-verified in the round it changes (ADVICE r2).
+_MODIFIED_THIS_ROUND = {
+    "dedup_survivors_quality",      # broadcast(cc) hint removed
+    "customer_spend_quartiles",     # distributed rank replaces global window
+    "dedup_pipeline_documents",     # oracle shingle NULL-coalesce mirrored
+    "kcore_membership",             # oracle unroll fixpoint re-pinned
+}
 
 
 def _prioritized(d: dict[str, object]) -> dict[str, object]:
-    out = {n: d[n] for n in _CHECK_PRIORITY if n in d}
-    out.update((n, v) for n, v in d.items() if n not in out)
-    return out
+    tiers = _correctness_tiers()
+
+    def key(n: str) -> float:
+        if tiers.get(n, 0) == 0:
+            return 0.0
+        if n in _MODIFIED_THIS_ROUND:
+            return 0.5
+        return float(tiers[n])
+
+    names = sorted(d, key=key)  # stable sort: registration order within tier
+    return {n: d[n] for n in names}
 
 
 def queries() -> dict[str, QueryFn]:
