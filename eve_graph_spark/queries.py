@@ -2336,9 +2336,12 @@ def dedup_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc = cc.localCheckpoint(eager=True)
     finally:
         sym.unpersist()
+    # No broadcast hint on cc: near-dup cluster membership is O(corpus) at
+    # crawl scale — far past any broadcast threshold. A keyed shuffle join
+    # is the scale-safe plan; AQE still broadcasts when cc is actually small.
     return (
         docs.select("doc_id")
-        .join(F.broadcast(cc), docs.doc_id == cc.node, "left")
+        .join(cc, docs.doc_id == cc.node, "left")
         .select(
             "doc_id",
             F.coalesce("component", "doc_id").alias("cluster"),
@@ -3174,23 +3177,69 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NTILE + PERCENT_RANK over per-customer lifetime spend. The rank order
-    # is total (exact fixed-point spend, then custkey), so tile assignment
-    # is deterministic. The global window runs on the agg output (one row
-    # per customer), not the fact table — at 100 TB that's the difference
-    # between sorting 1e7 rows and 1e11.
+    # NTILE + PERCENT_RANK over per-customer lifetime spend, computed as a
+    # DISTRIBUTED global rank — no single-partition Window node anywhere:
+    #   1. range-shuffle the per-customer agg on the total sort key
+    #      (spend_fp, o_custkey — unique, so no cross-partition ties);
+    #   2. per-partition row_number (keyed window, partitioned by the range
+    #      partition id);
+    #   3. add per-partition offsets. The offsets come from a K-row count
+    #      collect (K = number of range partitions, not data-sized — the
+    #      same driver-local pattern as a stage-boundary statistics read),
+    #      folded into a literal map lookup: zero extra shuffle.
+    # NTILE/PERCENT_RANK are then pure expressions of the 0-based rank r and
+    # total count N, matching both engines' semantics exactly.
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 1000000 + F.lit(0.5))).alias("spend_fp"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy("spend_fp", "o_custkey")
-    return spend.select(
-        "o_custkey",
-        (F.col("spend_fp") / F.lit(1000000.0)).alias("total_spend"),
-        "n_orders",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
+    k = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranked = (
+        spend.repartitionByRange(k, "spend_fp", "o_custkey")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n_total = sum(c for _, c in counts)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    local_w = Window.partitionBy("__pid").orderBy("spend_fp", "o_custkey")
+    r = (offset_map[F.col("__pid")] + F.row_number().over(local_w) - 1).alias("__r")
+    # NTILE(t) over N rows: the first N%t tiles hold ceil(N/t) rows, the
+    # rest floor(N/t) — closed form over the 0-based rank.
+    base, rem = divmod(n_total, 4)
+    big = base + 1
+    tile = F.when(
+        F.col("__r") < rem * big, F.floor(F.col("__r") / F.lit(big)) + 1
+    ).otherwise(
+        rem + F.floor((F.col("__r") - rem * big) / F.lit(max(base, 1))) + 1
+    )
+    return (
+        ranked.select(
+            "o_custkey",
+            (F.col("spend_fp") / F.lit(1000000.0)).alias("total_spend"),
+            "n_orders",
+            "__pid",
+            "spend_fp",
+        )
+        .withColumn("__r", r)
+        .select(
+            "o_custkey",
+            "total_spend",
+            "n_orders",
+            tile.cast("int").alias("quartile"),
+            (F.col("__r") / F.lit(float(max(n_total - 1, 1)))).alias("pct_rank"),
+        )
     )
 
 
@@ -4018,9 +4067,11 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc = cc.localCheckpoint(eager=True)
     finally:
         sym.unpersist()
+    # No broadcast hint on cc (see dedup_pipeline_documents): membership is
+    # O(corpus) at crawl scale; let AQE pick broadcast only when it fits.
     member = (
         docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
-        .join(F.broadcast(cc), F.col("doc_id") == F.col("node"), "left")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
         .select("doc_id", F.coalesce("component", "doc_id").alias("cluster"), "quality")
     )
     w = Window.partitionBy("cluster")

@@ -107,6 +107,40 @@ def test_registry_wide_no_cartesian_products(spark, sf_dir):
     assert not offenders, offenders
 
 
+@pytest.mark.parametrize(
+    "name", ["dedup_pipeline_documents", "dedup_survivors_quality"]
+)
+def test_dedup_cluster_join_not_forced_broadcast(spark, sf_dir, name):
+    """Cluster membership (cc output) is O(corpus) at crawl scale — the
+    member join must NOT carry a broadcast hint. With the auto-broadcast
+    threshold off, the plan must fall back to a keyed shuffle join; a
+    BroadcastExchange surviving threshold=-1 can only come from a hint,
+    which is exactly the 100 TB OOM this test pins out."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(registry.queries()[name](spark, sf_dir))
+        assert "BroadcastExchange" not in plan, name
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_customer_spend_quartiles_no_single_partition_window(spark, sf_dir):
+    """The NTILE/PERCENT_RANK rank must be computed distributed (range
+    shuffle + per-partition offsets) — a global Window.orderBy would plan
+    an Exchange SinglePartition, i.e. every customer row through one task
+    at 100 TB. Pin that node out of the plan."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(registry.queries()["customer_spend_quartiles"](spark, sf_dir))
+        assert "SinglePartition" not in plan
+        assert "rangepartitioning" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_partitioned_sink_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     path = str(tmp_path / "jumps_by_kind")
     jumps = build_jumps(spark, sf_dir)
