@@ -27,6 +27,18 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+# The FULL timing methodology, disclosed wherever totals are reported so
+# cross-round numbers are only compared like-for-like: the untimed warmup
+# prebuilds the JVM, the Python worker pool, AND the shared graph
+# projections (the engine's bootstrap step); queries above 1s report the
+# best of 2 runs.
+METHODOLOGY = (
+    "sum of per-query wall seconds over the full query registry "
+    "(noop sink; untimed warmup prebuilds JVM + python workers + graph "
+    "projections; best-of-2 above 1s)"
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -89,42 +101,49 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
-    # Regression guardrail: compare against the committed baseline (stderr
-    # only — stdout stays ONE JSON line for the driver).
+    # Regression guardrail: compare against the committed baseline. The
+    # regressions land in the output JSON (machine-checkable per round);
+    # detail goes to stderr — stdout stays ONE JSON line for the driver.
+    regressions: list[dict] = []
+    baseline_total = None
     base_path = Path(_REPO) / "BENCH_BASELINE.json"
     if base_path.exists():
         base = json.loads(base_path.read_text())
         if base.get("sf") == sf:
+            baseline_total = base.get("value")
             bq = base.get("queries", {})
-            regressed = sorted(
+            regressions = sorted(
                 (
-                    (name, bq[name], t)
+                    {"query": name, "baseline_sec": bq[name], "sec": t}
                     for name, t in timings.items()
                     if t >= 0 and bq.get(name, 0) > 0 and t > bq[name] * 1.5 and t - bq[name] > 0.25
                 ),
-                key=lambda x: x[2] - x[1],
+                key=lambda x: x["sec"] - x["baseline_sec"],
                 reverse=True,
             )
             print(
-                f"baseline: total {base.get('value')}s -> {total}s "
-                f"({len(regressed)} quer{'y' if len(regressed) == 1 else 'ies'} regressed >1.5x)",
+                f"baseline: total {baseline_total}s -> {total}s "
+                f"({len(regressions)} quer{'y' if len(regressions) == 1 else 'ies'} regressed >1.5x)",
                 file=sys.stderr,
             )
-            for name, b, t in regressed[:15]:
-                print(f"  REGRESSED {name}: {b}s -> {t}s", file=sys.stderr)
+            for r in regressions[:15]:
+                print(f"  REGRESSED {r['query']}: {r['baseline_sec']}s -> {r['sec']}s", file=sys.stderr)
 
     print(
         json.dumps(
             {
-                "metric": "sum of per-query wall seconds over the full query registry (noop sink, best-of-2 above 1s)",
+                "metric": METHODOLOGY,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
                 "warmup_sec": round(warmup, 3),
+                "methodology": METHODOLOGY,
                 "n_queries": len(timings),
                 "failed": [n for n, t in timings.items() if t < 0],
+                "baseline_total_sec": baseline_total,
+                "regressions": regressions,
             }
         )
     )

@@ -1510,10 +1510,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
-                   list_transform(range(0, len(string_split(lower(text), ' ')) - 2),
-                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 3), ' '))
-                   ELSE [lower(text)] END) AS sh
+               list_distinct(CASE WHEN len(string_split(lower(coalesce(text, '')), ' ')) >= 3 THEN
+                   list_transform(range(0, len(string_split(lower(coalesce(text, '')), ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(lower(coalesce(text, '')), ' '), i + 1, i + 3), ' '))
+                   ELSE [lower(coalesce(text, ''))] END) AS sh
         FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1540,10 +1540,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH msh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
-                   list_transform(range(0, len(string_split(lower(text), ' ')) - 2),
-                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 3), ' '))
-                   ELSE [lower(text)] END) AS sh
+               list_distinct(CASE WHEN len(string_split(lower(coalesce(text, '')), ' ')) >= 3 THEN
+                   list_transform(range(0, len(string_split(lower(coalesce(text, '')), ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(lower(coalesce(text, '')), ' '), i + 1, i + 3), ' '))
+                   ELSE [lower(coalesce(text, ''))] END) AS sh
         FROM documents
     ),
     mhs AS (
@@ -1603,10 +1603,10 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH psh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 2 THEN
-                   list_transform(range(0, len(string_split(lower(text), ' ')) - 1),
-                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 2), ' '))
-                   ELSE [lower(text)] END) AS sh
+               list_distinct(CASE WHEN len(string_split(lower(coalesce(text, '')), ' ')) >= 2 THEN
+                   list_transform(range(0, len(string_split(lower(coalesce(text, '')), ' ')) - 1),
+                       i -> array_to_string(list_slice(string_split(lower(coalesce(text, '')), ' '), i + 1, i + 2), ' '))
+                   ELSE [lower(coalesce(text, ''))] END) AS sh
         FROM documents
     ),
     phs AS (
@@ -2255,10 +2255,10 @@ def scc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PAIRS_FOR_CC = f"""
     msh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
-                   list_transform(range(0, len(string_split(lower(text), ' ')) - 2),
-                       i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 3), ' '))
-                   ELSE [lower(text)] END) AS sh
+               list_distinct(CASE WHEN len(string_split(lower(coalesce(text, '')), ' ')) >= 3 THEN
+                   list_transform(range(0, len(string_split(lower(coalesce(text, '')), ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(lower(coalesce(text, '')), ' '), i + 1, i + 3), ' '))
+                   ELSE [lower(coalesce(text, ''))] END) AS sh
         FROM documents
     ),
     mhs AS (
@@ -2941,10 +2941,10 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _SHINGLE5_SQL = """
-    list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 5 THEN
-        list_transform(range(0, len(string_split(lower(text), ' ')) - 4),
-            i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + 5), ' '))
-        ELSE [lower(text)] END)
+    list_distinct(CASE WHEN len(string_split(lower(coalesce(text, '')), ' ')) >= 5 THEN
+        list_transform(range(0, len(string_split(lower(coalesce(text, '')), ' ')) - 4),
+            i -> array_to_string(list_slice(string_split(lower(coalesce(text, '')), ' '), i + 1, i + 5), ' '))
+        ELSE [lower(coalesce(text, ''))] END)
 """
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -28,6 +29,12 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# DRIVE_STRICT_NAN=1 keeps NaN distinct from NULL so a genuine Spark-NULL
+# vs oracle-NaN semantic drift is still catchable locally even though the
+# default mode mirrors the real driver's NaN≡NULL folding.
+STRICT_NAN = os.environ.get("DRIVE_STRICT_NAN", "") == "1"
+
+
 def norm(v):
     # Mirror the driver's pandas-mediated canonicalization: DuckDB HUGEINT
     # (e.g. SUM over a window) materializes as float64 in fetchdf(), so a
@@ -41,7 +48,9 @@ def norm(v):
         return "NULL"
     if isinstance(v, (float, np.floating)):
         f = float(v)
-        return "NULL" if math.isnan(f) else repr(f)
+        if math.isnan(f):
+            return "NaN" if STRICT_NAN else "NULL"
+        return repr(f)
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v)).lower()
     if isinstance(v, np.integer):

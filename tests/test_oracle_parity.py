@@ -67,6 +67,24 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_kcore_oracle_unroll_covers_fixpoint(sf_dir):
+    """The kcore_membership oracle unrolls the peel a fixed 8 rounds with
+    no fixpoint check; if a fixture change ever deepened the peel past 8
+    the oracle would silently become a pre-fixpoint superset. Pin that the
+    last unrolled round is a no-op (round 8 == round 7), i.e. the unroll
+    depth covers the fixpoint on every fixture the driver uses."""
+    con = duckdb.connect()
+    try:
+        for t in TABLE_NAMES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        r7 = sorted(con.execute(registry._kcore_unrolled_sql(3, 7)).fetchall())
+        r8 = sorted(con.execute(registry._kcore_unrolled_sql(3, 8)).fetchall())
+        assert r7 == r8, "k-core peel not at fixpoint by round 7 — deepen the unroll"
+    finally:
+        con.close()
+
+
 def test_all_queries_run(spark):
     """Queries without oracles must still execute and return a DataFrame."""
     for name, q in registry.queries().items():
