@@ -98,10 +98,19 @@ def _correctness_tiers(root=None) -> dict[str, int]:
 # into the driver window right after the never-checked tier, so changed code
 # is always externally re-verified in the round it changes (ADVICE r2).
 _MODIFIED_THIS_ROUND = {
-    "dedup_survivors_quality",      # broadcast(cc) hint removed
-    "customer_spend_quartiles",     # distributed rank replaces global window
-    "dedup_pipeline_documents",     # oracle shingle NULL-coalesce mirrored
-    "kcore_membership",             # oracle unroll fixpoint re-pinned
+    # events.ts changed on disk from TIMESTAMP(NANOS)-as-long to
+    # TIMESTAMP(MICROS); events_with_ts() now branches on the read dtype.
+    # Every consumer of that loader gets driver re-verification this round.
+    "asof_join_events",
+    "normalize_by_group",
+    "sessionize_events",
+    "sketches",
+    "sliding_window_events",
+    "stratified_sample",
+    "time_gapfill_events",
+    "time_interpolate_events",
+    "time_rollup_events",
+    "tumbling_window_events",
 }
 
 

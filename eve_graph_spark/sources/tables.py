@@ -57,12 +57,27 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
 
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts_ns` (long), `ts_sec` (long) and `ts` (timestamp, µs
-    truncation) — the timestamp view downstream window ops expect."""
+    truncation) — the timestamp view downstream window ops expect.
+
+    Handles both on-disk encodings the driver has shipped: parquet
+    TIMESTAMP(NANOS) read as epoch-nano longs (via nanosAsLong), and
+    TIMESTAMP(MICROS) read as timestamp/timestamp_ntz. The session TZ is
+    pinned to UTC (session.py), so the NTZ→epoch conversion agrees with
+    DuckDB's tz-free epoch_*() semantics in the oracles.
+    """
     from pyspark.sql import functions as F
 
-    ev = load_table(spark, sf_dir, "events").withColumnRenamed("ts", "ts_ns")
-    return ev.withColumn("ts_sec", F.expr("ts_ns div 1000000000")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ev = ev.withColumnRenamed("ts", "ts_ns")
+        return ev.withColumn("ts_sec", F.expr("ts_ns div 1000000000")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    # timestamp / timestamp_ntz (micros precision on disk)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_ns", F.expr("unix_micros(ts) * 1000L")).withColumn(
+        "ts_sec", F.expr("unix_micros(ts) div 1000000")
     )
 
 
