@@ -24,7 +24,14 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -35,6 +42,36 @@ SIGNATURE_DDL = (
 )
 
 
+def _compile_filter(f: Filter):
+    """Filter → row-level predicate, or None if the source can't evaluate it.
+
+    SQL three-valued logic: any comparison against a NULL cell is unknown →
+    row dropped, which the `v is not None` guards encode. `expires_at` is an
+    ISO-8601 `...Z` string on the wire (eve_scout.rs:31), so lexicographic
+    order IS chronological order and range pushdown on it is exact — at a
+    real endpoint this becomes a server-side `?expires_after=` query
+    parameter instead of a full-feed download.
+    """
+    if isinstance(f, EqualTo):
+        return lambda v: v is not None and v == f.value
+    if isinstance(f, GreaterThan):
+        return lambda v: v is not None and v > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return lambda v: v is not None and v >= f.value
+    if isinstance(f, LessThan):
+        return lambda v: v is not None and v < f.value
+    if isinstance(f, LessThanOrEqual):
+        return lambda v: v is not None and v <= f.value
+    if isinstance(f, In):
+        vals = frozenset(f.value)
+        return lambda v: v is not None and v in vals
+    if isinstance(f, IsNull):
+        return lambda v: v is None
+    if isinstance(f, IsNotNull):
+        return lambda v: v is not None
+    return None
+
+
 class _EveScoutReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
@@ -42,14 +79,17 @@ class _EveScoutReader(DataSourceReader):
         if not self._path:
             raise ValueError("eve_scout source requires .option('path', <json file>)")
         self._n_parts = int(options.get("numPartitions", "4"))
-        self._pushed: list[Filter] = []
+        self._pushed: list[tuple[str, object]] = []  # (column, predicate)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Accept equality filters on scalar columns; everything else is
-        returned to Spark to evaluate post-scan (the API contract)."""
+        """Accept equality / IN-list / range / null-check filters on
+        top-level columns; everything else is returned to Spark to evaluate
+        post-scan (the API contract). Spark does NOT re-apply accepted
+        filters, so each predicate must match SQL semantics exactly."""
         for f in filters:
-            if isinstance(f, EqualTo) and len(f.attribute) == 1:
-                self._pushed.append(f)
+            pred = _compile_filter(f)
+            if pred is not None and len(f.attribute) == 1:
+                self._pushed.append((f.attribute[0], pred))
             else:
                 yield f
 
@@ -63,7 +103,7 @@ class _EveScoutReader(DataSourceReader):
         for i, rec in enumerate(records):
             if i % self._n_parts != partition.value:
                 continue
-            if any(rec.get(f.attribute[0]) != f.value for f in self._pushed):
+            if any(not pred(rec.get(col)) for col, pred in self._pushed):
                 continue
             yield tuple(rec.get(c) for c in cols)
 

@@ -206,6 +206,78 @@ def test_custom_datasource_reads_and_pushes_filters(spark, tmp_path):
     assert df8.count() == 3
 
 
+def test_custom_datasource_range_and_in_pushdown(spark, tmp_path):
+    """IN-list + expires_at range pushdown (the wormhole-expiry hot filter,
+    eve_scout.rs:31): rows must be dropped INSIDE the source's read(), with
+    SQL NULL semantics, and unsupported filters handed back to Spark."""
+    import json
+
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        In,
+        IsNotNull,
+        StringStartsWith,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    from eve_graph_spark.sources.custom_datasource import (
+        SIGNATURE_DDL,
+        _EveScoutReader,
+        register_eve_scout,
+    )
+
+    recs = [
+        {"id": "sig-1", "signature_type": "wormhole", "out_system_id": 31000005,
+         "expires_at": "2024-01-01T12:00:00Z", "remaining_hours": 10},
+        {"id": "sig-2", "signature_type": "gas", "out_system_id": 31000006,
+         "expires_at": "2024-01-01T13:00:00Z", "remaining_hours": 5},
+        {"id": "sig-3", "signature_type": "wormhole", "out_system_id": 31000007,
+         "expires_at": "2024-01-01T14:00:00Z", "remaining_hours": 8},
+        {"id": "sig-4", "signature_type": "data", "out_system_id": 31000008,
+         "expires_at": None, "remaining_hours": None},  # NULL expiry: every
+        # comparison is unknown → dropped by range pushdown
+    ]
+    p = tmp_path / "sigs.json"
+    p.write_text(json.dumps(recs))
+
+    # Reader-level: range + IN absorbed, StringStartsWith handed back.
+    schema = _parse_datatype_string(SIGNATURE_DDL)
+    reader = _EveScoutReader(schema, {"path": str(p), "numPartitions": "1"})
+    handed_back = list(
+        reader.pushFilters(
+            [
+                GreaterThan(attribute=("expires_at",), value="2024-01-01T12:30:00Z"),
+                In(attribute=("signature_type",), value=("wormhole", "gas")),
+                StringStartsWith(attribute=("id",), value="sig"),
+            ]
+        )
+    )
+    assert [type(f) for f in handed_back] == [StringStartsWith]
+    assert len(reader._pushed) == 2
+    [part] = reader.partitions()
+    got = {row[0] for row in reader.read(part)}
+    assert got == {"sig-2", "sig-3"}  # sig-1 expired, sig-4 NULL, both pruned
+
+    # End-to-end through Spark: same answer, filters in the query.
+    register_eve_scout(spark)
+    df = (
+        spark.read.format("eve_scout")
+        .option("path", str(p))
+        .load()
+        .filter("expires_at > '2024-01-01T12:30:00Z'")
+        .filter("signature_type IN ('wormhole', 'gas')")
+    )
+    assert {r["id"] for r in df.collect()} == {"sig-2", "sig-3"}
+    # NULL-check pushdown keeps only the NULL-expiry row
+    nulls = (
+        spark.read.format("eve_scout")
+        .option("path", str(p))
+        .load()
+        .filter("expires_at IS NULL")
+    )
+    assert {r["id"] for r in nulls.collect()} == {"sig-4"}
+
+
 def test_weighted_mean_udaf_matches_exact(spark):
     from eve_graph_spark.operators.pandas_surface import weighted_mean_by_group
 
