@@ -79,8 +79,34 @@ def fake_decoder(blob: bytes) -> list[float]:
 def real_decoder(blob: bytes) -> list[float]:  # pragma: no cover - stub
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
-        "container; inject a decoder via extract_features(decoder=...)"
+        "container; inject a decoder via extract_features(decoder=...) — "
+        "pil_image_decoder() builds one when Pillow is installed"
     )
+
+
+def pil_image_decoder() -> Callable[[bytes], list[float]] | None:
+    """Real image decode kernel, available where Pillow is installed
+    (returns None here — this container ships no codecs).
+
+    Same signature/shape as `fake_decoder` so it drops straight into
+    `extract_features(decoder=...)`: [width, height, n_channels,
+    mean_pixel_value]. Kept as a factory so the PIL import cost is paid
+    once per executor task, not per blob.
+    """
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    def decode(blob: bytes) -> list[float]:
+        arr = np.asarray(Image.open(io.BytesIO(blob)), dtype=np.float64)
+        if arr.ndim == 2:  # grayscale: normalize to HxWx1
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        return [float(w), float(h), float(c), float(arr.mean())]
+
+    return decode
 
 
 def extract_features(

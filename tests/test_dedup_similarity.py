@@ -16,6 +16,7 @@ from eve_graph_spark.operators.dedup import (
     simhash_expr,
 )
 from eve_graph_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     documents_as_media,
     extract_features,
     fake_decoder,
@@ -169,6 +170,33 @@ def test_multimodal_pipeline(spark):
     frames = frame_sample_stub(media, every_n=1).collect()
     assert {r["media_id"] for r in frames} == {1, 2}
     assert all(r["frame_no"] == 0 for r in frames)  # blobs < 1KB → 1 frame
+
+
+def test_real_pil_decoder_contract(spark):
+    """Real-codec contract (gated): where Pillow exists, extract_features
+    with pil_image_decoder() must decode an actual PNG and produce the
+    pinned [w, h, channels, mean] vector. Skips cleanly in containers
+    without codecs — the injectable-decoder plumbing is tested above."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from eve_graph_spark.operators.multimodal import pil_image_decoder
+
+    decoder = pil_image_decoder()
+    assert decoder is not None
+    img = Image.new("RGB", (2, 2))
+    img.putdata([(0, 0, 0), (255, 255, 255), (10, 20, 30), (40, 50, 60)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, "image", png, {"n_bytes": len(png), "source": "t"})], MEDIA_SCHEMA
+    )
+    [row] = extract_features(media, decoder=decoder).collect()
+    assert row["feat"] == [2.0, 2.0, 3.0, pytest.approx(975 / 12)]
 
 
 def test_ivf_local_and_distributed_paths_agree(spark):
