@@ -135,6 +135,7 @@ def sssp(
     max_iterations: int = 200,
     checkpoint_every: int = 5,
     driver_threshold: int = DRIVER_SSSP_MAX_EDGES,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Weighted single/multi-source shortest paths (G7/G8 kernel).
 
@@ -147,6 +148,11 @@ def sssp(
 
     Graphs with ≤ `driver_threshold` edges are solved on the driver
     (`_sssp_local`); pass 0 to force the distributed loop.
+
+    If `stats_out` is a dict, the distributed loop records
+    `iterations` (relaxation rounds run) and `dist_checkpoints` (lineage
+    truncations of the accumulated dist table) into it — observability for
+    tests pinning convergence/lineage behavior on long-diameter graphs.
     """
     spark = edges.sparkSession
     e = edges.select(
@@ -167,6 +173,7 @@ def sssp(
     dist = spark.createDataFrame([(int(s), 0.0, None) for s in source_ids], seed_schema)
     frontier = dist
     frontier_rows = len(source_ids)
+    n_iters = n_ckpts = 0
 
     for it in range(max_iterations):
         fr = F.broadcast(frontier) if frontier_rows <= BROADCAST_FRONTIER_MAX else frontier
@@ -191,6 +198,7 @@ def sssp(
         )
         improved = improved.localCheckpoint(eager=True)
         frontier_rows = improved.count()
+        n_iters = it + 1
         if frontier_rows == 0:
             break
         frontier = improved
@@ -201,6 +209,10 @@ def sssp(
         )
         if (it + 1) % checkpoint_every == 0:
             dist = dist.localCheckpoint(eager=True)
+            n_ckpts += 1
+    if stats_out is not None:
+        stats_out["iterations"] = n_iters
+        stats_out["dist_checkpoints"] = n_ckpts
     return dist
 
 

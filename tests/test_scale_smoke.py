@@ -38,6 +38,39 @@ def test_distributed_sssp_matches_local_at_200k_edges(spark):
     assert len(dist) > N_NODES * 0.9  # giant component reached
 
 
+def test_sssp_long_diameter_lineage_truncation(spark):
+    """~50-hop diameter forces ~50 Pregel supersteps: the accumulated dist
+    table must be localCheckpointed on schedule so the final plan stays
+    bounded (no 50-join lineage tower), and the pred chain must walk the
+    exact path back to the source."""
+    hops = 50
+    e = spark.range(hops).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    stats: dict = {}
+    out = sssp(e, [0], weight_col="w", src_col="src", dst_col="dst",
+               driver_threshold=0, checkpoint_every=5, stats_out=stats)
+    rows = {r["node"]: (r["dist"], r["pred"]) for r in out.collect()}
+    assert len(rows) == hops + 1
+    assert all(rows[i][0] == float(i) for i in range(hops + 1))
+    # pred chain reconstructs the unique path
+    node, path = hops, []
+    while node != 0:
+        path.append(node)
+        node = rows[node][1]
+    assert path == list(range(hops, 0, -1))
+    # one superstep per hop, +1 empty-frontier round to detect convergence
+    assert stats["iterations"] == hops + 1
+    # lineage truncation engaged on schedule: every 5th superstep
+    assert stats["dist_checkpoints"] == (hops + 1) // 5
+    # and the final plan is flat because of it: a lineage tower of ~50
+    # joins would print thousands of lines here
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan.splitlines()) < 60, f"unbounded lineage:\n{plan[:2000]}"
+
+
 def test_distributed_components_match_local_at_200k_edges(spark):
     e = _random_graph(spark)
     sym = e.select("src", "dst").unionAll(
