@@ -4097,3 +4097,215 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.col("quality").alias("survivor_quality"),
     )
+
+
+# =========================================================================
+# Round-4 additions: four more corpus-curation operators — paragraph-level
+# dedup, token-budget selection, embedding sign-grid semantic dedup, and
+# incremental snapshot dedup. All oracle-backed.
+# =========================================================================
+
+
+@register(
+    "paragraph_dedup_rate",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (
+        SELECT doc_id, ws,
+               unnest(range(0, CASE WHEN len(ws) <= 20 THEN 1
+                                    ELSE 1 + (len(ws) - 20 + 19) // 20 END)) AS i
+        FROM w
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(ws, i * 20 + 1, i * 20 + 20), ' ')) AS d
+        FROM idx
+    ),
+    freq AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM chunks GROUP BY d)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM chunks c JOIN freq f ON f.d = c.d
+    GROUP BY c.doc_id
+    """,
+)
+def paragraph_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Paragraph-level (20-word block) exact dedup rate per document — the
+    # boilerplate detector: a doc whose blocks mostly appear elsewhere in
+    # the corpus is template/chrome, not content. Two keyed shuffles:
+    # block-digest counts (partial-agg'd map-side), then per-doc rollup.
+    # The digests are 32-byte md5s, ~0.2% of the text volume on the wire —
+    # text itself never shuffles, same budget shape as MinHash (SCALE.md).
+    from eve_graph_spark.operators.text_analysis import chunk_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("__w"))
+        .select("doc_id", F.explode(chunk_expr("__w", 20, 20)).alias("__chunk"))
+        .select("doc_id", F.md5(F.encode("__chunk", "utf-8")).alias("__d"))
+    )
+    freq = chunks.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        chunks.join(freq, "__d")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+TOKEN_BUDGET = 10_000
+
+
+@register(
+    "token_budget_sample",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT)
+                   AS n_tokens,
+               {_QUALITY_SQL} AS quality
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+                   AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Greedy token-budget selection: take docs best-quality-first until the
+    # corpus-wide token budget is spent — the "fill the training mix to N
+    # tokens" step. The global prefix sum is DISTRIBUTED, not a
+    # single-partition window: range-shuffle on the (quality desc, doc_id)
+    # total order, per-partition running sum (keyed window), then constant
+    # per-partition token offsets from a K-row driver-local collect — the
+    # same pattern customer_spend_quartiles pins for rank.
+    from eve_graph_spark.operators.text_analysis import quality_score_expr, token_count
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+    k = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        t.repartitionByRange(k, F.col("quality").desc(), F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = sorted(
+        (r["__pid"], r["s"])
+        for r in ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, s in sums:
+        offsets[pid] = acc
+        acc += s or 0
+    offset_map = F.create_map(*[F.lit(v) for pid_off in offsets.items() for v in pid_off])
+    local_w = Window.partitionBy("__pid").orderBy(F.desc("quality"), "doc_id")
+    cum = (offset_map[F.col("__pid")] + F.sum("n_tokens").over(local_w)).alias("cum_tokens")
+    return (
+        ranged.select("doc_id", "n_tokens", cum)
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+
+
+@register(
+    "semantic_bucket_dedup",
+    """
+    WITH b AS (
+        SELECT vec_id,
+               CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                  + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                  + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                  + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id, bucket,
+           MIN(vec_id) OVER (PARTITION BY bucket) AS survivor_vec_id,
+           CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_members,
+           vec_id <> MIN(vec_id) OVER (PARTITION BY bucket) AS is_dup
+    FROM b
+    """,
+)
+def semantic_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semantic (embedding-space) dedup via sign-grid bucketing: the sign
+    # bits of the first 8 dimensions are an 8-bit SimHash over the
+    # embedding — vectors in the same orthant bucket together, min vec_id
+    # survives. One keyed shuffle on the bucket id; the 64-float vector
+    # never shuffles (the bucket is computed in the scan stage). The
+    # scale path to finer granularity is more bits (wider orthant code) or
+    # random-hyperplane projections — same plan shape either way.
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    bucket = sum(
+        (F.col("embedding").getItem(i) >= 0).cast("long") * (1 << i) for i in range(8)
+    ).cast("long")
+    w = Window.partitionBy("bucket")
+    return (
+        emb.select("vec_id", bucket.alias("bucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.min("vec_id").over(w).alias("survivor_vec_id"),
+            F.count(F.lit(1)).over(w).alias("n_members"),
+        )
+        .withColumn("is_dup", F.col("vec_id") != F.col("survivor_vec_id"))
+    )
+
+
+@register(
+    "incremental_snapshot_dedup",
+    """
+    WITH old AS (
+        SELECT md5(text) AS d, MIN(doc_id) AS dup_of
+        FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+        GROUP BY md5(text)
+    ),
+    new AS (
+        SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT n.doc_id, o.dup_of, o.dup_of IS NOT NULL AS is_dup
+    FROM new n LEFT JOIN old o ON o.d = n.d
+    """,
+)
+def incremental_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental ingestion dedup: screen a new crawl batch (odd doc_ids
+    # here) against the already-curated corpus (even doc_ids) by exact
+    # digest. The old corpus collapses to a (digest, min_id) index — in
+    # production that index is materialized/bucketed by digest once and
+    # each nightly batch shuffle-joins against it, so the cost per batch is
+    # O(batch + index), never O(corpus^2). NULL text never matches (SQL
+    # equality), mirrored in the oracle by the IS NOT NULL guard on the
+    # index side.
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    digest = F.md5(F.encode("text", "utf-8"))
+    old = (
+        docs.filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        .groupBy(digest.alias("__d"))
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", digest.alias("__d"))
+    return new.join(old, "__d", "left").select(
+        "doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
+    )

@@ -1,0 +1,114 @@
+"""Unit tests for the round-4 curation operators: paragraph-level dedup
+rate, token-budget selection, semantic sign-grid dedup, and incremental
+snapshot dedup — synthetic corpora with hand-checked ground truth.
+(Oracle parity over the fixture tables is covered by the driver contract;
+these pin the semantics on shapes the fixtures don't contain.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from eve_graph_spark import queries as registry
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_paragraph_dedup_rate_hand_checked(spark, tmp_path):
+    block_a = " ".join(f"w{i}" for i in range(20))
+    block_b = " ".join(f"b{i}" for i in range(20))
+    block_c = " ".join(f"c{i}" for i in range(20))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"{block_a} {block_b}", "en", "s", 0),  # chunks [A, B]
+            (2, f"{block_a} {block_c}", "en", "s", 0),  # chunks [A, C]
+            (3, "solo text", "en", "s", 0),  # one short chunk
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in registry.paragraph_dedup_rate(spark, sf).collect()}
+    assert (got[1]["n_chunks"], got[1]["n_dup_chunks"], got[1]["dup_frac"]) == (2, 1, 0.5)
+    assert (got[2]["n_chunks"], got[2]["n_dup_chunks"], got[2]["dup_frac"]) == (2, 1, 0.5)
+    assert (got[3]["n_chunks"], got[3]["n_dup_chunks"], got[3]["dup_frac"]) == (1, 0, 0.0)
+
+
+def test_token_budget_sample_boundary(spark, tmp_path, monkeypatch):
+    # Identical 2-token docs whose quality is driven purely by word length:
+    # selection must proceed best-quality-first and stop AT the budget.
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "aa bb", "en", "s", 0),        # quality 2.5, 2 tokens
+            (2, "aaaaaa bbbbbb", "en", "s", 0),  # quality 6.5, 2 tokens
+            (3, "aaaa bbbb", "en", "s", 0),    # quality 4.5, 2 tokens
+        ],
+    )
+    monkeypatch.setattr(registry, "TOKEN_BUDGET", 4)
+    rows = {r["doc_id"]: r.asDict() for r in registry.token_budget_sample(spark, sf).collect()}
+    # best two qualities (docs 2 then 3) fit the 4-token budget; doc 1 not
+    assert set(rows) == {2, 3}
+    assert rows[2]["cum_tokens"] == 2 and rows[3]["cum_tokens"] == 4
+    assert all(r["n_tokens"] == 2 for r in rows.values())
+
+
+def test_semantic_bucket_dedup_orthants(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0] * 64, 0),           # all-positive orthant: bucket 255
+            (2, [0.5] * 64, 0),           # same orthant -> dup of 1
+            (3, [-1.0] + [1.0] * 63, 0),  # dim0 negative: bucket 254
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r["vec_id"]: r.asDict() for r in
+           registry.semantic_bucket_dedup(spark, str(tmp_path)).collect()}
+    assert got[1]["bucket"] == 255 and not got[1]["is_dup"]
+    assert got[2]["bucket"] == 255 and got[2]["is_dup"]
+    assert got[2]["survivor_vec_id"] == 1 and got[2]["n_members"] == 2
+    assert got[3]["bucket"] == 254 and not got[3]["is_dup"] and got[3]["n_members"] == 1
+
+
+def test_incremental_snapshot_dedup_matches_and_misses(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "same text", "en", "s", 0),   # old corpus
+            (2, "other old", "en", "s", 0),   # old corpus
+            (1, "same text", "en", "s", 0),   # new: dup of 0
+            (3, "brand new", "en", "s", 0),   # new: unique
+            (5, None, "en", "s", 0),          # new: NULL text never matches
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           registry.incremental_snapshot_dedup(spark, sf).collect()}
+    assert got[1]["dup_of"] == 0 and got[1]["is_dup"]
+    assert got[3]["dup_of"] is None and not got[3]["is_dup"]
+    assert got[5]["dup_of"] is None and not got[5]["is_dup"]
+
+
+def test_new_queries_have_oracles():
+    oracles = registry.oracle_sql()
+    for name in (
+        "paragraph_dedup_rate",
+        "token_budget_sample",
+        "semantic_bucket_dedup",
+        "incremental_snapshot_dedup",
+    ):
+        assert name in registry.queries() and name in oracles
+
+
+@pytest.mark.parametrize("name", ["paragraph_dedup_rate", "token_budget_sample"])
+def test_new_doc_queries_null_text_safe(spark, tmp_path, name):
+    # A NULL-text doc must not crash the plan; it simply contributes no
+    # chunks/tokens (oracle behaves identically: unnest(NULL) -> 0 rows).
+    sf = _write_docs(spark, tmp_path, [(1, "some real text here", "en", "s", 0),
+                                       (2, None, "en", "s", 0)])
+    rows = registry.queries()[name](spark, sf).collect()
+    assert {r["doc_id"] for r in rows} <= {1, 2}
