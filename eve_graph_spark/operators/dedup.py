@@ -206,6 +206,73 @@ def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: st
     return jaccard_pairs(df, cands, text_col, id_col, k).filter(F.col("jaccard") >= threshold)
 
 
+def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.5) -> DataFrame:
+    """(doc_id, cluster) near-dup cluster membership with exact-dup
+    pre-collapse — the scale-critical ordering for dup-heavy corpora.
+
+    Running LSH directly on a corpus where exact duplicates are common
+    emits C(m,2) candidate pairs per m-member identical group (identical
+    text → identical signature → same bucket): the skewed scale-stress
+    corpus (scripts/scale_stress.py, 50-member groups + one 1,000-member
+    group) drives that to millions of pairs and ~14 GB of shuffle. Instead:
+
+      1. collapse exact dups to one min-id representative per text digest
+         (one keyed shuffle of 16-byte digests);
+      2. LSH + exact-Jaccard verification over representatives only —
+         identical docs contribute ONE node, so the per-group pair blowup
+         disappears while cross-group near-dup pairs are unchanged
+         (identical text ⇒ identical signature ⇒ identical banding);
+      3. connected components over the representative pair graph;
+      4. map members back through their digest.
+
+    Cluster ids are invariant under the collapse: each member's id ≥ its
+    representative's id (rep = min of the digest group), so min-over-
+    members == min-over-representatives for every component — the output
+    matches the direct member-level pair/CC computation row-for-row, and
+    the cluster-level oracles (recursive-CTE min-label propagation over
+    member-level pairs) stay valid.
+
+    NULL text coalesces to '' for the digest, mirroring _shingles_sql: all
+    null/empty docs form one exact group and stay in the universe.
+    """
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    digest = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+    withd = docs.select(F.col(id_col), F.col(text_col), digest.alias("__dg"))
+    # min_by keeps the representative's text inside the same agg — no
+    # second scan and no doc_id-keyed full-text semi-join; map-side partial
+    # aggregation collapses identical texts before the wire, so the shuffle
+    # carries one (digest, text) per DISTINCT text per partition — on the
+    # dup-heavy corpora this path exists for, a fraction of the input.
+    reps = withd.groupBy("__dg").agg(
+        F.min(id_col).alias("__rep"),
+        F.min_by(text_col, F.col(id_col)).alias(text_col),
+    )
+    rep_docs = reps.select(F.col("__rep").alias(id_col), text_col)
+    pairs = portable_minhash_near_dups(
+        rep_docs, text_col=text_col, id_col=id_col, threshold=threshold
+    ).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    # CC evaluates its input at least twice (size probe + solve); persist so
+    # the MinHash pipeline doesn't rerun per evaluation.
+    sym = sym.persist()
+    try:
+        cc = connected_components(sym, src_col="s", dst_col="d")
+        cc = cc.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
+    # No broadcast hints anywhere below: rep→cluster and member→rep are
+    # O(corpus) at crawl scale — keyed shuffle joins, AQE may still
+    # broadcast when genuinely small.
+    rep_cluster = reps.join(cc, reps["__rep"] == cc["node"], "left").select(
+        "__dg", F.coalesce("component", "__rep").alias("cluster")
+    )
+    return withd.select(id_col, "__dg").join(rep_cluster, "__dg").select(id_col, "cluster")
+
+
 def portable_simhash_sql(text_col: str, bits: int = 31, k: int = 2) -> str:
     """Portable SimHash (Spark SQL string): the same vote-accumulator shape
     as `simhash_expr` but over the 31-bit polynomial shingle hash, so a SQL

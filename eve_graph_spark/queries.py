@@ -111,6 +111,9 @@ _MODIFIED_THIS_ROUND = {
     "time_interpolate_events",
     "time_rollup_events",
     "tumbling_window_events",
+    # exact-dup pre-collapse rewired the LSH cluster pipeline (r4)
+    "dedup_pipeline_documents",
+    "dedup_survivors_quality",
 }
 
 
@@ -2325,37 +2328,21 @@ _MINHASH_PAIRS_FOR_CC = f"""
     """,
 )
 def dedup_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The full LLM-corpus dedup pipeline in one query: MinHash-LSH near-dup
-    # PAIRS → connected components over the pair graph (transitive near-dup
-    # CLUSTERS) → keep-min survivor per cluster. Every stage oracle-checked
-    # (the recursive CTE replays the min-label propagation).
-    from eve_graph_spark.operators.dedup import portable_minhash_near_dups
-    from eve_graph_spark.operators.graph_analytics import connected_components
+    # The full LLM-corpus dedup pipeline in one query: exact-dup collapse →
+    # MinHash-LSH near-dup PAIRS over representatives → connected
+    # components (transitive near-dup CLUSTERS) → members mapped back →
+    # keep-min survivor per cluster. The pre-collapse kills the C(m,2)
+    # LSH pair blowup on identical-doc groups (see near_dup_clusters);
+    # cluster ids are provably unchanged, so the member-level recursive-CTE
+    # oracle still applies. Every stage oracle-checked.
+    from eve_graph_spark.operators.dedup import near_dup_clusters
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    pairs = portable_minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
-    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
-        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
-    )
-    # CC evaluates its input at least twice (size probe + solve); without
-    # this persist the whole MinHash pipeline would rerun each time.
-    sym = sym.persist()
-    try:
-        cc = connected_components(sym, src_col="s", dst_col="d")
-        cc = cc.localCheckpoint(eager=True)
-    finally:
-        sym.unpersist()
-    # No broadcast hint on cc: near-dup cluster membership is O(corpus) at
-    # crawl scale — far past any broadcast threshold. A keyed shuffle join
-    # is the scale-safe plan; AQE still broadcasts when cc is actually small.
-    return (
-        docs.select("doc_id")
-        .join(cc, docs.doc_id == cc.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("cluster"),
-            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
-        )
+    clusters = near_dup_clusters(docs, threshold=0.5)
+    return clusters.select(
+        "doc_id",
+        "cluster",
+        (F.col("cluster") == F.col("doc_id")).alias("keep"),
     )
 
 
@@ -4061,27 +4048,16 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min id — what a production corpus dedup actually ships. Ties on
     # quality break to min doc_id for determinism. The quality score is
     # the same portable expression the quality_scores query pins.
-    from eve_graph_spark.operators.dedup import portable_minhash_near_dups
-    from eve_graph_spark.operators.graph_analytics import connected_components
+    from eve_graph_spark.operators.dedup import near_dup_clusters
     from eve_graph_spark.operators.text_analysis import quality_score_expr
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    pairs = portable_minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
-    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
-        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
-    )
-    sym = sym.persist()
-    try:
-        cc = connected_components(sym, src_col="s", dst_col="d")
-        cc = cc.localCheckpoint(eager=True)
-    finally:
-        sym.unpersist()
-    # No broadcast hint on cc (see dedup_pipeline_documents): membership is
-    # O(corpus) at crawl scale; let AQE pick broadcast only when it fits.
+    # Exact-dup pre-collapse before LSH (near_dup_clusters): same clusters,
+    # none of the C(m,2) pair blowup on identical-doc groups.
     member = (
         docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
-        .join(cc, F.col("doc_id") == F.col("node"), "left")
-        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster"), "quality")
+        .join(near_dup_clusters(docs, threshold=0.5), "doc_id")
+        .select("doc_id", "cluster", "quality")
     )
     w = Window.partitionBy("cluster")
     best = member.select(

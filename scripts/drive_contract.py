@@ -26,6 +26,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import __spark_entry__ as contract  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# extra args = query-name substrings to check (e.g. `drive_contract.py
+# /root/testdata/sf0.01 dedup sssp`); no extras = the full registry.
+ONLY = sys.argv[2:]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -82,6 +85,8 @@ def main() -> int:
     assert len(erows) > 0
 
     qs, oracles = contract.queries(), contract.oracle_sql()
+    if ONLY:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
     failed = []
     for name, fn in sorted(qs.items()):
         t0 = time.time()

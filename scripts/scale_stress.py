@@ -1,0 +1,166 @@
+"""Skewed scale-stress for the curation operators (VERDICT r2 item 4).
+
+Inflates sf0.1 documents ~100x to 500k docs with deliberately hostile
+shape — one mega near-dup cluster (~1,000 identical docs), 5,000 exact-dup
+clusters of 50, near-dup satellite variants, a mega source domain holding
+~40% of the corpus, and a skewed lang distribution — then runs the four
+curation queries against it exactly as the bench harness would (noop sink)
+and records wall time + shuffle bytes per query from the Spark UI REST API.
+
+This is the empirical check behind SCALE.md's skew notes: the LSH pair
+blowup on dup-heavy corpora, the per-lang window straggler in domain
+mixing, and the CC-membership join in survivor selection all actually get
+exercised at a size where they would visibly stall if the plans regressed
+to their quadratic/single-task forms.
+
+Usage: python scripts/scale_stress.py [--rep 100] [--keep]
+Prints one JSON line per query and a summary line; exits non-zero if any
+query fails or exceeds its wall-time budget.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from eve_graph_spark import queries as registry  # noqa: E402
+from eve_graph_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+SRC_DIR = "/root/testdata/sf0.1"
+
+# Generous wall-time ceilings (sec) on local[32]: an order of magnitude
+# above the healthy runtime, tight enough to flag a plan regressing to a
+# quadratic/single-task form (which overshoots these by >10x).
+BUDGETS = {
+    "repetition_stats_documents": 600,
+    "domain_mix_documents": 300,
+    "dedup_survivors_quality": 1200,
+    "corpus_curation_pipeline": 600,
+}
+
+
+def build_skewed_corpus(spark: SparkSession, out_dir: str, rep: int) -> None:
+    """500k-doc corpus (at rep=100) with dup clusters + domain/lang skew.
+
+    Deterministic (no rand()): every shape below is a pure function of
+    (doc_id, rep).
+    - replicas 0..49 of each base doc keep the base text → 5,000 exact-dup
+      clusters of 50 members;
+    - base docs where doc_id % 500 == 0 (10 of them) share ONE fixed text
+      across all replicas → a single ~1,000-member identical mega cluster;
+    - replicas 50..59 append a small suffix → near-dup satellites that LSH
+      must still bucket with the core at threshold 0.5;
+    - ~40% of rows land in source 'mega.example' and lang 'en' → the giant
+      domain / giant window-partition stragglers the SCALE.md notes cover.
+    """
+    base = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    reps = spark.range(rep).select(F.col("id").cast("int").alias("rep"))
+    inflated = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * rep + F.col("rep")).alias("doc_id"),
+            F.when(F.col("doc_id") % 500 == 0, F.lit("mega cluster body " * 12))
+            .when(F.col("rep") < 50, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" tail"), F.col("rep").cast("string")))
+            .alias("text"),
+            F.when(F.abs(F.xxhash64("doc_id", "rep")) % 10 < 4, F.lit("en"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            F.when(F.abs(F.xxhash64("rep", "doc_id")) % 10 < 4, F.lit("mega.example"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            F.col("n_chars"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    inflated.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def completed_stage_metrics(spark: SparkSession) -> dict[int, dict]:
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete") as r:
+            stages = json.load(r)
+    except OSError:
+        return {}
+    return {s["stageId"]: s for s in stages}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rep", type=int, default=100)
+    ap.add_argument("--keep", action="store_true", help="keep the generated corpus dir")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale-stress")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="scale_stress_")
+    # queries resolve every table against sf_dir: link the rest through
+    for name in TABLE_NAMES:
+        if name != "documents":
+            (Path(tmp) / f"{name}.parquet").symlink_to(f"{SRC_DIR}/{name}.parquet")
+
+    t0 = time.time()
+    build_skewed_corpus(spark, tmp, args.rep)
+    n_docs = spark.read.parquet(f"{tmp}/documents.parquet").count()
+    print(json.dumps({"corpus": tmp, "n_docs": n_docs, "gen_sec": round(time.time() - t0, 1)}))
+
+    qs = registry.queries()
+    failures = []
+    for name, budget in BUDGETS.items():
+        before = set(completed_stage_metrics(spark))
+        t0 = time.time()
+        try:
+            qs[name](spark, tmp).write.format("noop").mode("overwrite").save()
+            took = time.time() - t0
+            err = None
+        except Exception as e:  # noqa: BLE001 - report and keep stressing
+            took = time.time() - t0
+            err = f"{type(e).__name__}: {e}"[:300]
+        stages = completed_stage_metrics(spark)
+        new = [s for sid, s in stages.items() if sid not in before]
+        shuffle_write = sum(s.get("shuffleWriteBytes", 0) for s in new)
+        shuffle_read = sum(s.get("shuffleReadBytes", 0) for s in new)
+        rec = {
+            "query": name,
+            "sec": round(took, 1),
+            "budget_sec": budget,
+            "shuffle_write_mb": round(shuffle_write / 1e6, 1),
+            "shuffle_read_mb": round(shuffle_read / 1e6, 1),
+            "n_stages": len(new),
+            "err": err,
+        }
+        print(json.dumps(rec))
+        if err or took > budget:
+            failures.append(name)
+
+    if not args.keep:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"result": "FAIL" if failures else "PASS", "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,3 +112,48 @@ def test_new_doc_queries_null_text_safe(spark, tmp_path, name):
                                        (2, None, "en", "s", 0)])
     rows = registry.queries()[name](spark, sf).collect()
     assert {r["doc_id"] for r in rows} <= {1, 2}
+
+
+def test_near_dup_clusters_precollapse_equivalence(spark):
+    """The exact-dup pre-collapse must give the SAME clusters as direct
+    member-level LSH+CC — including exact-dup groups, near-dup satellites
+    bridging groups, and true singletons."""
+    from pyspark.sql import functions as F
+
+    from eve_graph_spark.operators.dedup import (
+        near_dup_clusters,
+        portable_minhash_near_dups,
+    )
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    # exact group A: ids 0..4 identical; satellite 5 near-dups A
+    rows += [(i, base) for i in range(5)]
+    rows += [(5, base + " tail")]
+    # exact group B: ids 10..12 identical, unrelated text
+    other = "completely different words about spark shuffles and parquet files"
+    rows += [(10 + i, other) for i in range(3)]
+    # singletons
+    rows += [(20, "unique text one of a kind entirely"), (21, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: r["cluster"] for r in near_dup_clusters(docs).collect()}
+
+    # direct member-level reference
+    pairs = portable_minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    cc = connected_components(sym, src_col="s", dst_col="d")
+    direct = {
+        r["doc_id"]: r["cluster"]
+        for r in docs.join(cc, docs.doc_id == cc.node, "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster"))
+        .collect()
+    }
+    assert got == direct
+    # and the shape is what we designed: A∪satellite one cluster rooted at 0
+    assert {got[i] for i in range(6)} == {0}
+    assert {got[i] for i in (10, 11, 12)} == {10}
+    assert got[20] == 20 and got[21] == 21
