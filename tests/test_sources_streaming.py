@@ -313,3 +313,47 @@ def test_wormhole_expiry_stream(spark, tmp_path):
     pairs = {(r["src_system_id"], r["dst_system_id"]) for r in rows}
     assert pairs == {(1, 2), (2, 1)}  # bidirectional, dedup'd, non-wormhole dropped
     assert len(rows) == 2
+
+
+def test_events_with_ts_both_disk_encodings(spark, tmp_path):
+    """events.ts has shipped as TIMESTAMP(NANOS)-read-as-long AND as
+    TIMESTAMP(MICROS); events_with_ts must derive identical
+    ts_ns/ts_sec/ts from either encoding (r3→r4 data change)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eve_graph_spark.sources.tables import events_with_ts
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+    micros = [base_us, base_us + 1_500_000, base_us + 59_000_001]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 10, 11], pa.int64()),
+        "event_type": pa.array(["a", "b", "a"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(['{"k":1}'] * 3),
+    }
+    d_us = tmp_path / "us"
+    d_us.mkdir()
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(micros, pa.timestamp("us"))}),
+        d_us / "events.parquet",
+    )
+    d_ns = tmp_path / "ns"
+    d_ns.mkdir()
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}),
+        d_ns / "events.parquet",
+    )
+
+    def snap(sf_dir):
+        return sorted(
+            (r["event_id"], r["ts_ns"], r["ts_sec"], r["ts"])
+            for r in events_with_ts(spark, str(sf_dir)).collect()
+        )
+
+    got_us, got_ns = snap(d_us), snap(d_ns)
+    assert got_us == got_ns
+    assert got_us[0][1] == base_us * 1000  # ts_ns in nanos
+    assert got_us[0][2] == base_us // 1_000_000  # ts_sec in seconds
+    assert got_us[2][2] == base_us // 1_000_000 + 59
