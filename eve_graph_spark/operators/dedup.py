@@ -147,10 +147,19 @@ PORTABLE_P = 2_147_483_647  # 2^31-1: acc*31+code stays far inside int64
 
 
 def portable_shingle_hash_sql(shingles_sql: str) -> str:
-    """array<long>: rolling hash of each shingle's characters (Spark SQL)."""
+    """array<long>: md5-derived 56-bit hash of each shingle, mod P
+    (Spark SQL).
+
+    Replaced the per-character polynomial rolling hash: that form cost one
+    interpreted lambda step per CHARACTER (nested HOFs — ~3× text length
+    per doc), which dominated the whole LSH pipeline. md5 is a JVM
+    intrinsic here and vectorized C++ in DuckDB, and both engines parse
+    the same 14 hex chars to the same integer (conv(...,16,10) here,
+    ('0x'||...)::BIGINT there), so oracle parity is exact.
+    """
     return (
-        f"transform({shingles_sql}, s -> aggregate(sequence(1, length(s)), "
-        f"CAST(0 AS BIGINT), (acc, i) -> (acc * 31 + ascii(substring(s, i, 1))) % {PORTABLE_P}))"
+        f"transform({shingles_sql}, "
+        f"s -> CAST(conv(substr(md5(s), 1, 14), 16, 10) AS BIGINT) % {PORTABLE_P})"
     )
 
 

@@ -114,6 +114,9 @@ _MODIFIED_THIS_ROUND = {
     # exact-dup pre-collapse rewired the LSH cluster pipeline (r4)
     "dedup_pipeline_documents",
     "dedup_survivors_quality",
+    # portable shingle hash switched from per-char polynomial to md5 (r4)
+    "minhash_near_dups_portable",
+    "simhash_portable",
 }
 
 
@@ -1560,11 +1563,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mhs AS (
         SELECT doc_id, sh,
-               list_transform(sh, s -> list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, length(s) + 1),
-                           i -> CAST(ord(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
-                   (acc, x) -> (acc * 31 + x) % 2147483647)) AS hs
+               list_transform(sh, s ->
+                   ('0x' || substr(md5(s), 1, 14))::BIGINT % 2147483647) AS hs
         FROM msh
     ),
     msigs AS (
@@ -1623,11 +1623,8 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     phs AS (
         SELECT doc_id,
-               list_transform(sh, s -> list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, length(s) + 1),
-                           i -> CAST(ord(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
-                   (acc, x) -> (acc * 31 + x) % 2147483647)) AS hs
+               list_transform(sh, s ->
+                   ('0x' || substr(md5(s), 1, 14))::BIGINT % 2147483647) AS hs
         FROM psh
     )
     SELECT doc_id,
@@ -2275,11 +2272,8 @@ _MINHASH_PAIRS_FOR_CC = f"""
     ),
     mhs AS (
         SELECT doc_id, sh,
-               list_transform(sh, s -> list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, length(s) + 1),
-                           i -> CAST(ord(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
-                   (acc, x) -> (acc * 31 + x) % 2147483647)) AS hs
+               list_transform(sh, s ->
+                   ('0x' || substr(md5(s), 1, 14))::BIGINT % 2147483647) AS hs
         FROM msh
     ),
     msigs AS (
