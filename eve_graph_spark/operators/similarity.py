@@ -298,18 +298,13 @@ def _ivf_topk_local(
     )
 
 
-def pairwise_cosine(embeddings: DataFrame, pairs: DataFrame,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact fixed-point cosine for given (id_a, id_b) pairs — the verify
-    kernel of embedding-cosine near-dup dedup (candidate pairs come from
-    LSH buckets at scale; here they are caller-supplied).
-
-    Per-dimension products are fixed-pointed with floor(x*1e9+0.5) and
-    summed as exact integers so the result is bit-reproducible in SQL.
-    The dot product stays inside JVM array expressions — no posexplode,
-    no shuffle of the vectors beyond the pair join itself.
-    """
-    fp_dot = lambda a, b: (  # noqa: E731
+def fixed_dot(a, b):
+    """Exact fixed-point dot of two array columns: per-dimension products
+    floored at 1e9 fixed point (an IEEE-identical op in any engine) and
+    summed as exact integers, so the double result is bit-reproducible in
+    SQL. Stays inside JVM array expressions — no posexplode, no shuffle."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return (
         F.aggregate(
             F.zip_with(a, b, lambda x, y: F.floor(
                 x.cast("double") * y.cast("double") * F.lit(float(FIXED_POINT_SCALE)) + F.lit(0.5)
@@ -319,6 +314,15 @@ def pairwise_cosine(embeddings: DataFrame, pairs: DataFrame,
         )
         / F.lit(float(FIXED_POINT_SCALE))
     )
+
+
+def pairwise_cosine(embeddings: DataFrame, pairs: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact fixed-point cosine for given (id_a, id_b) pairs — the verify
+    kernel of embedding-cosine near-dup dedup (candidate pairs come from
+    LSH buckets at scale; here they are caller-supplied).
+    """
+    fp_dot = fixed_dot
     ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     joined = pairs.join(ea, "id_a").join(eb, "id_b")

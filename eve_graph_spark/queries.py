@@ -4279,3 +4279,136 @@ def incremental_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.join(old, "__d", "left").select(
         "doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
     )
+
+
+@register(
+    "hard_negatives_topk",
+    """
+    WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
+    v AS (SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+          FROM embeddings, pos),
+    norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(val * val * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 AS sq
+        FROM v GROUP BY 1
+    ),
+    q AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 20 = 0),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               SUM(CAST(FLOOR(a.val * b.val * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 AS dot
+        FROM v a JOIN v b ON b.pos = a.pos
+        WHERE a.vec_id % 20 = 0 AND b.label <> a.label
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.query_id, d.vec_id,
+               d.dot / (sqrt(nq.sq) * sqrt(nv.sq)) AS cosine
+        FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+                    JOIN norms nv ON nv.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id AS negative_vec_id, cosine,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hard-negative mining for contrastive training: for each query vector,
+    # the top-3 most-cosine-similar vectors with a DIFFERENT label — the
+    # near-misses a bi-encoder learns the most from. Exact brute-force
+    # scoring (the query batch broadcasts; the corpus is scanned once —
+    # the same shape as ann_brute_force_topk, whose LSH/IVF variants are
+    # the documented scale path for wider query sets), fixed-point dot for
+    # engine parity, top-3 via rank-filter (WindowGroupLimit: per-partition
+    # top-k, no global sort).
+    from eve_graph_spark.operators.similarity import fixed_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
+    norms = v.select("vec_id", fixed_dot("vec", "vec").alias("sq"))
+    q = v.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("q_vec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            fixed_dot("q_vec", "vec").alias("dot"),
+        )
+        .join(norms.select(F.col("vec_id").alias("query_id"), F.col("sq").alias("q_sq")), "query_id")
+        .join(norms.select("vec_id", F.col("sq").alias("v_sq")), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("dot") / (F.sqrt("q_sq") * F.sqrt("v_sq"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_vec_id"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+RESAMPLE_MOD = 1_000_003
+
+
+@register(
+    "lang_temperature_resample",
+    f"""
+    WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+                    FROM documents GROUP BY lang),
+    floor_n AS (SELECT MIN(n_lang) AS min_n FROM counts),
+    rates AS (
+        SELECT lang, n_lang,
+               CAST(FLOOR(sqrt(CAST(f.min_n AS DOUBLE) / CAST(n_lang AS DOUBLE))
+                          * {RESAMPLE_MOD} + 0.5) AS BIGINT) AS keep_fp
+        FROM counts, floor_n f
+    )
+    SELECT d.doc_id, d.lang, r.keep_fp
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (d.doc_id % {RESAMPLE_MOD}) * 2654435761 % {RESAMPLE_MOD} < r.keep_fp
+    """,
+)
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-based language rebalancing (the multilingual data-mix
+    # step): downsample each language at rate sqrt(min_count / count) —
+    # temperature alpha = 0.5, chosen because IEEE-754 requires sqrt to be
+    # correctly rounded, so Spark and DuckDB compute the IDENTICAL rate
+    # (pow(x, 0.7) carries no such guarantee and can flip a fixed-point
+    # boundary). Selection is the deterministic Knuth-hash threshold, so
+    # reruns and engines agree row-for-row. Two tiny aggregates (per-lang
+    # counts, global min) broadcast back onto the scan — the corpus is
+    # read once and never shuffled.
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    min_n = counts.agg(F.min("n_lang").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("min_n").cast("double") / F.col("n_lang").cast("double"))
+            * RESAMPLE_MOD
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("keep_fp"),
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter((F.col("doc_id") % RESAMPLE_MOD) * 2654435761 % RESAMPLE_MOD < F.col("keep_fp"))
+        .select("doc_id", "lang", "keep_fp")
+    )

@@ -157,3 +157,37 @@ def test_near_dup_clusters_precollapse_equivalence(spark):
     assert {got[i] for i in range(6)} == {0}
     assert {got[i] for i in (10, 11, 12)} == {10}
     assert got[20] == 20 and got[21] == 21
+
+
+def test_hard_negatives_topk_excludes_same_label(spark, tmp_path):
+    # 1-d embeddings make cosine degenerate (all 1.0), so rank falls to the
+    # vec_id tie-break — what matters here: same-label vectors are NEVER
+    # negatives, the query itself is excluded, rank caps at 3.
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64, 7), (1, [1.0] * 64, 7), (2, [1.0] * 64, 8),
+         (3, [1.0] * 64, 8), (4, [1.0] * 64, 9), (5, [1.0] * 64, 9)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = registry.hard_negatives_topk(spark, str(tmp_path)).collect()
+    got = {(r["query_id"], r["negative_vec_id"]) for r in rows}
+    # only query is vec_id 0 (label 7): negatives are 2,3,4 (tie-break by id)
+    assert got == {(0, 2), (0, 3), (0, 4)}
+    assert {r["rank"] for r in rows} == {1, 2, 3}
+    assert all(r["cosine"] == pytest.approx(1.0) for r in rows)
+
+
+def test_lang_temperature_resample_rates(spark, tmp_path):
+    # en: 4 docs, zh: 1 doc -> min_n = 1, keep rate sqrt(1/4) = 0.5 for en,
+    # 1.0 for zh. Knuth-hash threshold is deterministic: recompute it here.
+    rows = [(i, f"text {i}", "en", "s", 0) for i in range(4)]
+    rows += [(10, "rare", "zh", "s", 0)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r["keep_fp"] for r in
+           registry.lang_temperature_resample(spark, sf).collect()}
+    M = registry.RESAMPLE_MOD
+    import math
+    fp_en = math.floor(math.sqrt(1 / 4) * M + 0.5)
+    expect = {i for i in range(4) if (i % M) * 2654435761 % M < fp_en} | {10}
+    assert set(got) == expect
+    assert got[10] == M  # rate 1.0 keeps every rare-lang doc
