@@ -4334,9 +4334,14 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         F.col("vec").alias("q_vec"),
     )
+    # crossJoin + filter (not join(cond)): Catalyst folds the label filter
+    # into the BNLJ while keeping it marked Cross — the explicitly
+    # intentional broadcast-batch x corpus scan, which the registry-wide
+    # plan gate distinguishes from an accidental non-equi join.
     scored = (
         F.broadcast(q)
-        .join(v, F.col("label") != F.col("q_label"))
+        .crossJoin(v)
+        .filter(F.col("label") != F.col("q_label"))
         .select(
             "query_id",
             "vec_id",
@@ -4411,4 +4416,169 @@ def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(rates), "lang")
         .filter((F.col("doc_id") % RESAMPLE_MOD) * 2654435761 % RESAMPLE_MOD < F.col("keep_fp"))
         .select("doc_id", "lang", "keep_fp")
+    )
+
+
+@register(
+    "containment_pairs",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(lower(coalesce(text, '')), ' ')) >= 3 THEN
+                   list_transform(range(0, len(string_split(lower(coalesce(text, '')), ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(lower(coalesce(text, '')), ' '), i + 1, i + 3), ' '))
+                   ELSE [lower(coalesce(text, ''))] END) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment_a,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS containment_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+               OR CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) >= 0.8
+               AS is_contained
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Asymmetric shingle containment |A∩B|/|A| vs /|B| — catches quotes /
+    # subsets / doc-inside-doc that symmetric Jaccard under-scores (a short
+    # doc fully quoted inside a long one has tiny Jaccard but containment
+    # 1.0). Same consecutive-pair oracle convention as ngram_jaccard_pairs;
+    # at scale the pair source is the LSH candidate stream and the kernel
+    # is unchanged (shingle arrays meet only inside the pair join).
+    from eve_graph_spark.operators.dedup import shingles_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", shingles_expr("text", 3).alias("sh"))
+    pairs = sh.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")).join(
+        sh.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    j = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    ca = (inter / F.size("sh_a").cast("double")).alias("containment_a")
+    cb = (inter / F.size("sh_b").cast("double")).alias("containment_b")
+    return j.select(
+        "id_a", "id_b", ca, cb,
+        ((inter / F.size("sh_a").cast("double") >= 0.8)
+         | (inter / F.size("sh_b").cast("double") >= 0.8)).alias("is_contained"),
+    )
+
+
+@register(
+    "self_repetition_spans",
+    """
+    WITH w AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ws FROM documents),
+    g AS (
+        SELECT doc_id,
+               array_to_string(list_slice(ws, i + 1, i + 5), ' ') AS gram
+        FROM w, LATERAL unnest(range(0, CASE WHEN len(ws) >= 5 THEN len(ws) - 4 ELSE 0 END)) AS u(i)
+    ),
+    counts AS (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_spans,
+           MAX(n) AS top_span_n,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(n) AS DOUBLE) AS repeated_span_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def self_repetition_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Long-span self-repetition (Gopher's "repeated 5-gram" class): docs
+    # that loop the same 5-word span are generation/template junk that
+    # word- and bigram-level stats under-detect. Linear explode → two
+    # keyed aggregations, partial-agg'd map-side — the same scale shape as
+    # repetition_stats, deliberately NOT the O(len²) per-row form. Docs
+    # shorter than 5 words have no spans and drop out (both engines).
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    grams = (
+        docs.select("doc_id", words.alias("__w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__w) >= 5 THEN "
+                    "transform(sequence(0, size(__w) - 5), i -> concat_ws(' ', slice(__w, i + 1, 5))) "
+                    "ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_spans"),
+        F.max("n").alias("top_span_n"),
+        (
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("repeated_span_frac"),
+    )
+
+
+@register(
+    "quality_deciles",
+    f"""
+    WITH t AS (SELECT doc_id, {_QUALITY_SQL} AS q FROM documents),
+    d AS (SELECT doc_id, q, NTILE(10) OVER (ORDER BY q, doc_id) AS decile FROM t)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(q) AS min_q, MAX(q) AS max_q,
+           SUM(CAST(FLOOR(q * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_q_fp
+    FROM d GROUP BY decile
+    """,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-score calibration histogram: corpus deciles with per-bin
+    # stats — what you eyeball before picking a quality filter threshold.
+    # The global NTILE is the same DISTRIBUTED rank as
+    # customer_spend_quartiles: range-shuffle on the (q, doc_id) total
+    # order, per-partition row_number, constant per-partition offsets from
+    # a K-row collect, then the closed-form tile expression. Per-bin sums
+    # are 1e6 fixed-point so both engines add exact integers.
+    from eve_graph_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", quality_score_expr(F.col("text")).alias("q"))
+    k = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranked = (
+        t.repartitionByRange(k, "q", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    cnts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n_total = sum(c for _, c in cnts)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in cnts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_map = F.create_map(*[F.lit(v) for po in offsets.items() for v in po])
+    local_w = Window.partitionBy("__pid").orderBy("q", "doc_id")
+    r = (offset_map[F.col("__pid")] + F.row_number().over(local_w) - 1).alias("__r")
+    base, rem = divmod(n_total, 10)
+    big = base + 1
+    tile = F.when(
+        F.col("__r") < rem * big, F.floor(F.col("__r") / F.lit(big)) + 1
+    ).otherwise(
+        rem + F.floor((F.col("__r") - rem * big) / F.lit(max(base, 1))) + 1
+    )
+    return (
+        ranked.withColumn("__r", r)
+        .select("q", tile.cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+            (F.sum(F.floor(F.col("q") * 1000000 + F.lit(0.5)).cast("long")) / F.lit(1000000.0)).alias("sum_q_fp"),
+        )
     )

@@ -86,11 +86,12 @@ def test_dedup_partial_aggregation(spark, sf_dir):
 
 def test_registry_wide_no_cartesian_products(spark, sf_dir):
     """Every registered query's physical plan must be free of
-    CartesianProduct, and any BroadcastNestedLoopJoin must be the
-    intentional 1-row scalar broadcast (Join type: Cross, BuildRight) —
-    an Inner/Outer BNLJ means an equi-join failed to plan as one, which
-    is the O(n·m) bug this test exists to catch at review time instead
-    of at 100 TB."""
+    CartesianProduct, and any BroadcastNestedLoopJoin must be marked
+    Cross — the two intentional shapes: a 1-row scalar broadcast, or a
+    broadcast query-batch x corpus scan (hard_negatives_topk's brute
+    force). An Inner/Outer BNLJ means an equi-join failed to plan as
+    one, which is the O(n·m) bug this test exists to catch at review
+    time instead of at 100 TB."""
     offenders = {}
     for name, fn in sorted(registry.queries().items()):
         plan = plan_of(fn(spark, sf_dir))

@@ -191,3 +191,41 @@ def test_lang_temperature_resample_rates(spark, tmp_path):
     expect = {i for i in range(4) if (i % M) * 2654435761 % M < fp_en} | {10}
     assert set(got) == expect
     assert got[10] == M  # rate 1.0 keeps every rare-lang doc
+
+
+def test_containment_pairs_subset_detection(spark, tmp_path):
+    # doc 2 is a strict prefix of doc 1: containment_b = 1.0 even though
+    # Jaccard is well below any near-dup threshold.
+    long = " ".join(f"w{i}" for i in range(30))
+    short = " ".join(f"w{i}" for i in range(8))
+    sf = _write_docs(spark, tmp_path, [(1, long, "en", "s", 0), (2, short, "en", "s", 0)])
+    [r] = registry.containment_pairs(spark, sf).collect()
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_b"] == 1.0  # every shingle of the short doc is in the long one
+    assert r["containment_a"] < 0.3
+    assert r["is_contained"]
+
+
+def test_self_repetition_spans_looping_doc(spark, tmp_path):
+    loop = " ".join(["a b c d e"] * 4)          # "a b c d e" 5-gram repeats
+    clean = " ".join(f"u{i}" for i in range(10))  # all spans unique
+    sf = _write_docs(spark, tmp_path, [(1, loop, "en", "s", 0),
+                                       (2, clean, "en", "s", 0),
+                                       (3, "too short", "en", "s", 0)])
+    got = {r["doc_id"]: r.asDict() for r in registry.self_repetition_spans(spark, sf).collect()}
+    assert 3 not in got  # <5 words -> no spans
+    assert got[1]["top_span_n"] == 4  # the looped 5-gram appears 4 times
+    assert got[1]["repeated_span_frac"] > 0.5
+    assert got[2]["top_span_n"] == 1 and got[2]["repeated_span_frac"] == 0.0
+
+
+def test_quality_deciles_partition_and_order(spark, tmp_path):
+    # 20 docs with strictly increasing quality (word length) -> each decile
+    # holds exactly 2 docs and min_q/max_q are non-decreasing across bins.
+    rows = [(i, " ".join(["a" * (i + 2)] * 2), "en", "s", 0) for i in range(20)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = sorted((r["decile"], r.asDict()) for r in registry.quality_deciles(spark, sf).collect())
+    assert [d for d, _ in got] == list(range(1, 11))
+    assert all(r["n_docs"] == 2 for _, r in got)
+    qs = [(r["min_q"], r["max_q"]) for _, r in got]
+    assert all(qs[i][1] <= qs[i + 1][0] for i in range(9))
