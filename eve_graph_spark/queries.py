@@ -4591,3 +4591,59 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.floor(F.col("q") * 1000000 + F.lit(0.5)).cast("long")) / F.lit(1000000.0)).alias("sum_q_fp"),
         )
     )
+
+
+@register(
+    "event_anomaly_zscore",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS s,
+               SUM(CAST(FLOOR(value * value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS ss
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n,
+               s / n AS mean,
+               ss / n - (s / n) * (s / n) AS var
+        FROM stats
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN m.var > 0 THEN (e.value - m.mean) / sqrt(m.var) END AS z,
+           CASE WHEN m.var > 0 THEN abs((e.value - m.mean) / sqrt(m.var)) > 3.0
+                ELSE FALSE END AS is_anomaly
+    FROM events e JOIN m USING (event_type)
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-type z-score anomaly flagging: population moments from ONE
+    # partial-agg'd pass (1e6 fixed-point sums so both engines add exact
+    # integers; the mean/var derivation is the identical left-to-right
+    # double chain), broadcast back onto the scan — the fact table is
+    # read once and shuffles only the per-type sums. Zero-variance types
+    # get NULL z / FALSE flag in both engines via the same guard.
+    ev = load_table(spark, sf_dir, "events")
+    fp = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(fp(F.col("value"))) / F.lit(1000000.0)).alias("s"),
+        (F.sum(fp(F.col("value") * F.col("value"))) / F.lit(1000000.0)).alias("ss"),
+    )
+    m = stats.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        (F.col("ss") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))).alias("var"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt("var")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("var") > 0, z).alias("z"),
+            F.when(F.col("var") > 0, F.abs(z) > 3.0).otherwise(F.lit(False)).alias("is_anomaly"),
+        )
+    )

@@ -229,3 +229,26 @@ def test_quality_deciles_partition_and_order(spark, tmp_path):
     assert all(r["n_docs"] == 2 for _, r in got)
     qs = [(r["min_q"], r["max_q"]) for _, r in got]
     assert all(qs[i][1] <= qs[i + 1][0] for i in range(9))
+
+
+def test_event_anomaly_zscore_flags_and_guard(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # type "a": 20 values at 1.0 plus one at 100.0 -> outlier z >> 3;
+    # type "b": constant -> zero variance -> NULL z, FALSE flag.
+    vals = [("a", 1.0)] * 20 + [("a", 100.0)] + [("b", 5.0)] * 5
+    base = 1_704_067_200_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array([base + i for i in range(len(vals))], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array([t for t, _ in vals]),
+        "value": pa.array([v for _, v in vals], pa.float64()),
+        "props": pa.array(["{}"] * len(vals)),
+    }), tmp_path / "events.parquet")
+    got = {r["event_id"]: r.asDict() for r in
+           registry.event_anomaly_zscore(spark, str(tmp_path)).collect()}
+    assert got[20]["is_anomaly"] and got[20]["z"] > 4
+    assert not got[0]["is_anomaly"] and got[0]["z"] < 0
+    assert got[21]["z"] is None and got[21]["is_anomaly"] is False
