@@ -33,6 +33,41 @@ from pyspark.sql import types as T
 
 BROADCAST_FRONTIER_MAX = 2_000_000  # rows; beyond this, shuffle-join the frontier
 
+# Driver-threshold probe memo: every driver-local fast path costs a
+# limit(N+1).count() job to decide, and a bootstrap running 6 analytics
+# over the SAME edge snapshot paid 6 identical probe jobs. Keyed by the
+# analyzed-plan semanticHash + threshold: equivalent plans built twice
+# (e.g. _edge_frame over the memoized fixture) hit the same entry.
+# The verdict only picks an execution strategy — both strategies return
+# bit-identical results — so a stale hit (data changed under an identical
+# plan, e.g. an overwritten parquet path) can cost performance, never
+# correctness of values; call `clear_probe_cache()` after rewriting
+# inputs in place.
+_PROBE_CACHE: dict[tuple[int, int], bool] = {}
+_PROBE_CACHE_MAX = 256
+
+
+def clear_probe_cache() -> None:
+    _PROBE_CACHE.clear()
+
+
+def fits_driver(df: DataFrame, threshold: int) -> bool:
+    """True when df has ≤ threshold rows — memoized limit(N+1).count probe."""
+    if not threshold:
+        return False
+    try:
+        key = (df.semanticHash(), threshold)
+    except Exception:  # pragma: no cover — plan not analyzable
+        key = None
+    if key is not None and key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    verdict = df.limit(threshold + 1).count() <= threshold
+    if key is not None:
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.clear()  # probes are cheap; a rare full reset beats LRU bookkeeping
+        _PROBE_CACHE[key] = verdict
+    return verdict
+
 
 @dataclass
 class ProjectionRegistry:
@@ -160,7 +195,7 @@ def sssp(
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("double").alias("weight"),
     )
-    if driver_threshold and e.limit(driver_threshold + 1).count() <= driver_threshold:
+    if fits_driver(e, driver_threshold):
         return _sssp_local(e, source_ids)
 
     seed_schema = T.StructType(
@@ -234,7 +269,7 @@ def k_shortest_paths(edges: DataFrame, source: int, target: int, k: int = 3,
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("double").alias("weight"),
     )
-    if e.limit(driver_threshold + 1).count() > driver_threshold:
+    if not fits_driver(e, driver_threshold):
         raise ValueError("graph exceeds driver threshold; route alternatives "
                          "are a driver-side interactive query")
     import heapq
@@ -299,19 +334,73 @@ def k_shortest_paths(edges: DataFrame, source: int, target: int, k: int = 3,
     return found
 
 
-def reconstruct_path(dist: DataFrame, target_id: int, max_hops: int = 10_000) -> list[int]:
-    """Walk pred pointers target → source. The dist table for one route query
-    is vertex-sized; route reconstruction is a driver-side walk over a
-    collected {node: pred} map (same shape as GDS returning nodeIds,
-    database.rs:496-498)."""
-    rows = dist.select("node", "pred").collect()
-    pred = {r["node"]: r["pred"] for r in rows}
-    if target_id not in pred:
-        return []
-    path = [target_id]
-    while pred[path[-1]] is not None and len(path) <= max_hops:
-        path.append(pred[path[-1]])
-    return list(reversed(path))
+DRIVER_PATH_MAX_NODES = 2_000_000  # below this, collect the whole pred map
+
+
+def reconstruct_path(
+    dist: DataFrame,
+    target_id: int,
+    max_hops: int = 10_000,
+    driver_threshold: int = DRIVER_PATH_MAX_NODES,
+    stats_out: dict | None = None,
+) -> list[int]:
+    """Walk pred pointers target → source (GDS returning nodeIds,
+    database.rs:496-498).
+
+    The dist table covers ALL reachable vertices, not just the path — on a
+    100× graph a full `.collect()` here is a driver OOM even though the
+    answer is a handful of hops. Two modes, threshold-guarded like `sssp`:
+
+    - **driver mode** (≤ `driver_threshold` rows): collect the {node: pred}
+      map once and walk it locally — right for the reference-scale graph;
+    - **distributed mode**: persist dist once, then walk backward hop by
+      hop; each step is ONE row fetched via a pushed-down `node = cur`
+      filter on the persisted table. Total driver traffic is O(path length)
+      rows, never O(vertices), and the number of jobs is bounded by the
+      path length (≤ max_hops) — the per-hop lookup is a cached-scan probe,
+      the same cost class as the verdict's suggested 1-row broadcast
+      semi-join but without building a join plan per hop.
+
+    `stats_out` (tests/observability): records `mode` ('driver' |
+    'iterative') and `rows_collected` — pinning that the distributed walk
+    never collects the vertex-sized table.
+    """
+    if fits_driver(dist, driver_threshold):
+        rows = dist.select("node", "pred").collect()
+        if stats_out is not None:
+            stats_out["mode"] = "driver"
+            stats_out["rows_collected"] = len(rows)
+        pred = {r["node"]: r["pred"] for r in rows}
+        if target_id not in pred:
+            return []
+        path = [target_id]
+        while pred[path[-1]] is not None and len(path) <= max_hops:
+            path.append(pred[path[-1]])
+        return list(reversed(path))
+
+    d = dist.select("node", "pred").persist()
+    n_collected = 0
+    try:
+        path = [target_id]
+        row = d.filter(F.col("node") == target_id).head()
+        if row is None:
+            if stats_out is not None:
+                stats_out["mode"] = "iterative"
+                stats_out["rows_collected"] = 0
+            return []
+        n_collected += 1
+        cur_pred = row["pred"]
+        while cur_pred is not None and len(path) <= max_hops:
+            path.append(cur_pred)
+            row = d.filter(F.col("node") == cur_pred).head()
+            n_collected += 1
+            cur_pred = row["pred"] if row is not None else None
+        if stats_out is not None:
+            stats_out["mode"] = "iterative"
+            stats_out["rows_collected"] = n_collected
+        return list(reversed(path))
+    finally:
+        d.unpersist()
 
 
 def path_as_names(systems: DataFrame, path: list[int]) -> list[str]:

@@ -35,7 +35,11 @@ def _edge_frame(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
 
 
 def _fits_driver(e: DataFrame, threshold: int) -> bool:
-    return bool(threshold) and e.limit(threshold + 1).count() <= threshold
+    # Memoized by analyzed-plan hash (graph.py): a bootstrap running six
+    # analytics over the same edge snapshot pays ONE probe job, not six.
+    from eve_graph_spark.operators.graph import fits_driver
+
+    return fits_driver(e, threshold)
 
 
 # --- connected components ---------------------------------------------------

@@ -3185,10 +3185,12 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     k = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # localCheckpoint, not persist: freezes the range partitioning the
+    # collected offsets describe, and leaks no session-lifetime cache entry.
     ranked = (
         spend.repartitionByRange(k, "spend_fp", "o_custkey")
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -4174,10 +4176,15 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_expr(F.col("text")).alias("quality"),
     )
     k = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # localCheckpoint, NOT persist: the frozen snapshot is what keeps the
+    # collected per-partition offsets consistent with the returned plan
+    # (persist may evict + recompute with different range sampling), and
+    # its blocks are context-cleaned on GC — persist() here leaked a cached
+    # DF per invocation for the session lifetime (ADVICE r4).
     ranged = (
         t.repartitionByRange(k, F.col("quality").desc(), F.col("doc_id"))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sums = sorted(
         (r["__pid"], r["s"])
@@ -4228,8 +4235,12 @@ def semantic_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale path to finer granularity is more bits (wider orthant code) or
     # random-hyperplane projections — same plan shape either way.
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    # coalesce per-element: a NULL in any of the first 8 dims must vote 0,
+    # matching the oracle's CASE WHEN ... ELSE 0 (NULL >= 0 is NULL there,
+    # which falls to ELSE); without it the whole bucket goes NULL Spark-side.
     bucket = sum(
-        (F.col("embedding").getItem(i) >= 0).cast("long") * (1 << i) for i in range(8)
+        F.coalesce((F.col("embedding").getItem(i) >= 0).cast("long"), F.lit(0)) * (1 << i)
+        for i in range(8)
     ).cast("long")
     w = Window.partitionBy("bucket")
     return (
@@ -4286,7 +4297,8 @@ def incremental_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
     v AS (SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
-          FROM embeddings, pos),
+          FROM embeddings, pos
+          WHERE embedding IS NOT NULL AND len(embedding) = 64),
     norms AS (
         SELECT vec_id, SUM(CAST(FLOOR(val * val * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 AS sq
         FROM v GROUP BY 1
@@ -4334,7 +4346,13 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = lambda c: F.floor(c * FP + F.lit(0.5)).cast("long")  # noqa: E731
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
+    # NULL / wrong-width guard, symmetric with the oracle's WHERE: a NULL
+    # embedding would silently vanish from the Spark side (posexplode of
+    # NULL emits no rows) while the oracle kept it as a NULL-cosine
+    # candidate — engine divergence the moment the fixture grows NULLs.
+    v = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    ).select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
     cand = v.select("vec_id", "label", F.posexplode("vec").alias("pos", "val"))
     qexp = v.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -4555,10 +4573,12 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", quality_score_expr(F.col("text")).alias("q"))
     k = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # localCheckpoint for the same reasons as token_budget_sample: offset
+    # consistency by construction + no session-lifetime cache leak.
     ranked = (
         t.repartitionByRange(k, "q", "doc_id")
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cnts = sorted(
         (r["__pid"], r["cnt"])

@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Promote a bench run to BENCH_BASELINE.json, stripping result-only fields.
+
+A baseline is a reference point, not a result dump: fields that describe a
+specific run's outcome against the *previous* baseline ('regressions',
+'failed', 'baseline_total_sec', 'warmup_sec') must not ride along, or the
+next comparison silently self-references (ADVICE r4).
+
+Usage: python scripts/refresh_baseline.py /tmp/bench_out.json [min_of ...]
+With several input files, takes the per-query MIN across runs — the
+standard way to strip scheduler noise from a single-machine measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+BASELINE_FIELDS = ("metric", "unit", "sf", "queries")
+
+
+def promote(paths: list[str], out: str = "BENCH_BASELINE.json") -> dict:
+    runs = [json.loads(Path(p).read_text()) for p in paths]
+    head = runs[0]
+    queries: dict[str, float] = dict(head["queries"])
+    for r in runs[1:]:
+        for name, sec in r["queries"].items():
+            queries[name] = min(queries.get(name, sec), sec)
+    base = {k: head[k] for k in BASELINE_FIELDS if k in head}
+    base["queries"] = dict(sorted(queries.items()))
+    base["value"] = round(sum(queries.values()), 3)
+    base["n_runs"] = len(runs)
+    Path(out).write_text(json.dumps(base, indent=1) + "\n")
+    return base
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    b = promote(sys.argv[1:])
+    print(f"baseline: {b['value']}s over {len(b['queries'])} queries from {b['n_runs']} run(s)")
