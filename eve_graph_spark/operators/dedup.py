@@ -191,12 +191,19 @@ def portable_band_buckets_sql(sig_col: str, bands: int = 4, rows_per_band: int =
     return f"{ctor}({', '.join(buckets)})"
 
 
-def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                               threshold: float = 0.5, num_hashes: int = 8,
-                               bands: int = 4, rows_per_band: int = 2, k: int = 3) -> DataFrame:
-    """Near-dup pairs with exact-Jaccard verification — identical pipeline
-    shape to `minhash_dedup`, portable hashes. Returns (id_a, id_b,
-    jaccard) with id_a < id_b."""
+def portable_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                            num_hashes: int = 8, bands: int = 4, rows_per_band: int = 2,
+                            k: int = 3) -> DataFrame:
+    """(id_a, id_b) candidate pairs from portable-MinHash banding — the
+    scale-side pair source for any pairwise verifier (Jaccard, containment).
+
+    Banding picks the sensitivity curve: collision prob = 1-(1-j^r)^b.
+    Jaccard-dedup uses (b=4, r=2); CONTAINMENT wants candidates whose
+    symmetric Jaccard is LOW (a short doc quoted inside a long one), so
+    pass (b=num_hashes, r=1) — 1-(1-j)^8 still fires often at j≈0.2 where
+    the (4,2) curve has gone cold. Only (id, band, bucket) rows shuffle;
+    text never does.
+    """
     # Signature form A/B'd at sf0.1 AND on the 500k-doc stress corpus: the
     # in-expression aggregate()/zip_with fold and an explode → 8 min-agg
     # rewrite time within noise of each other (14.4 vs 13.9 s at 500k;
@@ -214,10 +221,40 @@ def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: st
     ).distinct()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    cands = (
+    return (
         a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
+
+
+def containment_for_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 3,
+                          contained_threshold: float = 0.8) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| and /|B| for given
+    (id_a, id_b) pairs — catches subset/quote relationships that symmetric
+    Jaccard under-scores. Returns (id_a, id_b, containment_a,
+    containment_b, is_contained)."""
+    sh = df.select(F.col(id_col), shingles_expr(text_col, k).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    ca = inter / F.size("sh_a").cast("double")
+    cb = inter / F.size("sh_b").cast("double")
+    return j.select(
+        "id_a", "id_b", ca.alias("containment_a"), cb.alias("containment_b"),
+        ((ca >= contained_threshold) | (cb >= contained_threshold)).alias("is_contained"),
+    )
+
+
+def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                               threshold: float = 0.5, num_hashes: int = 8,
+                               bands: int = 4, rows_per_band: int = 2, k: int = 3) -> DataFrame:
+    """Near-dup pairs with exact-Jaccard verification — identical pipeline
+    shape to `minhash_dedup`, portable hashes. Returns (id_a, id_b,
+    jaccard) with id_a < id_b."""
+    cands = portable_lsh_candidates(df, text_col, id_col, num_hashes, bands, rows_per_band, k)
     return jaccard_pairs(df, cands, text_col, id_col, k).filter(F.col("jaccard") >= threshold)
 
 

@@ -98,25 +98,17 @@ def _correctness_tiers(root=None) -> dict[str, int]:
 # into the driver window right after the never-checked tier, so changed code
 # is always externally re-verified in the round it changes (ADVICE r2).
 _MODIFIED_THIS_ROUND = {
-    # events.ts changed on disk from TIMESTAMP(NANOS)-as-long to
-    # TIMESTAMP(MICROS); events_with_ts() now branches on the read dtype.
-    # Every consumer of that loader gets driver re-verification this round.
-    "asof_join_events",
-    "normalize_by_group",
-    "sessionize_events",
+    # r5: first-ever oracles for the two last rows-only queries
     "sketches",
-    "sliding_window_events",
-    "stratified_sample",
-    "time_gapfill_events",
-    "time_interpolate_events",
-    "time_rollup_events",
-    "tumbling_window_events",
-    # exact-dup pre-collapse rewired the LSH cluster pipeline (r4)
-    "dedup_pipeline_documents",
-    "dedup_survivors_quality",
-    # portable shingle hash switched from per-char polynomial to md5 (r4)
-    "minhash_near_dups_portable",
-    "simhash_portable",
+    "safest_route_path",
+    # r5: NULL-embedding guards made symmetric with the oracle
+    "hard_negatives_topk",
+    "semantic_bucket_dedup",
+    # r5: persist() -> localCheckpoint() plan change under the
+    # distributed-rank trio
+    "token_budget_sample",
+    "quality_deciles",
+    "customer_spend_quartiles",
 }
 
 
@@ -459,19 +451,111 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(wedges, [3], weight_col="w").select("node", "dist")
 
 
-@register("safest_route_path")  # float risk weights → rows-only driver check
-def safest_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A2/G8 end-to-end: float risk weights + path reconstruction.
-    from eve_graph_spark.operators.graph import reconstruct_path
+def _bellman_ford_unrolled_sql(source: int, rounds: int, prefix: str = "srp") -> str:
+    """Unrolled Bellman-Ford rounds over fix_jumps risk weights, as chained
+    CTEs (DuckDB-safe: float dists make a recursive-CTE enumeration
+    explode — cycles generate unbounded distinct float sums that UNION
+    can't dedup, unlike sssp_weighted's small-integer dist space). The
+    fixture graph is 25 nodes at EVERY SF, so `rounds`=24 covers all
+    simple shortest paths and the text is constant-sized."""
+    # Every CTE is MATERIALIZED (DuckDB hint): d{r} references d{r-1}
+    # twice, so inlining doubles the plan per round — 2^24 copies of the
+    # parquet-backed view chain exhausts file descriptors. Materialized,
+    # each round is one ≤25-row temp computed once.
+    parts = [
+        f"{prefix}_edges AS MATERIALIZED "
+        f"(SELECT src_system_id, dst_system_id, risk FROM fix_jumps)",
+        f"{prefix}_d0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"{prefix}_d{r} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM {prefix}_d{r-1} "
+            f"UNION ALL SELECT e.dst_system_id, d.dist + e.risk "
+            f"FROM {prefix}_d{r-1} d JOIN {prefix}_edges e ON e.src_system_id = d.node"
+            f") GROUP BY node)"
+        )
+    parts.append(f"{prefix}_mindist AS MATERIALIZED (SELECT node, dist FROM {prefix}_d{rounds})")
+    return ", ".join(parts)
 
+
+@register(
+    "safest_route_path",
+    _graph_cte(
+        f"""
+        , {_bellman_ford_unrolled_sql(0, 24)},
+        srp_preds AS MATERIALIZED (
+            SELECT m.node, MIN(e.src_system_id) AS pred
+            FROM srp_mindist m
+            JOIN srp_edges e ON e.dst_system_id = m.node
+            JOIN srp_mindist u ON u.node = e.src_system_id
+            WHERE u.dist + e.risk = m.dist AND m.node <> 0
+            GROUP BY m.node
+        ),
+        srp_back(hop, node, dist) AS (
+            SELECT 0, m.node, m.dist FROM srp_mindist m WHERE m.node = 13
+            UNION ALL
+            SELECT b.hop + 1, p.pred, m.dist
+            FROM srp_back b
+            JOIN srp_preds p ON p.node = b.node
+            JOIN srp_mindist m ON m.node = p.pred
+            WHERE b.hop < 30
+        ),
+        srp_len AS (SELECT MAX(hop) AS mx FROM srp_back)
+        SELECT CAST(l.mx - b.hop AS BIGINT) AS pos, b.node AS system_id,
+               s.name, b.dist AS cum_risk
+        FROM srp_back b CROSS JOIN srp_len l
+        JOIN fix_systems s ON s.system_id = b.node
+        """
+    ),
+)
+def safest_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2/G8 end-to-end: float risk weights + path reconstruction, HASH-
+    # CHECKED since r5 (4 rounds of rows-only before). The path is derived
+    # from the dist TABLE, not the relaxation loop's pred column: pred(v)
+    # := MIN(src) among edges satisfying dist(src) + risk = dist(v)
+    # EXACTLY (both engines' dist values are the identical IEEE-754
+    # min-plus fixpoint, so the equality sets — and therefore the chosen
+    # path, its positions, and cumulative risks — agree bit-for-bit; the
+    # loop's pred breaks float ties by first-achiever ITERATION, which no
+    # SQL engine can reproduce). Chain is strictly dist-decreasing
+    # (risk > 0) hence acyclic and ≤ 24 hops; the driver-side walk
+    # collects the 25-row fixture tables (constant at every SF — at real
+    # scale the iterative reconstruct_path walk is the tool). Output
+    # pins endpoints, edge validity, and cum_risk(13) == sssp_weighted-
+    # style dist — the oracle recomputes the whole thing via unrolled
+    # Bellman-Ford.
     jumps = build_jumps(spark, sf_dir)
     systems = build_systems(spark, sf_dir)
-    dist = sssp(jumps, [0], weight_col="risk", src_col="src_system_id", dst_col="dst_system_id")
-    path = reconstruct_path(dist, 13)
-    order = spark.createDataFrame(list(enumerate(path)), "pos int, system_id long")
+    dist = sssp(
+        jumps, [0], weight_col="risk", src_col="src_system_id", dst_col="dst_system_id"
+    ).select("node", "dist")
+    e = jumps.select(
+        F.col("src_system_id").alias("src"), F.col("dst_system_id").alias("dst"), "risk"
+    )
+    m = dist.select(F.col("node"), F.col("dist"))
+    u = dist.select(F.col("node").alias("u_node"), F.col("dist").alias("u_dist"))
+    preds = (
+        m.join(e, e.dst == m.node)
+        .join(u, u.u_node == e.src)
+        .filter((F.col("u_dist") + F.col("risk")) == F.col("dist"))
+        .filter(F.col("node") != 0)
+        .groupBy("node")
+        .agg(F.min("src").alias("pred"))
+    )
+    pred_map = {r["node"]: r["pred"] for r in preds.collect()}
+    dist_map = {r["node"]: r["dist"] for r in dist.collect()}
+    path = [13]
+    while path[-1] != 0 and path[-1] in pred_map:
+        path.append(pred_map[path[-1]])
+    path.reverse()
+    order = spark.createDataFrame(
+        [(pos, nid, dist_map[nid]) for pos, nid in enumerate(path)],
+        "pos long, system_id long, cum_risk double",
+    )
     return (
         order.join(F.broadcast(systems.select("system_id", "name")), "system_id")
-        .select("pos", "system_id", "name")
+        .select("pos", "system_id", "name", "cum_risk")
     )
 
 
@@ -1099,20 +1183,86 @@ def exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketches")  # approximate by design → rows-only; error bounded in tests
+@register(
+    "sketches",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_bound,
+           TRUE AS p50_within_bound,
+           TRUE AS p95_within_bound,
+           TRUE AS p99_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sketch surface: HyperLogLog++ distinct users and approximate value
     # quantiles per event type — the O(1)-memory per group answers a
     # 100 TB profiling pass actually uses (exact twins exist above).
-    # Scalar p50/p95/p99 columns (not one array column): the driver's
-    # canonicalizer sorts column values and cannot order arrays.
+    #
+    # Hash-checkable form (4 rounds of rows-only before r5): the sketch
+    # ESTIMATES can't match any exact engine, so the output carries what
+    # CAN — the exact distinct count, plus booleans asserting each
+    # estimate sits inside its documented error bound, computed Spark-side
+    # against exact ranks. The oracle recomputes the exact count and emits
+    # TRUE for the bounds; an out-of-bound estimate flips the Spark
+    # boolean and fails the hash. Bounds: HLL++ |approx-exact| ≤ 3·rsd·
+    # exact (rsd=0.02); percentile_approx (GK sketch, accuracy=10000) rank
+    # error ≤ ceil(n/accuracy)+1, checked via the exact rank interval
+    # [count(<est)+1, count(≤est)] of the returned value.
+    #
+    # Plan: two scans of events (sketch agg + rank-check agg vs the
+    # broadcast 5-row estimate table) — both partial-agg'd; at 100 TB the
+    # second scan is what a one-sided profiling pass would avoid, but the
+    # *check* is the point of this query; the production call is the first
+    # aggregate alone.
     ev = events_with_ts(spark, sf_dir)
     q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return ev.groupBy("event_type").agg(
+    est = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        q.getItem(0).alias("p50"),
-        q.getItem(1).alias("p95"),
-        q.getItem(2).alias("p99"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n"),
+        q.getItem(0).alias("p50_est"),
+        q.getItem(1).alias("p95_est"),
+        q.getItem(2).alias("p99_est"),
+    )
+    ranks = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                agg
+                for p in ("p50", "p95", "p99")
+                for agg in (
+                    F.sum((F.col("value") < F.col(f"{p}_est")).cast("long")).alias(f"{p}_lt"),
+                    F.sum((F.col("value") <= F.col(f"{p}_est")).cast("long")).alias(f"{p}_le"),
+                )
+            ]
+        )
+    )
+    tol = F.ceil(F.col("n") / F.lit(10000)) + 1
+
+    def within(p: str, frac: float):
+        target = F.col("n") * F.lit(frac)
+        # exact rank interval of the returned value must intersect
+        # [target - tol, target + tol]
+        return (F.col(f"{p}_le") >= target - tol) & (F.col(f"{p}_lt") <= target + tol)
+
+    hll_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.lit(3 * 0.02) * F.col("exact_users")
+    )
+    return (
+        est.join(F.broadcast(ranks), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            hll_ok.alias("hll_within_bound"),
+            within("p50", 0.5).alias("p50_within_bound"),
+            within("p95", 0.95).alias("p95_within_bound"),
+            within("p99", 0.99).alias("p99_within_bound"),
+        )
     )
 
 
@@ -4492,6 +4642,66 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((inter / F.size("sh_a").cast("double") >= 0.8)
          | (inter / F.size("sh_b").cast("double") >= 0.8)).alias("is_contained"),
     )
+
+
+@register(
+    "containment_pairs_lsh",
+    f"""
+    WITH csh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(lower(coalesce(text, '')), ' ')) >= 3 THEN
+                   list_transform(range(0, len(string_split(lower(coalesce(text, '')), ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(lower(coalesce(text, '')), ' '), i + 1, i + 3), ' '))
+                   ELSE [lower(coalesce(text, ''))] END) AS sh
+        FROM documents
+    ),
+    chs AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s ->
+                   ('0x' || substr(md5(s), 1, 14))::BIGINT % 2147483647) AS hs
+        FROM csh
+    ),
+    csigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), j ->
+                   list_min(list_transform(hs,
+                       h -> ((2 * j + 1) * h + 97 * j + 13) % 2147483647))) AS sig
+        FROM chs
+    ),
+    cbanded AS (
+        SELECT DISTINCT doc_id, u.i AS band, ({{bands_sql}})[u.i] AS bucket
+        FROM csigs, unnest(range(1, 9)) AS u(i)
+    ),
+    ccand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM cbanded a JOIN cbanded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) AS containment_a,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh) AS containment_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) >= 0.8
+               OR CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh) >= 0.8
+               AS is_contained
+    FROM ccand c JOIN csh x ON x.doc_id = c.id_a JOIN csh y ON y.doc_id = c.id_b
+    """.replace("{bands_sql}", portable_band_buckets_sql("sig", 8, 1, one_based=True)),
+)
+def containment_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The containment kernel wired to its AT-SCALE pair source (r4 verdict
+    # flagged the registered consecutive-pair form as a kernel demo): LSH
+    # candidates feed the asymmetric containment verifier. Banding is
+    # (b=8, r=1) rather than the Jaccard-dedup (4, 2) because containment
+    # pairs (short doc quoted inside a long one) have LOW symmetric
+    # Jaccard — the single-row bands keep the collision curve hot at
+    # j≈0.2. Oracle reproduces the whole pipeline (signatures → banding →
+    # candidates → containment) on the portable hash family. The
+    # consecutive-pair `containment_pairs` stays as the linear-sized
+    # oracle twin of the kernel alone.
+    from eve_graph_spark.operators.dedup import containment_for_pairs, portable_lsh_candidates
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cands = portable_lsh_candidates(docs, bands=8, rows_per_band=1)
+    return containment_for_pairs(docs, cands)
 
 
 @register(

@@ -136,23 +136,27 @@ def test_scalar_pandas_udf(spark):
 
 
 def test_sketches_error_bounds(spark):
-    # approx_count_distinct at rsd=0.02 must land within ~10% of exact;
-    # the approximate median must sit inside the value range
+    # r5 hash-checkable contract: the query itself carries the bound
+    # checks — every within_bound boolean must be TRUE (that's what the
+    # oracle asserts) and exact_users must equal countDistinct.
     from eve_graph_spark.queries import sketches
     from eve_graph_spark.sources.tables import events_with_ts
 
     sf = "/root/testdata/sf0.001"
-    approx = {r["event_type"]: r for r in sketches(spark, sf).collect()}
+    got = {r["event_type"]: r for r in sketches(spark, sf).collect()}
     ev = events_with_ts(spark, sf)
     exact = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(
             F.countDistinct("user_id").alias("n")).collect()
     }
+    assert set(got) == set(exact)
     for et, n in exact.items():
-        assert abs(approx[et]["approx_users"] - n) <= max(2, 0.1 * n), et
-        r = approx[et]
-        assert r["p50"] <= r["p95"] <= r["p99"]
+        r = got[et]
+        assert r["exact_users"] == n, et
+        for b in ("hll_within_bound", "p50_within_bound",
+                  "p95_within_bound", "p99_within_bound"):
+            assert r[b] is True, (et, b)
 
 
 def test_multimodal_pipeline(spark):
