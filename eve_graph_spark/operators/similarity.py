@@ -364,6 +364,35 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def exact_lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Oracle-grade bucket id: each sign bit comes from an INTEGER
+    fixed-point dot (sum of floor(x·p·1e9+0.5) as longs), so the bit is
+    independent of float summation order and any SQL engine inlining the
+    same plane constants lands every vector in the same bucket. The float
+    `lsh_bucket_expr` is the production form; near sign boundaries the two
+    may differ by a bit — which is why the hash-checked query pins THIS
+    form on both engines."""
+    bits = []
+    for i, plane in enumerate(planes):
+        idot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(float(FIXED_POINT_SCALE))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(idot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -372,19 +401,35 @@ def lsh_bucketed_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_fixed_point: bool = False,
 ) -> DataFrame:
     """ANN: candidates restricted to the query's hyperplane bucket, exact
     cosine re-rank inside the bucket. At 100 TB the bucket column is what
     the table would be hash-partitioned/bucketed BY, making each query a
-    single-partition scan instead of a full pass."""
+    single-partition scan instead of a full pass.
+
+    With `exact_fixed_point`, both the bucket sign bits and the re-rank
+    cosine go through integer fixed point, making the WHOLE approximate
+    pipeline bit-reproducible in any SQL engine that inlines the same
+    hyperplane constants — the hash-checkable form."""
     planes = random_hyperplanes(dim, n_planes)
-    bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    bucket = (
+        exact_lsh_bucket_expr(F.col(vec_col), planes)
+        if exact_fixed_point
+        else lsh_bucket_expr(F.col(vec_col), planes)
+    )
+    bucketed = embeddings.withColumn("bucket", bucket)
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket")
     )
     pairs = bucketed.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col("query_id"))
-    scored = pairs.select(
-        "query_id", F.col(id_col), cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine")
+    cos = (
+        (fixed_dot(F.col("qvec"), F.col(vec_col))
+         / (F.sqrt(fixed_dot(F.col("qvec"), F.col("qvec")))
+            * F.sqrt(fixed_dot(F.col(vec_col), F.col(vec_col)))))
+        if exact_fixed_point
+        else cosine_expr(F.col("qvec"), F.col(vec_col))
     )
+    scored = pairs.select("query_id", F.col(id_col), cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

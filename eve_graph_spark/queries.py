@@ -109,6 +109,10 @@ _MODIFIED_THIS_ROUND = {
     "token_budget_sample",
     "quality_deciles",
     "customer_spend_quartiles",
+    # r5: first-ever oracles for the two approximate-ANN queries
+    # (bit-reproducible fixed-point LSH; IVF recall-bound harness)
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 }
 
 
@@ -1849,20 +1853,164 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # probabilistic bucket pruning → rows-only
+def _lsh_planes_values_sql() -> str:
+    """The registered LSH query's hyperplanes as a SQL VALUES list.
+
+    The planes come from a seeded LCG (similarity.random_hyperplanes), so
+    they are CONSTANTS both engines can share: every value is a dyadic
+    rational (state/2^30 - 1) whose repr() round-trips exactly through any
+    IEEE-double SQL parser."""
+    from eve_graph_spark.operators.similarity import random_hyperplanes
+
+    return ",\n            ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in row))
+        for i, row in enumerate(random_hyperplanes(64, 8))
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
+    planes AS (SELECT * FROM (VALUES
+            {_lsh_planes_values_sql()}
+    ) AS t(i, pvec)),
+    pexp AS (SELECT i, pos, CAST(pvec[pos] AS DOUBLE) AS pval FROM planes, pos),
+    emb AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+    v AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val FROM emb, pos),
+    idots AS (
+        SELECT v.vec_id, p.i,
+               SUM(CAST(FLOOR(v.val * p.pval * 1000000000 + 0.5) AS BIGINT)) AS idot
+        FROM v JOIN pexp p USING (pos) GROUP BY 1, 2
+    ),
+    bucket AS (
+        SELECT vec_id,
+               SUM(CASE WHEN idot > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS bucket
+        FROM idots GROUP BY 1
+    ),
+    q AS (SELECT vec_id AS query_id, bucket FROM bucket WHERE vec_id IN (0,1,2,3,4)),
+    cand_pairs AS (
+        SELECT q.query_id, b.vec_id
+        FROM q JOIN bucket b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+    ),
+    dots AS (
+        SELECT cp.query_id, cp.vec_id,
+               SUM(CAST(FLOOR(qv.val * cv.val * 1000000000 + 0.5) AS BIGINT))
+                   / 1000000000.0 AS dot
+        FROM cand_pairs cp
+        JOIN v cv ON cv.vec_id = cp.vec_id
+        JOIN v qv ON qv.vec_id = cp.query_id AND qv.pos = cv.pos
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT vec_id AS nid,
+               SUM(CAST(FLOOR(val * val * 1000000000 + 0.5) AS BIGINT))
+                   / 1000000000.0 AS sq
+        FROM v GROUP BY 1
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT d.query_id, d.vec_id,
+               d.dot / (sqrt(qn.sq) * sqrt(cn.sq)) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY d.dot / (sqrt(qn.sq) * sqrt(cn.sq)) DESC, d.vec_id
+               ) AS rank
+        FROM dots d
+        JOIN norms qn ON qn.nid = d.query_id
+        JOIN norms cn ON cn.nid = d.vec_id
+    ) WHERE rank <= 10
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hash-checkable since r5 (4 rounds rows-only): the hyperplanes are
+    # seeded-LCG constants and the sign bits + re-rank cosine go through
+    # integer fixed point (exact_lsh_bucket_expr / fixed_dot), so the
+    # ENTIRE approximate pipeline — bucket assignment included — is
+    # bit-reproducible by an oracle inlining the same plane constants.
+    # Recall stays probabilistic (that's the operator's contract, pinned
+    # separately in tests); what the hash now proves is that the
+    # bucket-restricted candidate set and its exact re-rank are right.
     from eve_graph_spark.operators.similarity import lsh_bucketed_topk
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    return lsh_bucketed_topk(emb, ANN_QUERY_IDS, k=10)
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == 64  # symmetric with the oracle's len() guard
+    )
+    return lsh_bucketed_topk(emb, ANN_QUERY_IDS, k=10, exact_fixed_point=True).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
 
 
-@register("ann_ivf_topk")  # data-adaptive cell probing → rows-only
+@register(
+    "ann_ivf_topk",
+    """
+    WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
+    emb AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+    v AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val FROM emb, pos),
+    qexp AS (SELECT vec_id AS query_id, pos, val FROM v WHERE vec_id IN (0,1,2,3,4)),
+    dots AS (
+        SELECT qe.query_id, cv.vec_id,
+               SUM(CAST(FLOOR(qe.val * cv.val * 1000000000 + 0.5) AS BIGINT))
+                   / 1000000000.0 AS dot
+        FROM v cv JOIN qexp qe ON qe.pos = cv.pos AND cv.vec_id <> qe.query_id
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT vec_id AS nid,
+               SUM(CAST(FLOOR(val * val * 1000000000 + 0.5) AS BIGINT))
+                   / 1000000000.0 AS sq
+        FROM v GROUP BY 1
+    ),
+    scored AS (
+        SELECT d.query_id, d.vec_id,
+               d.dot / (sqrt(qn.sq) * sqrt(cn.sq)) AS cosine
+        FROM dots d
+        JOIN norms qn ON qn.nid = d.query_id
+        JOIN norms cn ON cn.nid = d.vec_id
+    )
+    SELECT query_id, vec_id AS exact_top1_vec_id, cosine AS exact_top1_cosine,
+           TRUE AS ivf_recall_at_10_ok
+    FROM (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from eve_graph_spark.operators.similarity import ivf_topk
+    # Hash-checkable since r5, sketches-style: Lloyd training (float argmax
+    # + mean updates) can't be replayed bit-for-bit in SQL, so the output
+    # carries what CAN — the exact-fixed-point top-1 neighbor per query,
+    # plus a boolean asserting IVF recall@10 ≥ 0.5 against the exact top-10
+    # (the bound the operator's tests pin; measured 0.7-0.9 on the
+    # fixtures). The oracle recomputes the exact top-1 and emits TRUE; an
+    # IVF regression below the bound flips the boolean and fails the hash.
+    # The full approximate top-k surface remains `similarity.ivf_topk`,
+    # parity-pinned between its driver-local and distributed paths.
+    from eve_graph_spark.operators.similarity import brute_force_topk, ivf_topk
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    return ivf_topk(emb, ANN_QUERY_IDS, k=10)
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == 64
+    )
+    exact = brute_force_topk(emb, ANN_QUERY_IDS, k=10, exact_fixed_point=True).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+    ivf = ivf_topk(emb, ANN_QUERY_IDS, k=10).select("query_id", "vec_id")
+    overlap = (
+        exact.join(ivf, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__overlap"))
+    )
+    return (
+        exact.filter(F.col("rank") == 1)
+        .join(F.broadcast(overlap), "query_id", "left")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("exact_top1_vec_id"),
+            F.col("cosine").alias("exact_top1_cosine"),
+            (F.coalesce(F.col("__overlap"), F.lit(0)) >= 5).alias("ivf_recall_at_10_ok"),
+        )
+    )
 
 
 # =========================================================================
