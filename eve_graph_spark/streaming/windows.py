@@ -132,3 +132,42 @@ def enrich_with_static(stream: DataFrame, static_dim: DataFrame, key: str) -> Da
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(static_dim), key, "left")
+
+
+def curate_document_stream(docs: DataFrame, benchmark_digests: DataFrame,
+                           ts_col: str = "ts", text_col: str = "text",
+                           min_quality: float = 2.0,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming corpus curation: the batch `corpus_curation_pipeline`
+    re-expressed incrementally for a document firehose — score quality,
+    drop below-threshold docs, exact-dedup on text digest within the
+    watermark horizon, and flag benchmark contamination via a stream-static
+    broadcast join against the (small, eval-suite-sized) digest dimension.
+
+    State story at 100 TB/day: the only stream state is the dedup digest
+    store, bounded by the watermark (a global dropDuplicates would grow
+    with stream length and eventually OOM the state store); quality and
+    lang-id are stateless column expressions evaluated in the micro-batch
+    scan; the contamination dim re-reads per micro-batch so a refreshed
+    benchmark set is picked up without restarting the query.
+    """
+    from eve_graph_spark.operators.text_analysis import lang_id_expr, quality_score_expr
+
+    scored = (
+        docs.withColumn("__digest", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+        .withColumn("quality", quality_score_expr(F.col(text_col)))
+        .withColumn("lang_guess", lang_id_expr(F.col(text_col)))
+        .filter(F.col("quality") >= min_quality)
+    )
+    deduped = (
+        scored.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__digest"])
+    )
+    bench = F.broadcast(benchmark_digests.select(
+        F.col("digest").alias("__digest"), F.lit(True).alias("contaminated")
+    ))
+    return (
+        deduped.join(bench, "__digest", "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+        .drop("__digest")
+    )

@@ -4,6 +4,8 @@ these tests pin the semantic properties the hash can't see."""
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import functions as F
 
 from eve_graph_spark import queries as registry
@@ -118,3 +120,52 @@ def test_duplicate_spans_shingles_really_cross_doc(spark):
     for r in spans[:200]:
         g = " ".join(texts[r["doc_id"]][r["span_start"] : r["span_start"] + 5])
         assert len(occurs[g]) >= 2
+
+
+def test_curate_document_stream(spark, tmp_path):
+    """Streaming curation: quality filter, cross-batch digest dedup within
+    the watermark, stream-static contamination flag."""
+    import json
+
+    from eve_graph_spark.streaming.windows import curate_document_stream
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    bench = "benchmark eval suite question answer pair held out for testing models"
+    base = 1_700_000_000
+    b0 = [
+        {"doc_id": 1, "ts": base, "text": good},
+        {"doc_id": 2, "ts": base + 1, "text": "x"},          # low quality -> dropped
+        {"doc_id": 3, "ts": base + 2, "text": bench},
+    ]
+    b1 = [
+        {"doc_id": 4, "ts": base + 10, "text": good},        # dup of doc 1 -> dropped
+        {"doc_id": 5, "ts": base + 11, "text": good + " extra words here"},
+    ]
+    p = tmp_path / "docs"
+    p.mkdir()
+    for i, rows in enumerate([b0, b1]):
+        (p / f"b{i}.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    raw = (
+        spark.readStream.schema("doc_id long, ts long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(p))
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    bench_dim = spark.createDataFrame(
+        [(hashlib.md5(bench.encode()).hexdigest(),)], "digest string"
+    )
+    out = curate_document_stream(raw, bench_dim, min_quality=2.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_curated"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM curated").collect()}
+    assert set(rows) == {1, 3, 5}, rows           # 2 low-quality, 4 dup
+    assert rows[3]["contaminated"] is True
+    assert rows[1]["contaminated"] is False
+    assert rows[1]["quality"] >= 2.0 and rows[1]["lang_guess"] is not None
