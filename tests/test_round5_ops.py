@@ -169,3 +169,52 @@ def test_curate_document_stream(spark, tmp_path):
     assert rows[3]["contaminated"] is True
     assert rows[1]["contaminated"] is False
     assert rows[1]["quality"] >= 2.0 and rows[1]["lang_guess"] is not None
+
+
+# --- duplicate_text_spans fuzz vs a brute-force Python oracle ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# tiny vocabulary forces frequent cross-doc 5-gram collisions
+_doc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14).map(" ".join)
+_corpora = st.lists(_doc, min_size=2, max_size=6)
+
+
+def _py_duplicate_spans(texts: list[str]):
+    occurs: dict[str, set] = {}
+    grams: dict[int, list] = {}
+    for did, t in enumerate(texts):
+        ws = t.lower().split(" ")
+        grams[did] = [" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)] if len(ws) >= 5 else []
+        for g in grams[did]:
+            occurs.setdefault(g, set()).add(did)
+    spans = set()
+    for did, gs in grams.items():
+        dup = [i for i, g in enumerate(gs) if len(occurs[g]) >= 2]
+        start = None
+        prev = None
+        for i in dup + [None]:
+            if i is not None and prev is not None and i == prev + 1:
+                prev = i
+                continue
+            if prev is not None:
+                spans.add((did, start, prev + 4, prev - start + 1))
+            start = prev = i
+    return spans
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_corpora)
+def test_duplicate_spans_match_brute_force(spark, tmp_path_factory, texts):
+    tmp = tmp_path_factory.mktemp("spans_fuzz")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_shingles"])
+        for r in registry.queries()["duplicate_text_spans"](spark, str(tmp)).collect()
+    }
+    assert got == _py_duplicate_spans(texts)
