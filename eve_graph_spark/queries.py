@@ -5219,48 +5219,54 @@ def _bm25_query_values_sql() -> str:
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BM25 top-k retrieval (k1=1.2, b=0.75) over the corpus for a constant
     # query workload — the "mine relevant training docs for a topic" step.
-    # No inverted index is materialized: the term set broadcasts, the
-    # corpus is scanned once, and only (doc_id, term, tf) postings for
-    # QUERY terms shuffle — the classic scatter-gather top-k plan, so at
-    # 100 TB the shuffle is |query terms| x |matching docs|, not |corpus|.
+    # No inverted index is materialized: the term set broadcasts and only
+    # (doc_id, term, tf, dl) postings for QUERY terms shuffle — the
+    # classic scatter-gather top-k plan, so at 100 TB the shuffle is
+    # |query terms| x |matching docs|, not |corpus|. dl (doc word count)
+    # is the split-array SIZE computed scan-side and carried through the
+    # postings agg — the first cut derived it with a word-level explode +
+    # groupBy, a corpus-wide shuffle for a number the scan already knows.
+    # Two corpus scans remain (corpus-wide dl stats; postings): at 100 TB
+    # re-scanning parquet for the tiny stats agg beats materializing an
+    # O(corpus) cache.
     # Determinism: tf/dl/df are exact integers; avgdl is one division of
     # exact operands; ln goes through the house 1e-6 fixed point; each
     # per-term score is the identical left-to-right double chain fixed-
     # pointed at 1e-9 before the order-independent integer sum; ranking
     # orders by the integer score. Constants 2.2/1.2/0.25/0.75 parse to
-    # identical doubles in both engines.
+    # identical doubles in both engines. dl-as-array-size equals the
+    # oracle's COUNT(*) over unnest (split of '' yields one '' element in
+    # both engines).
     docs = spread(load_table(spark, sf_dir, "documents"))
-    w = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.coalesce("text", F.lit(""))), " ")).alias("word")
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.coalesce("text", F.lit(""))), " ").alias("ws")
     )
-    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    stats = base.select(F.size("ws").cast("long").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
     q = spark.createDataFrame(list(BM25_QUERIES), "query_id long, term string")
+    w = base.select(
+        "doc_id", F.size("ws").cast("long").alias("dl"), F.explode("ws").alias("word")
+    )
     tf = (
         w.join(F.broadcast(q), w["word"] == q["term"])
         .groupBy("doc_id", "query_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = (
-        df_.crossJoin(F.broadcast(stats.select("n_docs")))
-        .select(
-            "term",
-            F.floor(
-                F.log(
-                    (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
-                    / (F.col("df").cast("double") + 0.5)
-                    + 1.0
-                )
-                * 1000000.0
-                + 0.5
+    idf_fp = (
+        F.floor(
+            F.log(
+                (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+                + 1.0
             )
-            .cast("long")
-            .alias("idf_fp"),
+            * 1000000.0
+            + 0.5
         )
+        .cast("long")
+        .alias("idf_fp")
     )
     term_score_fp = (
         F.floor(
@@ -5279,10 +5285,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("term_score_fp")
     )
+    # single stats reference (1-row broadcast carries n_docs AND avgdl) so
+    # the corpus-stats scan happens once; the tf subtree feeds both the
+    # postings and the df agg through one reusable exchange.
     scored = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_fp", idf_fp)
         .select("doc_id", "query_id", term_score_fp)
     )
     totals = scored.groupBy("query_id", "doc_id").agg(F.sum("term_score_fp").alias("score_fp"))

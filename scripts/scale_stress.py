@@ -13,7 +13,7 @@ mixing, and the CC-membership join in survivor selection all actually get
 exercised at a size where they would visibly stall if the plans regressed
 to their quadratic/single-task forms.
 
-Usage: python scripts/scale_stress.py [--rep 100] [--keep]
+Usage: python scripts/scale_stress.py [--rep 100] [--keep] [--only q1 q2 ...]
 Prints one JSON line per query and a summary line; exits non-zero if any
 query fails or exceeds its wall-time budget.
 """
@@ -112,7 +112,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=100)
     ap.add_argument("--keep", action="store_true", help="keep the generated corpus dir")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="stress only these queries (default: all budgeted)")
     args = ap.parse_args()
+    budgets = {k: v for k, v in BUDGETS.items() if args.only is None or k in args.only}
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -137,7 +140,7 @@ def main() -> int:
 
     qs = registry.queries()
     failures = []
-    for name, budget in BUDGETS.items():
+    for name, budget in budgets.items():
         before = set(completed_stage_metrics(spark))
         t0 = time.time()
         try:
