@@ -1092,7 +1092,9 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dups",
     """
     WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
-    v AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val FROM embeddings, pos),
+    v AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+          FROM embeddings, pos
+          WHERE embedding IS NOT NULL AND len(embedding) = 64),
     dots AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                SUM(CAST(FLOOR(a.val * b.val * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 AS dot
@@ -1116,7 +1118,12 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates at scale — see ann_lsh_topk).
     from eve_graph_spark.operators.similarity import pairwise_cosine
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # NULL / wrong-width guard symmetric with the oracle's WHERE: without
+    # it a NULL embedding vanishes Spark-side (posexplode emits no rows)
+    # while the oracle keeps a NULL-cosine pair row (ADVICE r4 class).
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
     pairs = emb.select(F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1).alias("id_b")).join(
         emb.select(F.col("vec_id").alias("id_b")), "id_b", "left_semi"
     )
@@ -1816,9 +1823,11 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
     "ann_brute_force_topk",
     """
     WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
-    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id IN (0,1,2,3,4) AND embedding IS NOT NULL AND len(embedding) = 64),
     qexp AS (SELECT query_id, pos, CAST(qvec[pos] AS DOUBLE) AS qval FROM q, pos),
-    cand AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS cval FROM embeddings, pos),
+    cand AS (SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS cval FROM embeddings, pos
+             WHERE embedding IS NOT NULL AND len(embedding) = 64),
     dots AS (
         SELECT query_id, vec_id,
                SUM(CAST(FLOOR(cval * qval * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 AS dot
@@ -1847,7 +1856,11 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eve_graph_spark.operators.similarity import brute_force_topk
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # guard symmetric with the oracle's WHERE (ADVICE r4 class): NULL /
+    # short vectors otherwise diverge between posexplode and unnest-range
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
     return brute_force_topk(emb, ANN_QUERY_IDS, k=10, exact_fixed_point=True).select(
         "query_id", "vec_id", "cosine", "rank"
     )
@@ -3701,6 +3714,7 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
                 AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_val
     FROM embeddings, unnest(range(1, 65)) AS u(i)
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
     GROUP BY label, i
     """,
 )
@@ -3711,7 +3725,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-dimension sums are fixed-pointed so the mean is bit-identical.
     # At 100 TB: the explode is map-side (64 rows out per vector, no text),
     # and the shuffle carries only (label, idx, partial sums) — 640 cells.
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # NULL/short-vector guard symmetric with the oracle: the oracle's
+    # unnest-range cross would otherwise COUNT(*) 64 rows for a NULL
+    # vector (diluting the mean) while posexplode drops it entirely.
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
     return (
         emb.select("label", F.posexplode("embedding").alias("idx", "val"))
         .groupBy("label", "idx")
@@ -4536,8 +4555,11 @@ def semantic_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce per-element: a NULL in any of the first 8 dims must vote 0,
     # matching the oracle's CASE WHEN ... ELSE 0 (NULL >= 0 is NULL there,
     # which falls to ELSE); without it the whole bucket goes NULL Spark-side.
+    # F.get, not getItem: a vector shorter than 8 dims must yield NULL (→
+    # vote 0) like DuckDB's out-of-bounds list index — getItem THROWS under
+    # ANSI mode (pinned by test_null_embedding_parity's 3-wide row).
     bucket = sum(
-        F.coalesce((F.col("embedding").getItem(i) >= 0).cast("long"), F.lit(0)) * (1 << i)
+        F.coalesce((F.get("embedding", i) >= 0).cast("long"), F.lit(0)) * (1 << i)
         for i in range(8)
     ).cast("long")
     w = Window.partitionBy("bucket")
