@@ -44,9 +44,12 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("digest", T.StringType(), False),
-        T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("feat", T.ArrayType(T.DoubleType()), False),
+        # nullable: a NULL blob (missing media) yields NULL features, the
+        # md5(NULL)/strlen(NULL) SQL semantics — a False flag here makes
+        # codegen NPE on the first NULL row instead
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feat", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -123,12 +126,17 @@ def extract_features(
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf["blob"]
+            # a NULL blob (missing/unfetched media) yields NULL features —
+            # the SQL md5(NULL)/strlen(NULL) semantics — instead of a
+            # TypeError killing the whole Arrow batch
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "digest": [hashlib.md5(b).hexdigest() for b in blobs],
-                    "n_bytes": [len(b) for b in blobs],
-                    "feat": [decoder(bytes(b)) for b in blobs],
+                    "digest": [
+                        hashlib.md5(b).hexdigest() if b is not None else None for b in blobs
+                    ],
+                    "n_bytes": [len(b) if b is not None else None for b in blobs],
+                    "feat": [decoder(bytes(b)) if b is not None else None for b in blobs],
                 }
             )
 

@@ -55,12 +55,20 @@ def quality_score_expr(text: Column) -> Column:
     """Quality score: mean word length + stopword ratio − punctuation ratio.
 
     Written as one explicit left-to-right chain of single double ops so
-    Spark and DuckDB produce the identical double.
+    Spark and DuckDB produce the identical double. TOTAL by construction:
+    NULL text coalesces to '' and the punct ratio guards length 0 (ANSI
+    Spark raises DIVIDE_BY_ZERO where DuckDB returns NULL — an explicit
+    CASE is the only expression both engines agree on), so quality is
+    always a number and never hits engine-divergent NULL ordering in the
+    rank/decile/budget consumers. Mirrored by queries._QUALITY_SQL.
     """
-    wc = word_count(text).cast("double")
-    mean_wlen = F.length(text).cast("double") / wc
-    stop_ratio = stopword_hits(text, "en").cast("double") / wc
-    punct_ratio = punct_count(text).cast("double") / F.length(text).cast("double")
+    t = F.coalesce(text, F.lit(""))
+    wc = word_count(t).cast("double")  # split('') = [''] -> never 0
+    mean_wlen = F.length(t).cast("double") / wc
+    stop_ratio = stopword_hits(t, "en").cast("double") / wc
+    punct_ratio = F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        punct_count(t).cast("double") / F.length(t).cast("double")
+    )
     return mean_wlen + stop_ratio - punct_ratio
 
 

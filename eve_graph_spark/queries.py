@@ -1495,12 +1495,14 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_words,
            length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
-           CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' '))
-             + CAST(len(list_filter(string_split(lower(text), ' '),
+           CAST(length(coalesce(text, '')) AS DOUBLE)
+               / len(string_split(lower(coalesce(text, '')), ' '))
+             + CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
                     w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
-               / len(string_split(lower(text), ' '))
-             - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
-               / CAST(length(text) AS DOUBLE) AS quality
+               / len(string_split(lower(coalesce(text, '')), ' '))
+             - CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) END AS quality
     FROM documents
     """,
 )
@@ -4100,12 +4102,14 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # these rotate into the round-3 window.
 # =========================================================================
 
-_QUALITY_SQL = """CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' '))
-             + CAST(len(list_filter(string_split(lower(text), ' '),
+_QUALITY_SQL = """CAST(length(coalesce(text, '')) AS DOUBLE)
+               / len(string_split(lower(coalesce(text, '')), ' '))
+             + CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
                     w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
-               / len(string_split(lower(text), ' '))
-             - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
-               / CAST(length(text) AS DOUBLE)"""
+               / len(string_split(lower(coalesce(text, '')), ' '))
+             - CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) END"""
 
 
 @register(
