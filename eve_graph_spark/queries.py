@@ -2010,20 +2010,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, ANN_QUERY_IDS, k=10, exact_fixed_point=True).select(
         "query_id", "vec_id", "cosine", "rank"
     )
-    ivf = ivf_topk(emb, ANN_QUERY_IDS, k=10).select("query_id", "vec_id")
-    overlap = (
-        exact.join(ivf, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__overlap"))
+    ivf = (
+        ivf_topk(emb, ANN_QUERY_IDS, k=10)
+        .select("query_id", "vec_id")
+        .withColumn("__hit", F.lit(1))
     )
+    # Single consumer of `exact`: the first cut branched it twice (overlap
+    # semi-join + the rank-1 filter), so Catalyst planned the whole
+    # exact-fixed-point brute force TWICE — measured ~2x the expected wall
+    # at sf0.1. One left join + min_by/sum aggregate keeps both outputs
+    # (top-1 row and recall count) in one pass over the single subtree.
     return (
-        exact.filter(F.col("rank") == 1)
-        .join(F.broadcast(overlap), "query_id", "left")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("exact_top1_vec_id"),
-            F.col("cosine").alias("exact_top1_cosine"),
-            (F.coalesce(F.col("__overlap"), F.lit(0)) >= 5).alias("ivf_recall_at_10_ok"),
+        exact.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.min_by("vec_id", "rank").alias("exact_top1_vec_id"),
+            F.min_by("cosine", "rank").alias("exact_top1_cosine"),
+            (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) >= 5).alias(
+                "ivf_recall_at_10_ok"
+            ),
         )
     )
 
