@@ -32,6 +32,26 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
 
+def fixed_sqnorm_expr(a: Column, scale: int = FIXED_POINT_SCALE) -> Column:
+    """Fixed-point squared norm as a pure array fold — bit-identical to the
+    posexplode + SUM(floor(x*x*scale+0.5)) aggregate (same integer addends,
+    integer addition is order-independent), but with no Generate node, so
+    query-batch norms don't cost an explode of the batch."""
+    return (
+        F.aggregate(
+            F.transform(
+                a,
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * scale + F.lit(0.5)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(scale))
+    )
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
@@ -86,8 +106,18 @@ def _brute_force_topk_fixed_point(embeddings: DataFrame, q: DataFrame, k: int,
         .agg((F.sum(fp(F.col("v").cast("double") * F.col("v").cast("double")))
               / F.lit(float(FIXED_POINT_SCALE))).alias("sqnorm"))
     )
+    # Query-side norms come from the query BATCH, not a rename of the
+    # corpus-wide norms table: broadcasting `norms` keyed on query_id
+    # builds a hash table of EVERY candidate's norm (a corpus-sized
+    # broadcast at scale) and plans the norm aggregation twice. qnorms is
+    # |Q| rows by construction — an always-safe broadcast — and the
+    # corpus norms subtree is planned exactly once, as the keyed join's
+    # build-free probe side. The array fold gives the identical value to
+    # the posexplode+SUM form (same integer addends, order-independent)
+    # without a Generate node; interpreted-HOF cost is |Q|·dim — noise.
+    qnorms = q.select("query_id", fixed_sqnorm_expr(F.col("qvec")).alias("qn"))
     scored = (
-        dots.join(F.broadcast(norms.withColumnsRenamed({"nid": "query_id", "sqnorm": "qn"})), "query_id")
+        dots.join(F.broadcast(qnorms), "query_id")
         .join(norms.withColumnRenamed("sqnorm", "cn"), F.col(id_col) == F.col("nid"))
         .select(
             "query_id", id_col,

@@ -4699,11 +4699,19 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg((F.sum(fp(F.col("x") * F.col("x"))) / F.lit(float(FP))).alias("sq"))
     )
+    # Query-side norms from the query BATCH, not a renamed copy of the
+    # corpus-wide norms table: that form broadcast every candidate's norm
+    # (corpus-sized at scale) and planned the norm aggregation twice (same
+    # fix as similarity._brute_force_topk_fixed_point). The array fold is
+    # bit-identical to the exploded SUM — same integer addends.
+    from eve_graph_spark.operators.similarity import fixed_sqnorm_expr
+
+    qnorms = v.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        fixed_sqnorm_expr(F.col("vec"), FP).alias("q_sq"),
+    )
     scored = (
-        dots.join(
-            F.broadcast(norms.withColumnsRenamed({"vec_id": "query_id", "sq": "q_sq"})),
-            "query_id",
-        )
+        dots.join(F.broadcast(qnorms), "query_id")
         .join(norms.withColumnRenamed("sq", "v_sq"), "vec_id")
         .select(
             "query_id",

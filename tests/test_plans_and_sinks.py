@@ -231,3 +231,17 @@ def test_fuzzy_match_is_equi_join_not_cartesian(spark, sf_dir):
 
     plan = plan_of(registry.queries()["fuzzy_match_customers"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_ann_corpus_subtrees_planned_once(spark, sf_dir):
+    # The exact fixed-point ANN pipelines touch the corpus through three
+    # posexplode subtrees: candidate dot products, the query batch, and
+    # corpus norms. Two past regressions multiplied that: (a) ann_ivf's
+    # recall harness branched the brute-force result, re-planning the whole
+    # pipeline per branch; (b) query-side norms were a RENAMED COPY of the
+    # corpus-norms aggregate — planned twice AND broadcast corpus-sized.
+    # Pinning "exactly the 3 structural explodes" catches both shapes, and
+    # the no-corpus-broadcast assert catches (b)'s scale hazard directly.
+    for name in ("ann_ivf_topk", "hard_negatives_topk"):
+        plan = plan_of(registry.queries()[name](spark, sf_dir))
+        assert plan.count("posexplode") <= 3, (name, plan.count("posexplode"))
