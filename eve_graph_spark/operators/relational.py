@@ -183,6 +183,28 @@ def diff_sync(expected_ids: DataFrame, current_ids: DataFrame, key: str) -> tupl
     return to_add, to_remove
 
 
+def diff_sync_actions(expected_ids: DataFrame, current_ids: DataFrame, key: str) -> DataFrame:
+    """One-pass form of `diff_sync` when both directions are consumed
+    together: a single full-outer join on the key classifies every id as
+    to_add (expected only) / to_remove (current only) / unchanged
+    (dropped). The two-anti-join form plans each input per direction —
+    at scale that is two extra scans and two extra shuffles for the same
+    answer. Same sync.rs:121-170 semantics, keys assumed distinct per side
+    (they are ids)."""
+    e = expected_ids.select(F.col(key)).withColumn("__e", F.lit(1))
+    c = current_ids.select(F.col(key)).withColumn("__c", F.lit(1))
+    j = e.join(c, key, "full_outer")
+    return (
+        j.filter(F.col("__e").isNull() | F.col("__c").isNull())
+        .select(
+            F.when(F.col("__c").isNull(), F.lit("to_add"))
+            .otherwise(F.lit("to_remove"))
+            .alias("action"),
+            key,
+        )
+    )
+
+
 def expected_stargates(systems: DataFrame) -> DataFrame:
     """D2 (sync.rs:172-221): expected gate ids = explode systems.stargates."""
     return systems.select(F.explode("stargates").alias("stargate_id")).distinct()

@@ -349,10 +349,9 @@ def diff_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     current = cust.select(F.col("c_custkey").alias("k"))
-    to_add, to_remove = R.diff_sync(expected, current, "k")
-    return to_add.select(F.lit("to_add").alias("action"), "k").unionByName(
-        to_remove.select(F.lit("to_remove").alias("action"), "k")
-    )
+    # Both directions consumed together → the one-pass full-outer form
+    # (diff_sync's two anti-joins re-plan each input per direction).
+    return R.diff_sync_actions(expected, current, "k")
 
 
 # =========================================================================
@@ -3145,38 +3144,47 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q21 shape (lateness adapted to the driver schema: shipped >90
     # days after order date): the sole late supplier on multi-supplier
-    # orders. One semi-join + one anti-join against the fact table — the
-    # decorrelated form Catalyst picks for EXISTS/NOT EXISTS.
+    # orders. The textbook EXISTS/NOT-EXISTS decorrelation scans the fact
+    # THREE times (late + semi probe + anti probe), each with its own
+    # orderkey shuffle. The per-order predicates are all functions of one
+    # order's line set, so a single scan + two-level aggregation computes
+    # them instead: per-(order, supplier) late-line counts (map-side
+    # partial combine collapses lines before the wire), then per-order
+    # supplier/late-supplier tallies. "EXISTS another supplier" ⇔
+    # n_supp > 1; "NOT EXISTS another LATE supplier" ⇔ n_late_supp == 1;
+    # numwait keeps per-LINE multiplicity (a supplier late on 3 lines of
+    # one order counts 3), matching the EXISTS form row-for-row. No
+    # Expand-based multi-countDistinct: two plain aggregates, the second
+    # over ~4 rows/order. At 100 TB: one fact scan, one orderkey-ish
+    # shuffle of distinct (order, supplier) pairs, supplier broadcast.
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     sup = load_table(spark, sf_dir, "supplier")
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-        .select("l_orderkey", "l_suppkey")
+    lo = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+            ).alias("is_late"),
+        )
     )
-    li_k = li.select(
-        F.col("l_orderkey").alias("k_orderkey"), F.col("l_suppkey").alias("k_suppkey")
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_lines")
     )
-    multi = late.join(
-        li_k,
-        (F.col("l_orderkey") == F.col("k_orderkey"))
-        & (F.col("l_suppkey") != F.col("k_suppkey")),
-        "left_semi",
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
+        F.max(F.when(F.col("late_lines") > 0, F.col("l_suppkey"))).alias("sole_supp"),
+        F.sum(F.when(F.col("late_lines") > 0, F.col("late_lines"))).alias("n_late_lines"),
     )
-    late_k = late.select(
-        F.col("l_orderkey").alias("k_orderkey"), F.col("l_suppkey").alias("k_suppkey")
-    )
-    sole = multi.join(
-        late_k,
-        (F.col("l_orderkey") == F.col("k_orderkey"))
-        & (F.col("l_suppkey") != F.col("k_suppkey")),
-        "left_anti",
-    )
+    qual = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     return (
-        sole.join(sup, sole.l_suppkey == sup.s_suppkey)
+        qual.join(F.broadcast(sup), qual.sole_supp == sup.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

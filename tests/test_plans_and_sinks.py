@@ -212,11 +212,18 @@ def test_curation_topk_plans_take_ordered_or_window(spark, sf_dir):
     assert "Window" in plan
 
 
-def test_q21_plans_semi_and_anti_joins(spark, sf_dir):
+def test_q21_single_fact_scan(spark, sf_dir):
+    # The EXISTS/NOT-EXISTS decorrelation scanned lineitem 3x (late set +
+    # semi probe + anti probe). The aggregate rewrite pins: ONE lineitem
+    # scan, no semi/anti joins, supplier on the broadcast side, and no
+    # Expand (the multi-countDistinct form would triple the shuffle).
     from eve_graph_spark import queries as registry
 
     plan = plan_of(registry.queries()["q21_waiting_suppliers"](spark, sf_dir))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Expand" not in plan
 
 
 def test_rolling_30d_uses_range_frame(spark, sf_dir):
