@@ -5296,12 +5296,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = base.select(
         "doc_id", F.size("ws").cast("long").alias("dl"), F.explode("ws").alias("word")
     )
+    # Postings keyed by (doc, term) — NOT (doc, query, term): the query_id
+    # dimension re-attaches from the broadcast workload after the heavy
+    # agg, so a term shared by two queries costs one posting row, and df
+    # becomes a windowed count over rows that are already unique per doc —
+    # no countDistinct, and no second plan of the postings subtree (the
+    # groupBy(term)+join form re-planned tf and with it the corpus scan).
     tf = (
-        w.join(F.broadcast(q), w["word"] == q["term"])
-        .groupBy("doc_id", "query_id", "term")
+        w.join(F.broadcast(q.select("term").distinct()), w["word"] == F.col("term"))
+        .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf_fp = (
         F.floor(
             F.log(
@@ -5333,10 +5339,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("term_score_fp")
     )
     # single stats reference (1-row broadcast carries n_docs AND avgdl) so
-    # the corpus-stats scan happens once; the tf subtree feeds both the
-    # postings and the df agg through one reusable exchange.
+    # the corpus-stats scan happens once; query_ids fan back in from the
+    # broadcast workload table only now, after the per-(doc,term) agg.
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(F.broadcast(q), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn("idf_fp", idf_fp)
         .select("doc_id", "query_id", term_score_fp)
