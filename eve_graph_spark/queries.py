@@ -1662,12 +1662,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("term") > 0)
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.dropDuplicates(["doc_id", "term"]).groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # df from tf itself: tf rows are unique per (doc, term), so doc
+    # frequency is a windowed COUNT over the term partition. The separate
+    # dropDuplicates+groupBy(term) branch re-planned the tokenize subtree
+    # (a second corpus scan) and its join redistributed tf by term anyway —
+    # the window pays that same term shuffle once, with no extra scan.
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id", "term",
@@ -4271,26 +4273,36 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum; the two final divisions are single IEEE ops, portable.
     docs = spread(load_table(spark, sf_dir, "documents"))
     w = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
-    v = w.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
-    tot = v.agg(F.sum("n_w").alias("n_total"))
-    lp = v.crossJoin(F.broadcast(tot)).select(
-        "word",
-        F.floor(
-            F.log(F.col("n_w").cast("double") / F.col("n_total").cast("double"))
-            * 1000000.0
-            + 0.5
-        )
-        .cast("long")
-        .alias("lp"),
+    # One tokenize pass: per-(doc, word) counts carry BOTH sides of the LM.
+    # The vocab count n_w is a windowed sum over the word partition (the
+    # LM-then-join-back form re-planned the tokenize subtree twice and
+    # aggregated the vocab twice); n_total is a scan-side sum of token-
+    # array sizes — the same scalar as count(w) without an explode, with
+    # NULL text contributing 0 exactly as explode drops it. Per-word log
+    # probs are applied with multiplicity c — the identical integer-
+    # fixed-point addends as the row-per-token sum, order-independent.
+    cw = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot = docs.agg(
+        F.sum(
+            F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                F.size(F.split(F.lower("text"), " "))
+            )
+        ).alias("n_total")
     )
+    lp = F.floor(
+        F.log(F.col("n_w").cast("double") / F.col("n_total").cast("double"))
+        * 1000000.0
+        + 0.5
+    ).cast("long")
     return (
-        w.join(lp, "word")
+        cw.withColumn("n_w", F.sum("c").over(Window.partitionBy("word")))
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            (F.sum("lp").cast("double") / F.count(F.lit(1)) / 1000000.0).alias(
-                "avg_logprob"
-            ),
+            F.sum("c").alias("n_words"),
+            (
+                F.sum(F.col("c") * lp).cast("double") / F.sum("c") / 1000000.0
+            ).alias("avg_logprob"),
         )
     )
 
