@@ -4784,8 +4784,13 @@ def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read once and never shuffled.
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
-    min_n = counts.agg(F.min("n_lang").alias("min_n"))
-    rates = counts.crossJoin(F.broadcast(min_n)).select(
+    # min over a single-partition window of the per-lang aggregate: the
+    # separate .agg(min) + crossJoin form re-planned `counts` — i.e. the
+    # corpus-wide count — twice. The window input is #langs rows (bounded,
+    # tiny), so one partition is free, and the corpus aggregates once.
+    rates = counts.withColumn(
+        "min_n", F.min("n_lang").over(Window.partitionBy(F.lit(1)))
+    ).select(
         "lang",
         F.floor(
             F.sqrt(F.col("min_n").cast("double") / F.col("n_lang").cast("double"))
