@@ -96,3 +96,106 @@ def wormhole_ttl_stream(signatures: DataFrame, watermark: str = "0 seconds") -> 
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+NEAR_DUP_STATE_CAP = 64
+
+
+def _make_near_dup_fn(threshold: float, state_cap: int, idle_ttl_ms: int):
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "matched_doc_id", "band", "bucket", "est_jaccard"]
+        if state.hasTimedOut:
+            # idle bucket: drop its signature roster, emit nothing
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        if state.exists:
+            ids, sigs = list(state.get[0]), [list(s) for s in state.get[1]]
+        else:
+            ids, sigs = [], []
+        band, bucket = int(key[0]), int(key[1])
+        rows: list[dict] = []
+        for pdf in pdfs:
+            # doc_id order makes intra-batch hits deterministic: the later
+            # id matches against the earlier one, same as across batches
+            for _, r in pdf.sort_values("doc_id").iterrows():
+                sig = [int(x) for x in r["__sig"]]
+                did = int(r["doc_id"])
+                for mid, msig in zip(ids, sigs):
+                    if mid == did:
+                        continue
+                    est = sum(a == b for a, b in zip(sig, msig)) / float(len(sig))
+                    if est >= threshold:
+                        rows.append({
+                            "doc_id": did, "matched_doc_id": mid,
+                            "band": band, "bucket": bucket, "est_jaccard": est,
+                        })
+                ids.append(did)
+                sigs.append(sig)
+        if len(ids) > state_cap:  # keep the newest roster entries
+            ids, sigs = ids[-state_cap:], sigs[-state_cap:]
+        state.update((ids, sigs))
+        state.setTimeoutDuration(idle_ttl_ms)
+        yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def near_dup_hits_stream(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+    state_cap: int = NEAR_DUP_STATE_CAP,
+    idle_ttl_ms: int = 3_600_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming near-dup detection: the stateful form of the batch
+    MinHash-LSH pipeline (`operators/dedup.py:portable_lsh_candidates`),
+    extending `curate_document_stream`'s exact digest dedup to NEAR dups.
+
+    The portable MinHash signature and band buckets are computed in the
+    micro-batch SCAN (JVM expressions — the Python state fn never touches
+    text); each (band, bucket) group keeps a roster of the last
+    `state_cap` (doc_id, signature) pairs in the state store and emits a
+    hit row per roster match with estimated Jaccard = fraction of equal
+    signature rows, `threshold`-filtered. Consumers aggregate hits per
+    doc (a doc colliding in several bands emits one row per band) or join
+    them back to drop/canonicalize.
+
+    State story at firehose scale: the store holds
+    active_buckets x state_cap signatures — bounded per key by the cap
+    (an adversarial mega-bucket cannot grow past it; oldest entries
+    retire first) and globally by the idle TTL (processing-time timeout
+    drops buckets nothing has hashed into lately). Exact duplicates are
+    caught upstream by the watermark-bounded digest dedup; this operator
+    exists for the j >= threshold near-miss band the digest cannot see.
+    """
+    from eve_graph_spark.operators.dedup import (
+        portable_band_buckets_sql,
+        portable_minhash_sql,
+    )
+    from pyspark.sql import functions as F
+
+    banded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(portable_minhash_sql(text_col, num_hashes, k)).alias("__sig"),
+    ).select(
+        "doc_id",
+        "__sig",
+        F.posexplode(
+            F.expr(portable_band_buckets_sql("__sig", bands, rows_per_band))
+        ).alias("band", "bucket"),
+    )
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _make_near_dup_fn(threshold, state_cap, idle_ttl_ms),
+        outputStructType=(
+            "doc_id long, matched_doc_id long, band int, bucket long, est_jaccard double"
+        ),
+        stateStructType="ids array<long>, sigs array<array<long>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

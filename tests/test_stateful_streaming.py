@@ -77,3 +77,33 @@ def test_wormhole_ttl_open_then_closed(spark, tmp_path):
     assert ("B", "open") in got
     assert ("A", "closed") in got  # timed out once watermark passed expiry
     assert ("B", "closed") not in got
+
+
+def test_near_dup_hits_stream_across_batches(spark, tmp_path):
+    from eve_graph_spark.streaming.stateful import near_dup_hits_stream
+
+    text_a = "the quick brown fox jumps over the lazy dog and runs far away"
+    b0 = [
+        {"doc_id": 1, "text": text_a},
+        {"doc_id": 2, "text": "completely different content about spark execution plans"},
+    ]
+    b1 = [
+        {"doc_id": 3, "text": text_a},  # matches doc 1 FROM STATE (prev batch)
+        {"doc_id": 4, "text": "yet another unrelated blob of words entirely"},
+        {"doc_id": 5, "text": text_a},  # matches 1 (state) AND 3 (same batch)
+    ]
+    path = _stream_dir(tmp_path, "docs", [b0, b1])
+    raw = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(path)
+    _run(near_dup_hits_stream(raw, threshold=0.5), "near_hits", tmp_path, mode="append")
+    rows = spark.sql("SELECT * FROM near_hits").collect()
+    pairs = {(r["doc_id"], r["matched_doc_id"]) for r in rows}
+    # identical text -> identical signature -> est 1.0 in every colliding band
+    assert (3, 1) in pairs  # state persisted across micro-batches
+    assert (5, 1) in pairs and (5, 3) in pairs  # intra-batch roster append
+    assert all(r["est_jaccard"] >= 0.5 for r in rows)
+    assert {r["doc_id"] for r in rows} <= {3, 5}  # unrelated docs never flagged
+    for r in rows:
+        if (r["doc_id"], r["matched_doc_id"]) == (3, 1):
+            assert r["est_jaccard"] == 1.0
