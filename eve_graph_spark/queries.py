@@ -3086,9 +3086,15 @@ def rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q15: top supplier by 3-month revenue. The max is a scalar
-    # broadcast (one row) against the revenue agg — no second scan of the
-    # fact table; the comparison is on the exact fixed-point sum.
+    # TPC-H Q15: top supplier by 3-month revenue. The scalar-max-broadcast
+    # form (.agg(max) + join) re-planned the revenue aggregate — i.e. the
+    # full fact scan + groupBy — twice. The max now comes from a
+    # single-partition window over the ALREADY-AGGREGATED per-supplier
+    # rows: one fact pass, and the window input is supplier-cardinality
+    # (16-byte rows; workable in one task far past 1e8 suppliers, vs the
+    # alternative of a second 100 TB scan). Ties keep all max suppliers,
+    # matching the correlated-subquery semantics; comparison stays on the
+    # exact fixed-point sum.
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     rev = (
@@ -3106,13 +3112,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_fp")
         )
     )
-    mx = rev.agg(F.max("total_fp").alias("mx"))
-    return (
-        rev.join(F.broadcast(mx), rev.total_fp == mx.mx)
-        .join(sup, rev.supplier_no == sup.s_suppkey)
-        .select(
-            "s_suppkey", "s_name", (F.col("total_fp") / F.lit(1000000.0)).alias("total_revenue")
-        )
+    top = rev.withColumn(
+        "__mx", F.max("total_fp").over(Window.partitionBy(F.lit(1)))
+    ).filter(F.col("total_fp") == F.col("__mx"))
+    return top.join(sup, top.supplier_no == sup.s_suppkey).select(
+        "s_suppkey", "s_name", (F.col("total_fp") / F.lit(1000000.0)).alias("total_revenue")
     )
 
 

@@ -66,6 +66,9 @@ BUDGET: dict[str, dict[str, int]] = {
     # IS the second pass — documented in the query docstring); +1 from
     # the events_with_ts dtype branch
     "sketches": {"events": 3},
+    # tighter than the default: the windowed-max rewrite guarantees a
+    # single fact pass — pin it so the scalar-agg+join form can't return
+    "q15_top_supplier": {"lineitem": 1},
 }
 
 
