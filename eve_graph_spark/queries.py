@@ -3942,19 +3942,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     eu_supply = supply.join(F.broadcast(eu), supply.ps_suppkey == eu.s_suppkey)
-    best = eu_supply.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
     part = (
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
         .select("p_partkey")
     )
+    # per-part min via a window over eu_supply itself: the decorrelated
+    # groupBy+join-back form planned eu_supply — and with it the fact
+    # aggregation and the whole dim chain — TWICE. The window shuffles by
+    # ps_partkey exactly like the join-back did, so this is strictly one
+    # fewer plan of everything upstream; ties keep all min-cost suppliers,
+    # matching the correlated-subquery semantics.
     return (
-        eu_supply.join(
-            F.broadcast(best),
-            (eu_supply.ps_partkey == best.ps_partkey)
-            & (eu_supply.ps_supplycost == best.min_cost),
+        eu_supply.withColumn(
+            "__min_cost",
+            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
         )
-        .drop(best.ps_partkey)
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
         .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",

@@ -66,9 +66,10 @@ BUDGET: dict[str, dict[str, int]] = {
     # IS the second pass — documented in the query docstring); +1 from
     # the events_with_ts dtype branch
     "sketches": {"events": 3},
-    # tighter than the default: the windowed-max rewrite guarantees a
-    # single fact pass — pin it so the scalar-agg+join form can't return
+    # tighter than the default: the windowed-max/min rewrites guarantee a
+    # single fact pass — pin it so the agg+join-back form can't return
     "q15_top_supplier": {"lineitem": 1},
+    "q2_min_cost_supplier": {"lineitem": 1},
 }
 
 
