@@ -301,21 +301,33 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "do
         F.min(id_col).alias("__rep"),
         F.min_by(text_col, F.col(id_col)).alias(text_col),
     )
-    rep_docs = reps.select(F.col("__rep").alias(id_col), text_col)
-    pairs = portable_minhash_near_dups(
-        rep_docs, text_col=text_col, id_col=id_col, threshold=threshold
-    ).select("id_a", "id_b")
-    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
-        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
-    )
-    # CC evaluates its input at least twice (size probe + solve); persist so
-    # the MinHash pipeline doesn't rerun per evaluation.
-    sym = sym.persist()
+    # The LSH pair pipeline consumes its input FOUR times (signature
+    # banding a/b sides + Jaccard-verify a/b sides). When the input is a
+    # raw scan that recompute is the documented cheap tradeoff, but here
+    # the input is the exact-collapse AGGREGATE — re-planning it four
+    # times re-runs the full-text groupBy shuffle four times (measured
+    # ~2x the whole clusters wall at sf0.1). Persist the representative
+    # set for the candidate-generation phase only: MEMORY_AND_DISK, so at
+    # crawl scale it spills rather than OOMs, and it is unpersisted as
+    # soon as the (eagerly checkpointed) component solve has consumed it.
+    rep_docs = reps.select(F.col("__rep").alias(id_col), text_col).persist()
     try:
-        cc = connected_components(sym, src_col="s", dst_col="d")
-        cc = cc.localCheckpoint(eager=True)
+        pairs = portable_minhash_near_dups(
+            rep_docs, text_col=text_col, id_col=id_col, threshold=threshold
+        ).select("id_a", "id_b")
+        sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
+            pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+        )
+        # CC evaluates its input at least twice (size probe + solve);
+        # persist so the MinHash pipeline doesn't rerun per evaluation.
+        sym = sym.persist()
+        try:
+            cc = connected_components(sym, src_col="s", dst_col="d")
+            cc = cc.localCheckpoint(eager=True)
+        finally:
+            sym.unpersist()
     finally:
-        sym.unpersist()
+        rep_docs.unpersist()
     # No broadcast hints anywhere below: rep→cluster and member→rep are
     # O(corpus) at crawl scale — keyed shuffle joins, AQE may still
     # broadcast when genuinely small.
