@@ -301,33 +301,30 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "do
         F.min(id_col).alias("__rep"),
         F.min_by(text_col, F.col(id_col)).alias(text_col),
     )
-    # The LSH pair pipeline consumes its input FOUR times (signature
-    # banding a/b sides + Jaccard-verify a/b sides). When the input is a
-    # raw scan that recompute is the documented cheap tradeoff, but here
-    # the input is the exact-collapse AGGREGATE — re-planning it four
-    # times re-runs the full-text groupBy shuffle four times (measured
-    # ~2x the whole clusters wall at sf0.1). Persist the representative
-    # set for the candidate-generation phase only: MEMORY_AND_DISK, so at
-    # crawl scale it spills rather than OOMs, and it is unpersisted as
-    # soon as the (eagerly checkpointed) component solve has consumed it.
-    rep_docs = reps.select(F.col("__rep").alias(id_col), text_col).persist()
+    # Deliberately NOT persisted, although the LSH pipeline consumes
+    # rep_docs four times (banding a/b + verify a/b): all four subtrees
+    # end in the IDENTICAL reps groupBy exchange, and Spark's
+    # ReuseExchange rule computes that exchange once and re-reads it —
+    # A/B on the 500k-doc stress corpus measured persist() at 2x the
+    # shuffle WRITE (11.5 vs 6.0 GB, the cache materialization defeats
+    # exchange reuse) for no wall win (266 vs 258 s). Planned-twice
+    # subtrees are a real cost only when SCAN-rooted with no exchange
+    # boundary to reuse (see q21/bm25/tfidf rewrites in queries.py).
+    rep_docs = reps.select(F.col("__rep").alias(id_col), text_col)
+    pairs = portable_minhash_near_dups(
+        rep_docs, text_col=text_col, id_col=id_col, threshold=threshold
+    ).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    # CC evaluates its input at least twice (size probe + solve); persist so
+    # the MinHash pipeline doesn't rerun per evaluation.
+    sym = sym.persist()
     try:
-        pairs = portable_minhash_near_dups(
-            rep_docs, text_col=text_col, id_col=id_col, threshold=threshold
-        ).select("id_a", "id_b")
-        sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
-            pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
-        )
-        # CC evaluates its input at least twice (size probe + solve);
-        # persist so the MinHash pipeline doesn't rerun per evaluation.
-        sym = sym.persist()
-        try:
-            cc = connected_components(sym, src_col="s", dst_col="d")
-            cc = cc.localCheckpoint(eager=True)
-        finally:
-            sym.unpersist()
+        cc = connected_components(sym, src_col="s", dst_col="d")
+        cc = cc.localCheckpoint(eager=True)
     finally:
-        rep_docs.unpersist()
+        sym.unpersist()
     # No broadcast hints anywhere below: rep→cluster and member→rep are
     # O(corpus) at crawl scale — keyed shuffle joins, AQE may still
     # broadcast when genuinely small.
