@@ -17,12 +17,51 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the smallest id per exact content. groupBy(text-hash) would
-    shuffle less data than groupBy(text) for long docs; group on a digest,
-    keep content via the min-id row join."""
-    winners = df.groupBy(F.xxhash64(F.col(text_col)).alias("__h")).agg(F.min(id_col).alias(id_col))
-    return df.join(winners.select(id_col), id_col, "left_semi")
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest: Column | None = None,
+    verify: bool = False,
+) -> DataFrame:
+    """Keep the smallest id per exact content.
+
+    Grouping happens on a content digest computed scan-side, so the dedup
+    shuffle carries (digest, id) rows — never the text. The default digest
+    is sha2-256: at P docs the expected number of colliding PAIRS is
+    ~P²/2^257 (≈1e-55 even at P=1e11), so distinct docs are never silently
+    merged — the failure mode a 64-bit digest has at corpus scale
+    (~hundreds of birthday collisions at 1e11 docs, each dropping a
+    distinct doc).
+
+    `verify=True` additionally re-checks text equality against the digest
+    group's winner, for callers injecting a narrower `digest` (e.g. to
+    co-key with an existing 64-bit layout): a collision then degrades to
+    UNDER-merge — the distinct doc survives as its own row — never to
+    dropping distinct content. Costs one text-carrying join, the same
+    shuffle budget as groupBy(text), so the default path leaves it off.
+    """
+    h = digest if digest is not None else F.sha2(F.col(text_col), 256)
+    if not verify:
+        winners = df.groupBy(h.alias("__h")).agg(F.min(id_col).alias(id_col))
+        return df.join(winners.select(id_col), id_col, "left_semi")
+    keyed = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), h.alias("__h")
+    )
+    # winner per digest group = lexicographic min struct → smallest id
+    # (ids are unique, so the text rides along with the min id)
+    winners = keyed.groupBy("__h").agg(F.min(F.struct("__id", "__t")).alias("__w")).withColumnRenamed("__h", "__wh")
+    keep = (
+        # null-safe key match: a NULL digest (NULL text) is a real group
+        # and must still meet its winner — plain equi-join drops NULL keys
+        keyed.join(winners, F.col("__h").eqNullSafe(F.col("__wh")))
+        .filter(
+            (F.col("__id") == F.col("__w.__id"))
+            | ~F.col("__t").eqNullSafe(F.col("__w.__t"))
+        )
+        .select(F.col("__id").alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
 
 
 def _shingles_sql(text_col: str, k: int = 3) -> str:

@@ -34,13 +34,21 @@ def norm_expr(a: Column) -> Column:
 
 def fixed_sqnorm_expr(a: Column, scale: int = FIXED_POINT_SCALE) -> Column:
     """Fixed-point squared norm as a pure array fold — bit-identical to the
-    posexplode + SUM(floor(x*x*scale+0.5)) aggregate (same integer addends,
-    integer addition is order-independent), but with no Generate node, so
-    query-batch norms don't cost an explode of the batch."""
-    return (
+    posexplode + SUM(floor(x*x*scale+0.5)) aggregate, but with no Generate
+    node, so query-batch norms don't cost an explode of the batch.
+
+    SUM semantics are replicated exactly, including NULLs: SUM skips NULL
+    addends and returns NULL over zero rows, so the fold runs over the
+    non-NULL elements only (same integer addends, order-independent
+    integer addition) and yields NULL when no element survives the filter
+    (all-NULL or empty array) — a naive fold would instead propagate NULL
+    through the accumulator on the first NULL element.
+    """
+    nonnull = F.filter(a, lambda x: x.isNotNull())
+    folded = (
         F.aggregate(
             F.transform(
-                a,
+                nonnull,
                 lambda x: F.floor(
                     x.cast("double") * x.cast("double") * scale + F.lit(0.5)
                 ).cast("long"),
@@ -50,6 +58,7 @@ def fixed_sqnorm_expr(a: Column, scale: int = FIXED_POINT_SCALE) -> Column:
         )
         / F.lit(float(scale))
     )
+    return F.when(F.size(nonnull) > 0, folded)
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

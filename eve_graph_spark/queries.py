@@ -3090,9 +3090,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form (.agg(max) + join) re-planned the revenue aggregate — i.e. the
     # full fact scan + groupBy — twice. The max now comes from a
     # single-partition window over the ALREADY-AGGREGATED per-supplier
-    # rows: one fact pass, and the window input is supplier-cardinality
-    # (16-byte rows; workable in one task far past 1e8 suppliers, vs the
-    # alternative of a second 100 TB scan). Ties keep all max suppliers,
+    # rows: one fact pass, at the DOCUMENTED cost of funneling all
+    # per-supplier rows (16 logical bytes each, ~3-4x that as UnsafeRow +
+    # sort overhead) through ONE task — a deliberate trade that holds to
+    # ~1e8 suppliers (a few GB in the task) but inverts past that, where
+    # the old scalar form's second fact scan stays fully distributed; at
+    # extreme supplier cardinality switch to a two-level (salted partial
+    # max, then 1-row final) max instead. Ties keep all max suppliers,
     # matching the correlated-subquery semantics; comparison stays on the
     # exact fixed-point sum.
     li = load_table(spark, sf_dir, "lineitem")

@@ -42,6 +42,43 @@ def test_exact_dedup(docs):
     assert ids == {1, 2, 3, 5}  # 4 is an exact dup of 1, loses by id
 
 
+def test_exact_dedup_collision_never_merges_distinct(docs):
+    # every row forced into ONE digest group: with verify=True a digest
+    # collision degrades to under-merge — distinct texts all survive —
+    # while identical texts still collapse to the min id (r5 verdict:
+    # the old 64-bit digest silently merged colliding distinct docs).
+    kept = exact_dedup(docs, digest=F.lit("collide"), verify=True)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 5}
+
+
+def test_exact_dedup_default_digest_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x"), (5, "y")],
+        "doc_id long, text string",
+    )
+    for kwargs in ({}, {"verify": True}):
+        kept = {r["doc_id"] for r in exact_dedup(df, **kwargs).collect()}
+        assert kept == {1, 3, 5}, kwargs
+
+
+def test_fixed_sqnorm_matches_sum_null_semantics(spark):
+    # SUM skips NULL addends and is NULL over zero addends; the no-Generate
+    # array fold must agree on NULL elements too (ADVICE r5).
+    from eve_graph_spark.operators.similarity import fixed_sqnorm_expr
+
+    df = spark.createDataFrame(
+        [(1, [3.0, None, 4.0]), (2, [None, None]), (3, []), (4, [2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["sq"]
+        for r in df.select(
+            "vec_id", fixed_sqnorm_expr(F.col("embedding")).alias("sq")
+        ).collect()
+    }
+    assert got == {1: 25.0, 2: None, 3: None, 4: 4.0}
+
+
 def test_minhash_finds_near_dups(docs):
     pairs = minhash_dedup(docs, threshold=0.5)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
