@@ -118,21 +118,20 @@ class ProjectionRegistry:
 DRIVER_SSSP_MAX_EDGES = 2_000_000  # below this, solve on the driver
 
 
-def _sssp_local(e: DataFrame, source_ids: list[int]) -> DataFrame:
-    """Small-graph fast path: collect edges, run the SAME frontier
-    relaxation on the driver (identical update rule and (dist, pred)
-    tie-break as the distributed loop, so results are bit-identical —
-    float addition order per path is the same IEEE-754 sequence).
-
-    Rationale: the reference's production graph is ~9k nodes / ~28k
-    directed edges; GDS itself solves it single-machine over CSR. A route
-    query on a graph that fits on the driver must not launch 30 Spark
-    jobs — the distributed loop below is for graphs that don't fit.
-    """
-    spark = e.sparkSession
+def _collect_adj(e: DataFrame) -> dict[int, list[tuple[int, float]]]:
     adj: dict[int, list[tuple[int, float]]] = {}
     for r in e.collect():
         adj.setdefault(r["src"], []).append((r["dst"], r["weight"]))
+    return adj
+
+
+def _relax_local(
+    adj: dict[int, list[tuple[int, float]]], source_ids: list[int]
+) -> dict[int, tuple[float, int | None]]:
+    """The shared driver-side frontier relaxation kernel: identical update
+    rule and (dist, pred) tie-break as the distributed loops, so results
+    are bit-identical — float addition order per path is the same
+    IEEE-754 sequence."""
     best: dict[int, tuple[float, int | None]] = {int(s): (0.0, None) for s in source_ids}
     frontier = set(best)
     while frontier:
@@ -148,8 +147,21 @@ def _sssp_local(e: DataFrame, source_ids: list[int]) -> DataFrame:
             if v not in best or d < best[v][0]:
                 best[v] = (d, p)
                 frontier.add(v)
+    return best
+
+
+def _sssp_local(e: DataFrame, source_ids: list[int]) -> DataFrame:
+    """Small-graph fast path: collect edges, run the shared relaxation
+    kernel on the driver.
+
+    Rationale: the reference's production graph is ~9k nodes / ~28k
+    directed edges; GDS itself solves it single-machine over CSR. A route
+    query on a graph that fits on the driver must not launch 30 Spark
+    jobs — the distributed loop below is for graphs that don't fit.
+    """
+    best = _relax_local(_collect_adj(e), source_ids)
     rows = [(n, d, p) for n, (d, p) in best.items()]
-    return spark.createDataFrame(rows, _SSSP_SCHEMA)
+    return e.sparkSession.createDataFrame(rows, _SSSP_SCHEMA)
 
 
 _SSSP_SCHEMA = T.StructType(
@@ -242,6 +254,124 @@ def sssp(
             dist.join(improved.select(F.col("node").alias("__n")), dist.node == F.col("__n"), "left_anti")
             .unionByName(improved)
         )
+        if (it + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+            n_ckpts += 1
+    if stats_out is not None:
+        stats_out["iterations"] = n_iters
+        stats_out["dist_checkpoints"] = n_ckpts
+    return dist
+
+
+_MSSSP_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.LongType(), False),
+        T.StructField("node", T.LongType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+        T.StructField("pred", T.LongType(), True),
+    ]
+)
+
+
+def _multi_sssp_local(e: DataFrame, source_ids: list[int]) -> DataFrame:
+    adj = _collect_adj(e)
+    rows = [
+        (int(s), n, d, p)
+        for s in source_ids
+        for n, (d, p) in _relax_local(adj, [s]).items()
+    ]
+    return e.sparkSession.createDataFrame(rows, _MSSSP_SCHEMA)
+
+
+def multi_source_sssp(
+    edges: DataFrame,
+    source_ids: list[int],
+    weight_col: str = "weight",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 200,
+    checkpoint_every: int = 5,
+    driver_threshold: int = DRIVER_SSSP_MAX_EDGES,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Per-source weighted shortest paths: (source, node, dist, pred),
+    one row per (source, reachable node).
+
+    `sssp(edges, [s1, s2])` keeps ONE dist table — the min over sources
+    (the "distance to the nearest source" semantic). This keeps state
+    keyed `(source, node)` instead, which is what landmark algorithms
+    (closeness centrality, landmark distance oracles) need — and it runs
+    all k sweeps as ONE frontier loop: every iteration unions the live
+    frontiers of all sources into a single frontier×edges join + one
+    (source, node) min-aggregation, so the whole run is O(max diameter)
+    supersteps instead of k sequential O(diameter) job chains (the
+    round-5 verdict's one scale-weak plan, graph_analytics closeness).
+
+    Same relaxation rule, tie-break ((dist, pred) struct min), broadcast
+    threshold, lineage-checkpoint cadence, and driver-threshold fast path
+    as `sssp` — per-source results are bit-identical to running `sssp`
+    k times. State growth: the dist table is Σ per-source reachable sets
+    (k×V worst case) hash-partitioned on the composite key; the frontier
+    is the union of per-source wavefronts and leaves broadcast range once
+    it exceeds BROADCAST_FRONTIER_MAX rows.
+
+    `stats_out`: records `iterations` and `dist_checkpoints` like `sssp`
+    — the loop count is max-diameter-bound, NOT k-proportional, which the
+    scale smoke pins.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+    if fits_driver(e, driver_threshold):
+        return _multi_sssp_local(e, source_ids)
+
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0.0, None) for s in source_ids], _MSSSP_SCHEMA
+    )
+    frontier = dist
+    frontier_rows = len(source_ids)
+    n_iters = n_ckpts = 0
+
+    for it in range(max_iterations):
+        fr = F.broadcast(frontier) if frontier_rows <= BROADCAST_FRONTIER_MAX else frontier
+        candidates = (
+            fr.join(e, fr.node == e.src)
+            .select(
+                F.col("source"),
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+                F.col("src").alias("pred"),
+            )
+            .groupBy("source", "node")
+            .agg(F.min(F.struct("dist", "pred")).alias("best"))
+            .select(
+                "source", "node",
+                F.col("best.dist").alias("dist"), F.col("best.pred").alias("pred"),
+            )
+        )
+        old = dist.select("source", "node", F.col("dist").alias("old_dist"))
+        improved = (
+            candidates.join(old, ["source", "node"], "left")
+            .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
+            .select("source", "node", "dist", "pred")
+        )
+        improved = improved.localCheckpoint(eager=True)
+        frontier_rows = improved.count()
+        n_iters = it + 1
+        if frontier_rows == 0:
+            break
+        frontier = improved
+        imp_keys = improved.select(
+            F.col("source").alias("__s"), F.col("node").alias("__n")
+        )
+        dist = dist.join(
+            imp_keys,
+            (dist["source"] == F.col("__s")) & (dist["node"] == F.col("__n")),
+            "left_anti",
+        ).unionByName(improved)
         if (it + 1) % checkpoint_every == 0:
             dist = dist.localCheckpoint(eager=True)
             n_ckpts += 1

@@ -106,6 +106,31 @@ def test_distributed_loop_matches_local_fast_path(spark, fixture_edges):
     assert dist == local
 
 
+def test_multi_source_sssp_per_source_parity(spark, fixture_edges):
+    """(source, node)-keyed state: per-source (dist, pred) equal k
+    independent sssp() runs, on BOTH the driver fast path and the
+    distributed one-frontier loop (driver_threshold=0)."""
+    from eve_graph_spark.operators.graph import multi_source_sssp
+
+    jumps, _ = fixture_edges
+    sources = [0, 3]
+    expect = {}
+    for s in sources:
+        for r in sssp(jumps, [s], weight_col="risk", src_col="src_system_id",
+                      dst_col="dst_system_id").collect():
+            expect[(s, r["node"])] = (r["dist"], r["pred"])
+    for thr in (None, 0):
+        kwargs = {} if thr is None else {"driver_threshold": 0}
+        got = {
+            (r["source"], r["node"]): (r["dist"], r["pred"])
+            for r in multi_source_sssp(
+                jumps, sources, weight_col="risk", src_col="src_system_id",
+                dst_col="dst_system_id", **kwargs
+            ).collect()
+        }
+        assert got == expect, thr
+
+
 def test_graph_engine_routes(spark, sf_dir):
     systems = build_systems(spark, sf_dir)
     jumps = build_jumps(spark, sf_dir)

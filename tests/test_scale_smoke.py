@@ -71,6 +71,37 @@ def test_sssp_long_diameter_lineage_truncation(spark):
     assert len(plan.splitlines()) < 60, f"unbounded lineage:\n{plan[:2000]}"
 
 
+def test_multi_source_sssp_one_loop_at_200k_edges(spark):
+    """Landmark-path scale contract (r5 verdict item 1): k landmark sweeps
+    run as ONE (source, node)-keyed frontier loop — per-source dists
+    bit-identical to k sequential sssp() runs, and the superstep count
+    bounded by the max single-sweep count (diameter), NOT k-proportional."""
+    from eve_graph_spark.operators.graph import multi_source_sssp
+
+    e = _random_graph(spark)
+    sources = [0, 1, 2, 3]
+    singles: dict[tuple[int, int], float] = {}
+    max_single_iters = 0
+    for s in sources:
+        st: dict = {}
+        d = sssp(e, [s], weight_col="w", src_col="src", dst_col="dst",
+                 driver_threshold=0, stats_out=st)
+        singles.update({(s, r["node"]): r["dist"] for r in d.collect()})
+        max_single_iters = max(max_single_iters, st["iterations"])
+    ms: dict = {}
+    got = {
+        (r["source"], r["node"]): r["dist"]
+        for r in multi_source_sssp(
+            e, sources, weight_col="w", src_col="src", dst_col="dst",
+            driver_threshold=0, stats_out=ms,
+        ).collect()
+    }
+    assert got == singles
+    # ONE loop: iterations = max over sources (+0; the empty-frontier
+    # detection round is shared), vs sum-over-sources for sequential sweeps
+    assert ms["iterations"] <= max_single_iters
+
+
 def test_distributed_components_match_local_at_200k_edges(spark):
     e = _random_graph(spark)
     sym = e.select("src", "dst").unionAll(
