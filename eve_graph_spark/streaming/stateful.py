@@ -103,6 +103,8 @@ NEAR_DUP_STATE_CAP = 64
 
 def _make_near_dup_fn(threshold: float, state_cap: int, idle_ttl_ms: int):
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         cols = ["doc_id", "matched_doc_id", "band", "bucket", "est_jaccard"]
         if state.hasTimedOut:
             # idle bucket: drop its signature roster, emit nothing
@@ -110,31 +112,54 @@ def _make_near_dup_fn(threshold: float, state_cap: int, idle_ttl_ms: int):
             yield pd.DataFrame([], columns=cols)
             return
         if state.exists:
-            ids, sigs = list(state.get[0]), [list(s) for s in state.get[1]]
+            ids = [int(i) for i in state.get[0]]
+            roster = np.array([list(s) for s in state.get[1]], dtype=np.int64)
         else:
-            ids, sigs = [], []
+            ids, roster = [], np.empty((0, 0), dtype=np.int64)
+        id_pos = {v: i for i, v in enumerate(ids)}
         band, bucket = int(key[0]), int(key[1])
         rows: list[dict] = []
         for pdf in pdfs:
             # doc_id order makes intra-batch hits deterministic: the later
             # id matches against the earlier one, same as across batches
-            for _, r in pdf.sort_values("doc_id").iterrows():
-                sig = [int(x) for x in r["__sig"]]
-                did = int(r["doc_id"])
-                for mid, msig in zip(ids, sigs):
-                    if mid == did:
-                        continue
-                    est = sum(a == b for a, b in zip(sig, msig)) / float(len(sig))
-                    if est >= threshold:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            sig_block = np.array(
+                [list(s) for s in pdf["__sig"]], dtype=np.int64
+            ).reshape(len(doc_ids), -1)
+            if roster.shape[1] == 0 and sig_block.shape[1]:
+                roster = roster.reshape(0, sig_block.shape[1])
+            for j in range(len(doc_ids)):
+                did, sig = int(doc_ids[j]), sig_block[j]
+                if len(ids):
+                    # vectorized roster compare (was an O(cap) Python loop
+                    # per doc): est = fraction of equal signature rows —
+                    # np.mean over the bool row is the same exact
+                    # count/len division as the scalar form
+                    est = (roster == sig).mean(axis=1)
+                    ids_arr = np.asarray(ids, dtype=np.int64)
+                    for i in np.nonzero((est >= threshold) & (ids_arr != did))[0]:
                         rows.append({
-                            "doc_id": did, "matched_doc_id": mid,
-                            "band": band, "bucket": bucket, "est_jaccard": est,
+                            "doc_id": did, "matched_doc_id": int(ids_arr[i]),
+                            "band": band, "bucket": bucket,
+                            "est_jaccard": float(est[i]),
                         })
-                ids.append(did)
-                sigs.append(sig)
+                if did in id_pos:
+                    # re-delivered doc_id (micro-batch replay after failure,
+                    # duplicate source rows): refresh the stored signature in
+                    # place — appending would create duplicate roster entries
+                    # that emit duplicate hit rows and evict older distinct
+                    # entries from the capped roster
+                    roster[id_pos[did]] = sig
+                else:
+                    id_pos[did] = len(ids)
+                    ids.append(did)
+                    roster = np.concatenate([roster, sig[None, :]], axis=0)
         if len(ids) > state_cap:  # keep the newest roster entries
-            ids, sigs = ids[-state_cap:], sigs[-state_cap:]
-        state.update((ids, sigs))
+            ids, roster = ids[-state_cap:], roster[-state_cap:]
+        state.update((ids, [[int(x) for x in s] for s in roster]))
         state.setTimeoutDuration(idle_ttl_ms)
         yield pd.DataFrame(rows, columns=cols)
 

@@ -107,3 +107,32 @@ def test_near_dup_hits_stream_across_batches(spark, tmp_path):
     for r in rows:
         if (r["doc_id"], r["matched_doc_id"]) == (3, 1):
             assert r["est_jaccard"] == 1.0
+
+
+def test_near_dup_stream_redelivery_keeps_single_roster_entry(spark, tmp_path):
+    """ADVICE r5: a re-delivered doc_id (micro-batch replay, duplicate
+    source rows) must refresh its roster entry in place, not append a
+    duplicate — or a later match would emit duplicate hit rows for the
+    same (doc, matched) pair in the same band."""
+    from eve_graph_spark.streaming.stateful import near_dup_hits_stream
+
+    text_a = "the quick brown fox jumps over the lazy dog and runs far away"
+    b0 = [{"doc_id": 1, "text": text_a}]
+    b1 = [{"doc_id": 1, "text": text_a}]  # re-delivery of doc 1
+    b2 = [{"doc_id": 2, "text": text_a}]  # matches doc 1 exactly once
+    path = _stream_dir(tmp_path, "docs_redeliver", [b0, b1, b2])
+    raw = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(path)
+    _run(near_dup_hits_stream(raw, threshold=0.5), "near_redeliver", tmp_path,
+         mode="append")
+    rows = spark.sql("SELECT * FROM near_redeliver").collect()
+    # self-redelivery emits nothing (mid == did guard)
+    assert not [r for r in rows if r["doc_id"] == 1]
+    # doc 2 hits doc 1 exactly ONCE per colliding band — duplicate roster
+    # entries would double every (2, 1, band) row
+    per_band: dict = {}
+    for r in rows:
+        assert (r["doc_id"], r["matched_doc_id"]) == (2, 1)
+        per_band[r["band"]] = per_band.get(r["band"], 0) + 1
+    assert per_band and all(n == 1 for n in per_band.values()), per_band
