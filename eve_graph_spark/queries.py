@@ -2034,6 +2034,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_production")  # approximate top-k, float Lloyd training → rows-only
+def ann_ivf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The PRODUCTION ivf_topk path on its own bench clock (r5 verdict
+    # item 2): `ann_ivf_topk` above is the CHECK — it pays an extra exact
+    # brute-force pass to bound recall, so its bench number conflated
+    # check cost with operator cost (0.79 s → 1.75 s in r5). This row
+    # times what a user actually calls; the recall bound and the
+    # driver-local/distributed parity stay pinned by ann_ivf_topk and
+    # tests/test_round4_ops.py.
+    from eve_graph_spark.operators.similarity import ivf_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == 64
+    )
+    return ivf_topk(emb, ANN_QUERY_IDS, k=10)
+
+
 # =========================================================================
 # Multimodal plumbing (operators/multimodal.py)
 # =========================================================================
