@@ -13,7 +13,7 @@ Scale shapes (the whole point at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -417,3 +417,72 @@ def simhash_expr(text_col: str, bits: int = 64, k: int = 2) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    digest_hex_chars: int | None = 14,
+) -> DataFrame:
+    """Cross-document exact duplicate-span detection (the Lee et al. 2022
+    "Deduplicating Training Data" substring-dedup analog, re-expressed
+    relationally; kernel of the `duplicate_text_spans` query).
+
+    Every word position whose `ngram`-gram occurs in >= 2 DISTINCT docs is
+    duplicated; adjacent duplicated positions merge into maximal spans via
+    the islands trick (pos - row_number). Returns
+    (doc_id, span_start, span_end, n_shingles).
+
+    `digest_hex_chars` is the widen-on-demand knob for the digest that
+    shuffles in place of the n-gram text (ADVICE r5): each position row
+    carries conv(substr(md5(gram), 1, C), 16, 10) — C=14 hex chars = 56
+    bits (the default; always positive in a signed long), C=15 = 60 bits
+    is the widest single-long form. `None` shuffles the full 128-bit md5
+    hex string instead — zero practical false positives at ~4x the
+    shuffle bytes (32-byte strings vs 8-byte longs). False-positive math
+    for the long forms is stated in SCALE.md ("Span-digest false-positive
+    bound"): with P total positions and D digest bits, expected
+    falsely-duplicated position PAIRS ~ P^2 / 2^(D+1) — at the 100 TB
+    corpus (P ~ 1e13, D=56) that is ~7e8 pairs, i.e. ~1e-4 of positions
+    gaining a spurious 5-word span; widen to C=None when curating with
+    cut-spans (where a false span destroys real text) rather than
+    flag-and-review.
+    """
+    digest_sql = (
+        f"md5(concat_ws(' ', slice(ws, i + 1, {ngram})))"
+        if digest_hex_chars is None
+        else (
+            f"CAST(conv(substr(md5(concat_ws(' ', slice(ws, i + 1, {ngram}))), "
+            f"1, {digest_hex_chars}), 16, 10) AS BIGINT)"
+        )
+    )
+    words = df.select(
+        id_col, F.split(F.lower(F.coalesce(text_col, F.lit(""))), " ").alias("ws")
+    ).filter(F.size("ws") >= ngram)
+    pos_sh = words.select(
+        id_col,
+        F.posexplode(
+            F.expr(f"transform(sequence(0, size(ws) - {ngram}), i -> {digest_sql})")
+        ).alias("pos", "digest"),
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "digest")
+    dup_digests = (
+        pos_sh.groupBy("digest")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("digest")
+    )
+    iw = Window.partitionBy(id_col).orderBy("pos")
+    dup_pos = pos_sh.join(dup_digests, "digest").select(
+        id_col, "pos", (F.col("pos") - F.row_number().over(iw)).alias("grp")
+    )
+    return (
+        dup_pos.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + ngram - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .select(id_col, "span_start", "span_end", "n_shingles")
+    )

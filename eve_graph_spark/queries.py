@@ -5454,36 +5454,10 @@ def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assumption since duplicated-shingle volume is corpus-sized in the
     # worst case). The islands window partitions by doc_id — bounded by
     # doc length, never corpus-global.
+    # Kernel lives in operators/dedup.py:duplicate_spans with a
+    # widen-on-demand digest width (SCALE.md states the FP bound); the
+    # registered form pins the 56-bit default the oracle replays.
+    from eve_graph_spark.operators.dedup import duplicate_spans
+
     docs = spread(load_table(spark, sf_dir, "documents"))
-    words = docs.select(
-        "doc_id", F.split(F.lower(F.coalesce("text", F.lit(""))), " ").alias("ws")
-    ).filter(F.size("ws") >= 5)
-    pos_sh = words.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, size(ws) - 5), "
-                "i -> CAST(conv(substr(md5(concat_ws(' ', slice(ws, i + 1, 5))), 1, 14), 16, 10) AS BIGINT))"
-            )
-        ).alias("pos", "digest"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "digest")
-    dup_digests = (
-        pos_sh.groupBy("digest")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("digest")
-    )
-    iw = Window.partitionBy("doc_id").orderBy("pos")
-    dup_pos = (
-        pos_sh.join(dup_digests, "digest")
-        .select("doc_id", "pos", (F.col("pos") - F.row_number().over(iw)).alias("grp"))
-    )
-    return (
-        dup_pos.groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + 4).alias("span_end"),
-            F.count(F.lit(1)).alias("n_shingles"),
-        )
-        .select("doc_id", "span_start", "span_end", "n_shingles")
-    )
+    return duplicate_spans(docs, ngram=5, digest_hex_chars=14)

@@ -1,0 +1,63 @@
+"""Round-6 hardening: span-digest width knob, production IVF row.
+Oracle parity stays covered by test_oracle_parity.py (registry-driven)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eve_graph_spark import queries as registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _span_rows(df):
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_shingles"])
+        for r in df.collect()
+    )
+
+
+def test_duplicate_spans_widened_digest_agrees_with_56bit(spark):
+    """The widen-on-demand knob (ADVICE r5): the full-md5 digest form (zero
+    practical false positives) must produce the same spans as the 56-bit
+    long form on real data — i.e. at this corpus size the 56-bit digest
+    has no collisions, and the knob changes only the shuffle payload."""
+    from eve_graph_spark.operators.dedup import duplicate_spans
+    from eve_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    narrow = duplicate_spans(docs, ngram=5, digest_hex_chars=14)
+    wide = duplicate_spans(docs, ngram=5, digest_hex_chars=None)
+    sixty = duplicate_spans(docs, ngram=5, digest_hex_chars=15)
+    assert _span_rows(narrow) == _span_rows(wide)
+    assert _span_rows(sixty) == _span_rows(wide)
+    assert _span_rows(wide)  # non-empty: the fixture contains cross-doc dups
+
+
+def test_duplicate_spans_query_matches_operator_default(spark):
+    got = _span_rows(registry.queries()["duplicate_text_spans"](spark, SF_DIR))
+    from eve_graph_spark.operators.dedup import duplicate_spans
+    from eve_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert got == _span_rows(duplicate_spans(docs))
+
+
+def test_ann_ivf_production_shape_and_determinism(spark):
+    """Rows-only registered query: 10 ranked rows per query id, exact
+    rank ordering by cosine desc, deterministic across runs (seeded
+    Lloyd + id tie-breaks)."""
+    q = registry.queries()["ann_ivf_production"]
+    rows1 = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    rows2 = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    assert rows1 == rows2
+    per_q: dict[int, list] = {}
+    for qid, vid, cos, rank in rows1:
+        assert vid != qid
+        per_q.setdefault(qid, []).append((rank, cos, vid))
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for qid, lst in per_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        cosines = [c for _, c, _ in lst]
+        assert cosines == sorted(cosines, reverse=True)
