@@ -30,8 +30,11 @@ if _REPO not in sys.path:
 # The FULL timing methodology, disclosed wherever totals are reported so
 # cross-round numbers are only compared like-for-like: the untimed warmup
 # prebuilds the JVM, the Python worker pool, AND the shared graph
-# projections (the engine's bootstrap step); queries above 1s report the
-# best of 2 runs.
+# projections (the engine's bootstrap step); queries above 0.5s report
+# the best of 2 runs (the committed BENCH_BASELINE.json is generated
+# under this same threshold — regenerate it with
+# scripts/refresh_baseline.py whenever the methodology changes, or the
+# 0.5-1s band compares min-of-2 against single-run baselines).
 METHODOLOGY = (
     "sum of per-query wall seconds over the full query registry "
     "(noop sink; untimed warmup prebuilds JVM + python workers + graph "
@@ -107,30 +110,93 @@ def main() -> None:
     # Regression guardrail: compare against the committed baseline. The
     # regressions land in the output JSON (machine-checkable per round);
     # detail goes to stderr — stdout stays ONE JSON line for the driver.
+    #
+    # Drift normalization (r5 verdict item 6): this box is co-tenant and
+    # whole RUNS drift — two back-to-back benches flagged DISJOINT
+    # "regression" sets, i.e. raw 1.5x flags carried ~zero signal. The
+    # canary ratio — the MEDIAN of per-query now/baseline ratios — captures
+    # the run-wide host factor (a real regression moves a few queries, not
+    # the median; a slow host moves the median), and flags compare against
+    # baseline x canary. Reported in the JSON so totals can be read in
+    # host-normalized terms too.
     regressions: list[dict] = []
     baseline_total = None
+    canary = None
+    retried: list[str] = []
     base_path = Path(_REPO) / "BENCH_BASELINE.json"
     if base_path.exists():
         base = json.loads(base_path.read_text())
         if base.get("sf") == sf:
             baseline_total = base.get("value")
             bq = base.get("queries", {})
-            regressions = sorted(
-                (
-                    {"query": name, "baseline_sec": bq[name], "sec": t}
-                    for name, t in timings.items()
-                    if t >= 0 and bq.get(name, 0) > 0 and t > bq[name] * 1.5 and t - bq[name] > 0.25
-                ),
-                key=lambda x: x["sec"] - x["baseline_sec"],
-                reverse=True,
-            )
+
+            def flag(ts: dict[str, float]) -> tuple[float | None, list[dict]]:
+                ratios = sorted(
+                    t / bq[name]
+                    for name, t in ts.items()
+                    if t >= 0 and bq.get(name, 0) > 0
+                )
+                cr = None
+                if ratios:
+                    mid = len(ratios) // 2
+                    cr = round(
+                        ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2,
+                        4,
+                    )
+                host = cr or 1.0
+                regs = sorted(
+                    (
+                        {
+                            "query": name,
+                            "baseline_sec": bq[name],
+                            "sec": t,
+                            "host_normalized_sec": round(t / host, 3),
+                        }
+                        for name, t in ts.items()
+                        if t >= 0
+                        and bq.get(name, 0) > 0
+                        and t > bq[name] * 1.5 * host
+                        and t - bq[name] * host > 0.25
+                    ),
+                    key=lambda x: x["sec"] - x["baseline_sec"],
+                    reverse=True,
+                )
+                return cr, regs
+
+            canary, regressions = flag(timings)
+            if regressions:
+                # Retry pass: the canary catches run-WIDE slowness, but
+                # co-tenant noise is bursty — a minutes-long neighbor spike
+                # inflates whichever queries ran inside it and no
+                # normalization can tell that from a real regression. A
+                # flag that survives a re-measurement minutes later is
+                # signal; one that doesn't was the burst.
+                qmap = registry.queries()
+                for r in regressions:
+                    name = r["query"]
+                    retried.append(name)
+                    t0 = time.perf_counter()
+                    try:
+                        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                        timings[name] = round(
+                            min(timings[name], time.perf_counter() - t0), 3
+                        )
+                    except Exception:  # keep the original failed/slow timing
+                        pass
+                total = round(sum(t for t in timings.values() if t >= 0), 3)
+                canary, regressions = flag(timings)
             print(
-                f"baseline: total {baseline_total}s -> {total}s "
-                f"({len(regressions)} quer{'y' if len(regressions) == 1 else 'ies'} regressed >1.5x)",
+                f"baseline: total {baseline_total}s -> {total}s, canary ratio {canary} "
+                f"({len(regressions)} quer{'y' if len(regressions) == 1 else 'ies'} regressed "
+                f">1.5x host-normalized after {len(retried)} retries)",
                 file=sys.stderr,
             )
             for r in regressions[:15]:
-                print(f"  REGRESSED {r['query']}: {r['baseline_sec']}s -> {r['sec']}s", file=sys.stderr)
+                print(
+                    f"  REGRESSED {r['query']}: {r['baseline_sec']}s -> {r['sec']}s "
+                    f"({r['host_normalized_sec']}s host-normalized)",
+                    file=sys.stderr,
+                )
 
     print(
         json.dumps(
@@ -146,6 +212,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "failed": [n for n, t in timings.items() if t < 0],
                 "baseline_total_sec": baseline_total,
+                "canary_ratio": canary,
+                "retried": retried,
                 "regressions": regressions,
             }
         )

@@ -454,6 +454,39 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(wedges, [3], weight_col="w").select("node", "dist")
 
 
+@register(
+    "landmark_distances",
+    _graph_cte(
+        """
+        , walk(src, node, dist) AS (
+            SELECT system_id, system_id, CAST(0 AS BIGINT)
+            FROM fix_systems WHERE system_id IN (0, 3, 7)
+            UNION
+            SELECT w.src, e.dst_system_id, w.dist + e.cost
+            FROM walk w JOIN fix_jumps e ON e.src_system_id = w.node
+            WHERE w.dist < 30
+        )
+        SELECT src AS source, node, CAST(MIN(dist) AS DOUBLE) AS dist
+        FROM walk GROUP BY src, node
+        """
+    ),
+)
+def landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Landmark distance table — the building block of landmark closeness
+    # and distance-oracle embeddings: per-(landmark, node) hop distances
+    # from 3 pivots in ONE (source, node)-keyed frontier loop
+    # (graph.multi_source_sssp, r6) instead of k sequential SSSP sweeps.
+    # Hop sums are exact integers in doubles, so the oracle replays them
+    # bit-for-bit via the recursive CTE.
+    from eve_graph_spark.operators.graph import multi_source_sssp
+
+    jumps = build_jumps(spark, sf_dir)
+    return multi_source_sssp(
+        jumps, [0, 3, 7], weight_col="cost",
+        src_col="src_system_id", dst_col="dst_system_id",
+    ).select("source", "node", "dist")
+
+
 def _bellman_ford_unrolled_sql(source: int, rounds: int, prefix: str = "srp") -> str:
     """Unrolled Bellman-Ford rounds over fix_jumps risk weights, as chained
     CTEs (DuckDB-safe: float dists make a recursive-CTE enumeration

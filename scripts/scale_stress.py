@@ -108,12 +108,101 @@ def completed_stage_metrics(spark: SparkSession) -> dict[int, dict]:
     return {s["stageId"]: s for s in stages}
 
 
+GRAPH_BUDGET_SEC = 1200
+
+
+def graph_stress(spark: SparkSession, layers: int, width: int,
+                 checkpoint_every: int, budget: int) -> int:
+    """Long-diameter distributed-Pregel stress (VERDICT r5 item 3).
+
+    A "wide chain" — complete bipartite between consecutive layers —
+    gives (layers-1)*width^2 edges and diameter layers-1: the regime
+    where the SSSP loop's weak spots live (per-iteration job overhead,
+    lineage truncation cadence, checkpoint cost), which the hash-random
+    200k-edge smoke (diameter ~7) never exercises. GDS solves this
+    in-memory (reference src/database.rs:491-495); the iterative loop
+    must survive it with a flat final plan and one superstep per hop.
+
+    Exact expectations (weight 1.0, source node 0 in layer 0):
+    dist(node in layer l) = l; only node 0 of layer 0 is reachable;
+    iterations = layers (layers-1 productive relaxations + the
+    empty-frontier detection round); dist_checkpoints =
+    (layers-1) // checkpoint_every (the detection round breaks before
+    its checkpoint slot).
+    """
+    from eve_graph_spark.operators.graph import sssp
+
+    n_edges = (layers - 1) * width * width
+    e = (
+        spark.range((layers - 1) * width)
+        .crossJoin(spark.range(width).select(F.col("id").alias("j")))
+        .select(
+            F.col("id").alias("src"),
+            ((F.floor(F.col("id") / width) + 1) * width + F.col("j")).alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    stats: dict = {}
+    t0 = time.time()
+    out = sssp(e, [0], weight_col="w", src_col="src", dst_col="dst",
+               driver_threshold=0, max_iterations=layers + 10,
+               checkpoint_every=checkpoint_every, stats_out=stats)
+    agg = out.groupBy((F.floor(F.col("node") / width)).alias("layer")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dist").alias("dmin"),
+        F.max("dist").alias("dmax"),
+    ).collect()
+    took = time.time() - t0
+    plan_lines = len(out._jdf.queryExecution().optimizedPlan().toString().splitlines())
+
+    errs = []
+    by_layer = {int(r["layer"]): r for r in agg}
+    if set(by_layer) != set(range(layers)):
+        errs.append(f"missing layers: {sorted(set(range(layers)) - set(by_layer))[:5]}")
+    for l, r in by_layer.items():
+        expect_n = 1 if l == 0 else width
+        if r["n"] != expect_n or r["dmin"] != float(l) or r["dmax"] != float(l):
+            errs.append(f"layer {l}: n={r['n']} dmin={r['dmin']} dmax={r['dmax']}")
+            break
+    if stats.get("iterations") != layers:
+        errs.append(f"iterations={stats.get('iterations')} expected {layers}")
+    # the final (empty-frontier) round breaks before its checkpoint slot,
+    # so cadence applies to the layers-1 productive supersteps before it
+    if stats.get("dist_checkpoints") != (layers - 1) // checkpoint_every:
+        errs.append(f"dist_checkpoints={stats.get('dist_checkpoints')} "
+                    f"expected {(layers - 1) // checkpoint_every}")
+    # the final plan holds at most (checkpoint_every - 1) un-truncated
+    # supersteps (~20 lines each: anti-join + union per merge) on top of
+    # the checkpointed base — bounded by the CADENCE, independent of
+    # layers, which is exactly what lineage truncation must guarantee
+    plan_budget = 60 + 20 * checkpoint_every
+    if plan_lines >= plan_budget:
+        errs.append(f"unbounded lineage: {plan_lines} plan lines (budget {plan_budget})")
+    if took > budget:
+        errs.append(f"wall {took:.0f}s over budget {budget}s")
+    print(json.dumps({
+        "graph": f"{layers}x{width} wide-chain", "n_edges": n_edges,
+        "sec": round(took, 1), "budget_sec": budget,
+        "sec_per_superstep": round(took / max(stats.get("iterations", 1), 1), 3),
+        "iterations": stats.get("iterations"),
+        "dist_checkpoints": stats.get("dist_checkpoints"),
+        "plan_lines": plan_lines, "errs": errs,
+    }))
+    print(json.dumps({"result": "FAIL" if errs else "PASS", "failures": errs}))
+    return 1 if errs else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=100)
     ap.add_argument("--keep", action="store_true", help="keep the generated corpus dir")
     ap.add_argument("--only", nargs="*", default=None,
                     help="stress only these queries (default: all budgeted)")
+    ap.add_argument("--graph", action="store_true",
+                    help="run the long-diameter Pregel stress instead of the corpus stress")
+    ap.add_argument("--graph-layers", type=int, default=1000)
+    ap.add_argument("--graph-width", type=int, default=32)
+    ap.add_argument("--graph-checkpoint-every", type=int, default=10)
     args = ap.parse_args()
     budgets = {k: v for k, v in BUDGETS.items() if args.only is None or k in args.only}
 
@@ -126,6 +215,10 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.graph:
+        return graph_stress(spark, args.graph_layers, args.graph_width,
+                            args.graph_checkpoint_every, GRAPH_BUDGET_SEC)
 
     tmp = tempfile.mkdtemp(prefix="scale_stress_")
     # queries resolve every table against sf_dir: link the rest through
