@@ -287,8 +287,10 @@ def strongly_connected_components(edges: DataFrame,
     Driver path: Tarjan (iterative, no recursion limit) when the edge set
     fits. Distributed path: FW-BW decomposition — pick the min remaining
     node as pivot, compute its forward and backward reachable sets with
-    the iterative frontier joins SSSP uses, intersect them into one SCC,
-    remove it, repeat. Each round is O(diameter) supersteps; worst case
+    the iterative frontier joins SSSP uses (both directions in ONE
+    direction-tagged frontier loop, so a pivot round costs
+    max(fwd, bwd) BFS depth, not their sum), intersect them into one
+    SCC, remove it, repeat. Each round is O(diameter) supersteps; worst case
     (all singleton SCCs) degenerates to V rounds, which is why real
     deployments run it after condensing trivial SCCs — `max_pivots` guards
     the loop.
@@ -396,25 +398,36 @@ def strongly_connected_components(edges: DataFrame,
             break
         pivot = head[0]["node"]
 
-        def _reach(adj_df: DataFrame) -> DataFrame:
-            seen = spark.createDataFrame([(pivot,)], "node long")
-            frontier = seen
-            while True:
-                nxt = (
-                    adj_df.join(frontier.withColumnRenamed("node", "src"), "src")
-                    .select(F.col("dst").alias("node"))
-                    .join(remaining, "node", "left_semi")
-                    .join(seen, "node", "left_anti")
-                    .distinct()
-                    .localCheckpoint()
+        # forward and backward reach share ONE frontier loop, keyed by a
+        # direction tag over the union of the live edge set and its
+        # reverse (the multi-source-SSSP trick, r6): iterations =
+        # max(fwd, bwd) BFS depth instead of fwd + bwd sequential rounds,
+        # and each superstep is one join instead of two loop bodies.
+        live = e.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
+        live_rev = rev.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
+        tagged_edges = (
+            live.select(F.lit(0).alias("dir"), "src", "dst")
+            .unionByName(live_rev.select(F.lit(1).alias("dir"), "src", "dst"))
+        )
+        seen = spark.createDataFrame([(0, pivot), (1, pivot)], "dir int, node long")
+        frontier = seen
+        while True:
+            nxt = (
+                tagged_edges.join(
+                    frontier.withColumnRenamed("node", "src"), ["dir", "src"]
                 )
-                if nxt.limit(1).count() == 0:
-                    return seen
-                seen = seen.union(nxt).localCheckpoint()
-                frontier = nxt
-
-        fwd = _reach(e.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi"))
-        bwd = _reach(rev.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi"))
+                .select("dir", F.col("dst").alias("node"))
+                .join(remaining, "node", "left_semi")
+                .join(seen, ["dir", "node"], "left_anti")
+                .distinct()
+                .localCheckpoint()
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            seen = seen.union(nxt).localCheckpoint()
+            frontier = nxt
+        fwd = seen.filter(F.col("dir") == 0).select("node")
+        bwd = seen.filter(F.col("dir") == 1).select("node")
         comp = fwd.join(bwd, "node", "left_semi").localCheckpoint()
         rep = comp.agg(F.min("node").alias("m")).collect()[0]["m"]
         tagged = comp.select("node", F.lit(rep).cast("long").alias("scc"))
