@@ -88,3 +88,69 @@ def test_sssp_matches_dijkstra_on_random_graphs(spark, edges):
     got = {r["node"]: r["dist"] for r in sssp(e, [0]).collect()}
     expected = _py_dijkstra([(u, v, float(w)) for u, v, w in edges], 0)
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=edge_lists,
+    sources=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=3, unique=True),
+)
+def test_multi_source_sssp_matches_dijkstra_per_source(spark, edges, sources):
+    """Round-6 machinery: the (source, node)-keyed frontier loop's driver
+    fast path must equal an independent Dijkstra per source — including
+    sources absent from the edge set (they yield only their self row)."""
+    from eve_graph_spark.operators.graph import multi_source_sssp
+
+    e = spark.createDataFrame(
+        [(u, v, float(w)) for u, v, w in edges], "src long, dst long, weight double"
+    )
+    got = {
+        (r["source"], r["node"]): r["dist"]
+        for r in multi_source_sssp(e, sources).collect()
+    }
+    expected = {}
+    for s in sources:
+        for node, d in _py_dijkstra([(u, v, float(w)) for u, v, w in edges], s).items():
+            expected[(s, node)] = d
+    assert got == expected
+
+
+# --- property-based near-dup collapse invariance ----------------------------
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_texts)
+def test_near_dup_clusters_collapse_invariance(spark, texts):
+    """near_dup_clusters' claim (dedup.py): exact-dup pre-collapse leaves
+    cluster membership identical to the direct member-level pipeline
+    (LSH pairs over ALL docs -> CC -> min-id cluster, unclustered docs
+    their own cluster). Small-word corpora force duplicate and
+    near-duplicate texts often, so the collapse actually fires."""
+    from eve_graph_spark.operators.dedup import near_dup_clusters, portable_minhash_near_dups
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in near_dup_clusters(docs, threshold=0.5).collect()
+    }
+
+    pairs = portable_minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(sym, src_col="s", dst_col="d").collect()
+    }
+    expected = {i: cc.get(i, i) for i in range(len(texts))}
+    assert got == expected
