@@ -192,7 +192,8 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
 def closeness_centrality(edges: DataFrame, src_col: str = "src_system_id",
                          dst_col: str = "dst_system_id",
                          driver_threshold: int = DRIVER_MAX_EDGES,
-                         landmarks: int | None = None) -> DataFrame:
+                         landmarks: int | None = None,
+                         exact: bool = False) -> DataFrame:
     """(node, closeness) with closeness = (reached-1) / Σ hop-dist — exact
     all-pairs BFS on the driver below the edge threshold (the graph that
     fits on the driver is the only one where exact all-pairs is sane).
@@ -204,6 +205,12 @@ def closeness_centrality(edges: DataFrame, src_col: str = "src_system_id",
     total, not k sequential O(diameter) sweeps — at 1000-executor scale
     with k=16 landmarks and diameter ~50 that is ~50 job barriers instead
     of ~800 (round-5 verdict's scale-weak plan, fixed).
+
+    Exact all-pairs on a graph ABOVE the driver threshold is a loud
+    opt-in (`exact=True`), never a silent default: it collects O(V)
+    pivot ids to the driver and carries O(V^2) (source, node) state
+    through the loop — the caller must decide that cost knowingly, or
+    pass `landmarks=k` for the standard approximation.
     """
     e = _edge_frame(edges, src_col, dst_col)
     spark = e.sparkSession
@@ -229,6 +236,13 @@ def closeness_centrality(edges: DataFrame, src_col: str = "src_system_id",
             rows.append((s, float(len(dist) - 1) / total if total else 0.0))
         return spark.createDataFrame(rows, "node long, closeness double")
 
+    if landmarks is None and not exact:
+        raise ValueError(
+            "closeness_centrality: graph exceeds the driver threshold and no "
+            "landmarks were given — exact all-pairs closeness is O(V) pivots "
+            "with O(V^2) frontier state. Pass landmarks=k for the standard "
+            "approximation, or exact=True to opt into the full computation."
+        )
     sources = (
         e.select(F.col("src").alias("node")).union(e.select(F.col("dst").alias("node")))
         .distinct()

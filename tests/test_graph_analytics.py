@@ -75,9 +75,23 @@ def test_closeness_distributed_matches_local(spark):
     local = {r["node"]: r["closeness"] for r in closeness_centrality(e).collect()}
     dist = {
         r["node"]: r["closeness"]
-        for r in closeness_centrality(e, driver_threshold=0).collect()
+        for r in closeness_centrality(e, driver_threshold=0, exact=True).collect()
     }
     assert dist == local
+
+
+def test_closeness_exact_above_threshold_is_loud_opt_in(spark):
+    """Exact all-pairs on an above-threshold graph must raise with
+    guidance (O(V) pivots, O(V^2) state) unless exact=True — never run
+    silently. landmarks=k stays allowed without the flag."""
+    import pytest
+
+    from eve_graph_spark.operators.graph_analytics import closeness_centrality
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    with pytest.raises(ValueError, match="landmarks=k"):
+        closeness_centrality(e, driver_threshold=0)
+    assert closeness_centrality(e, driver_threshold=0, landmarks=2).count() > 0
 
 
 def test_pagerank_hub_ranks_highest(spark):
