@@ -192,6 +192,89 @@ def graph_stress(spark: SparkSession, layers: int, width: int,
     return 1 if errs else 0
 
 
+def multi_source_stress(spark: SparkSession, layers: int, width: int, k: int,
+                        checkpoint_every: int, budget: int) -> int:
+    """Multi-source frontier-loop stress (round-6: landmark closeness fix).
+
+    Same wide-chain as graph_stress but k sources — the FIRST node of
+    every (layers // k)-th layer — run as ONE (source, node)-keyed loop.
+    The scale contract being pinned: superstep count equals the DEEPEST
+    single sweep (layers - min source layer, + the empty-frontier
+    detection round), NOT k x that; and per-source dists are exact:
+    from the first node of layer ls every node of layer l > ls sits at
+    dist l - ls (complete bipartite between consecutive layers), nothing
+    in layer ls or earlier is reachable except the source itself.
+    """
+    from eve_graph_spark.operators.graph import multi_source_sssp
+
+    n_edges = (layers - 1) * width * width
+    e = (
+        spark.range((layers - 1) * width)
+        .crossJoin(spark.range(width).select(F.col("id").alias("j")))
+        .select(
+            F.col("id").alias("src"),
+            ((F.floor(F.col("id") / width) + 1) * width + F.col("j")).alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    step = max(layers // k, 1)
+    source_layers = [i * step for i in range(k) if i * step < layers]
+    sources = [l * width for l in source_layers]
+    stats: dict = {}
+    t0 = time.time()
+    out = multi_source_sssp(
+        e, sources, weight_col="w", src_col="src", dst_col="dst",
+        driver_threshold=0, max_iterations=layers + 10,
+        checkpoint_every=checkpoint_every, stats_out=stats,
+    )
+    agg = out.groupBy(
+        (F.floor(F.col("source") / width)).alias("src_layer"),
+        (F.floor(F.col("node") / width)).alias("layer"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dist").alias("dmin"),
+        F.max("dist").alias("dmax"),
+    ).collect()
+    took = time.time() - t0
+    plan_lines = len(out._jdf.queryExecution().optimizedPlan().toString().splitlines())
+
+    errs = []
+    by_key = {(int(r["src_layer"]), int(r["layer"])): r for r in agg}
+    expect_keys = {
+        (ls, l) for ls in source_layers for l in range(ls, layers)
+    }
+    if set(by_key) != expect_keys:
+        missing = sorted(expect_keys - set(by_key))[:5]
+        extra = sorted(set(by_key) - expect_keys)[:5]
+        errs.append(f"reach sets wrong: missing={missing} extra={extra}")
+    for (ls, l), r in by_key.items():
+        expect_n = 1 if l == ls else width
+        d = float(l - ls)
+        if r["n"] != expect_n or r["dmin"] != d or r["dmax"] != d:
+            errs.append(f"src_layer {ls} layer {l}: n={r['n']} "
+                        f"dmin={r['dmin']} dmax={r['dmax']}")
+            break
+    # ONE loop bounded by the deepest sweep: (layers-1 - min source
+    # layer) productive supersteps + the shared detection round
+    expect_iters = layers - min(source_layers)
+    if stats.get("iterations") != expect_iters:
+        errs.append(f"iterations={stats.get('iterations')} expected {expect_iters}")
+    plan_budget = 60 + 20 * checkpoint_every
+    if plan_lines >= plan_budget:
+        errs.append(f"unbounded lineage: {plan_lines} plan lines (budget {plan_budget})")
+    if took > budget:
+        errs.append(f"wall {took:.0f}s over budget {budget}s")
+    print(json.dumps({
+        "graph": f"{layers}x{width} wide-chain", "n_edges": n_edges,
+        "k_sources": len(sources), "sec": round(took, 1), "budget_sec": budget,
+        "sec_per_superstep": round(took / max(stats.get("iterations", 1), 1), 3),
+        "iterations": stats.get("iterations"),
+        "plan_lines": plan_lines, "errs": errs,
+    }))
+    print(json.dumps({"result": "FAIL" if errs else "PASS", "failures": errs}))
+    return 1 if errs else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=100)
@@ -200,8 +283,11 @@ def main() -> int:
                     help="stress only these queries (default: all budgeted)")
     ap.add_argument("--graph", action="store_true",
                     help="run the long-diameter Pregel stress instead of the corpus stress")
+    ap.add_argument("--multi-source", action="store_true",
+                    help="run the k-source one-loop frontier stress (landmark fix, r6)")
     ap.add_argument("--graph-layers", type=int, default=1000)
     ap.add_argument("--graph-width", type=int, default=32)
+    ap.add_argument("--graph-sources", type=int, default=16)
     ap.add_argument("--graph-checkpoint-every", type=int, default=10)
     args = ap.parse_args()
     budgets = {k: v for k, v in BUDGETS.items() if args.only is None or k in args.only}
@@ -219,6 +305,14 @@ def main() -> int:
     if args.graph:
         return graph_stress(spark, args.graph_layers, args.graph_width,
                             args.graph_checkpoint_every, GRAPH_BUDGET_SEC)
+    if args.multi_source:
+        # default shape: 100 layers x 100 width ~ 1M edges, diameter 99,
+        # 16 sources — k x the 200k-edge smoke, at a diameter where
+        # sequential sweeps would cost ~1,600 supersteps vs ~100 here
+        layers = args.graph_layers if args.graph_layers != 1000 else 100
+        width = args.graph_width if args.graph_width != 32 else 100
+        return multi_source_stress(spark, layers, width, args.graph_sources,
+                                   args.graph_checkpoint_every, GRAPH_BUDGET_SEC)
 
     tmp = tempfile.mkdtemp(prefix="scale_stress_")
     # queries resolve every table against sf_dir: link the rest through
