@@ -661,3 +661,263 @@ def label_propagation(edges: DataFrame, iterations: int = 5,
         if changed == 0:
             break
     return labels
+
+
+# --- betweenness centrality -------------------------------------------------
+
+def bfs_sigma(edges: DataFrame, source_ids: list[int] | None,
+              src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+              max_iterations: int = 200, checkpoint_every: int = 5,
+              driver_threshold: int = DRIVER_MAX_EDGES,
+              stats_out: dict | None = None) -> DataFrame:
+    """(source, node, dist, sigma): hop distance and shortest-path COUNT
+    from each source — the forward pass of Brandes betweenness and the
+    building block of path-diversity metrics.
+
+    Level-synchronous BFS keyed (source, node), run for ALL sources in
+    ONE frontier loop (the round-6 multi-source shape,
+    graph.multi_source_sssp): at superstep L every (source, frontier
+    node) pair at dist L sends sigma along its out-edges; a node first
+    reached at L+1 gets sigma = the SUM of messages — complete in that
+    superstep because level-synchronous BFS delivers every dist-L
+    contribution together (no Dijkstra-style re-relaxation, so no
+    re-summing). O(max diameter) supersteps, NOT k-proportional.
+
+    sigma is a double holding an exact integer: path counts explode
+    combinatorially (a w-wide layered graph has w^L paths), and integer
+    summation in doubles stays exact to 2^53 then degrades to +inf
+    gracefully instead of wrapping negative like a long.
+
+    Driver fast path below the edge threshold: per-source Python BFS,
+    identical level/sum schedule, bit-identical output.
+    """
+    spark = edges.sparkSession
+    e = _edge_frame(edges, src_col, dst_col)
+    if _fits_driver(e, driver_threshold):
+        adj: dict[int, list[int]] = {}
+        nodes: set[int] = set()
+        for r in e.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+            nodes.update((r["src"], r["dst"]))
+        if source_ids is None:
+            # all-pairs forward pass from ONE edge collect — callers that
+            # need every source (exact betweenness on a fixture-sized
+            # graph) avoid a separate node-list job
+            source_ids = sorted(nodes)
+        rows = []
+        for s in source_ids:
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            frontier = [s]
+            level = 0
+            while frontier:
+                nxt: dict[int, float] = {}
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v in dist:
+                            if dist[v] == level + 1:
+                                nxt[v] += sigma[u]
+                        else:
+                            dist[v] = level + 1
+                            nxt[v] = sigma[u]
+                for v, sg in nxt.items():
+                    sigma[v] = sg
+                frontier = list(nxt)
+                level += 1
+            rows.extend((int(s), int(n), int(d), float(sigma[n])) for n, d in dist.items())
+        return spark.createDataFrame(rows, "source long, node long, dist int, sigma double")
+
+    if source_ids is None:
+        raise ValueError(
+            "bfs_sigma: source_ids=None (all nodes) above the driver "
+            "threshold is O(V) sources with O(V^2) state — pass an explicit "
+            "sampled source list (betweenness_centrality(sample_sources=k) "
+            "does) or raise driver_threshold knowingly."
+        )
+    visited = spark.createDataFrame(
+        [(int(s), int(s), 0, 1.0) for s in source_ids],
+        "source long, node long, dist int, sigma double",
+    )
+    frontier = visited
+    n_iters = n_ckpts = 0
+    for it in range(max_iterations):
+        msgs = (
+            frontier.join(e, frontier.node == e.src)
+            .groupBy("source", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(it + 1))
+        )
+        seen = visited.select(F.col("source").alias("__s"), F.col("node").alias("__n"))
+        fresh = msgs.join(
+            seen,
+            (msgs["source"] == F.col("__s")) & (msgs["node"] == F.col("__n")),
+            "left_anti",
+        ).select("source", "node", "dist", "sigma")
+        fresh = fresh.localCheckpoint(eager=True)
+        n_new = fresh.count()
+        n_iters = it + 1
+        if n_new == 0:
+            break
+        frontier = fresh
+        visited = visited.unionByName(fresh)
+        if (it + 1) % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=True)
+            n_ckpts += 1
+    if stats_out is not None:
+        stats_out["iterations"] = n_iters
+        stats_out["visited_checkpoints"] = n_ckpts
+    return visited
+
+
+def _brandes_local(e: DataFrame, source_ids: list[int], scale: float) -> DataFrame:
+    """Driver fast path — textbook Brandes over the collected edge list
+    (forward BFS with sigma, backward dependency accumulation in
+    descending-distance order). Per-node delta sums run in a CANONICAL
+    order (sorted node, then sorted contribution keys) so reruns are
+    stable; cross-path float identity with the distributed loop is NOT
+    guaranteed (dependency ratios are non-integer rationals — see
+    betweenness_centrality docstring), only agreement to float rounding.
+    """
+    spark = e.sparkSession
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for r in e.collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+        nodes.update((r["src"], r["dst"]))
+    bet = {v: 0.0 for v in nodes}
+    for s in source_ids:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        preds: dict[int, list[int]] = {}
+        levels: list[list[int]] = [[s]]
+        while levels[-1]:
+            nxt: dict[int, float] = {}
+            level = len(levels) - 1
+            for u in sorted(levels[-1]):
+                for v in adj.get(u, ()):
+                    if v in dist:
+                        if dist[v] == level + 1:
+                            nxt[v] += sigma[u]
+                            preds[v].append(u)
+                    else:
+                        dist[v] = level + 1
+                        nxt[v] = sigma[u]
+                        preds[v] = [u]
+            for v, sg in nxt.items():
+                sigma[v] = sg
+            levels.append(sorted(nxt))
+        delta = {v: 0.0 for v in dist}
+        for level_nodes in reversed(levels[:-1]):
+            for w in level_nodes:
+                for u in preds.get(w, ()):
+                    delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+        for v, d in delta.items():
+            if v != s:
+                bet[v] += d * scale
+    return spark.createDataFrame(
+        sorted(bet.items()), "node long, betweenness double"
+    )
+
+
+def betweenness_centrality(edges: DataFrame, src_col: str = "src_system_id",
+                           dst_col: str = "dst_system_id",
+                           sample_sources: int | None = None,
+                           driver_threshold: int = DRIVER_MAX_EDGES,
+                           exact: bool = False,
+                           checkpoint_every: int = 5) -> DataFrame:
+    """(node, betweenness) over ordered (s, t) pairs — Brandes: forward
+    multi-source BFS-with-sigma, then backward dependency accumulation
+    level by level. On a symmetric edge set this is 2x the undirected
+    textbook value (each unordered pair counted both ways); documented
+    rather than halved so directed inputs need no special case.
+
+    Scale shape: `sample_sources=k` runs the standard source-sampled
+    estimator (Brandes-Pich): k hash-chosen sources, result scaled by
+    n/k — both passes are ONE (source, node)-keyed loop each, so the
+    whole run is O(diameter) supersteps forward + O(diameter) backward,
+    independent of k. Exact betweenness needs ALL nodes as sources —
+    O(V) pivots, O(V^2) state — so above the driver threshold it is a
+    loud `exact=True` opt-in, same contract as closeness_centrality.
+
+    Float caveat: dependency ratios sigma_u/sigma_w are non-integer, so
+    unlike pagerank/closeness the accumulated sums cannot be
+    fixed-pointed without changing the result; driver and distributed
+    paths agree to float rounding, not bit-for-bit. The oracle-checked
+    registered query (queries.py betweenness_centrality) instead uses
+    the pair formula with fixed-point TERMS, which IS order-independent
+    and engine-exact.
+    """
+    spark = edges.sparkSession
+    e = _edge_frame(edges, src_col, dst_col)
+    all_nodes = (
+        e.select(F.col("src").alias("node")).union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if sample_sources:
+        n_nodes = all_nodes.count()
+        srcs = all_nodes.orderBy(F.xxhash64("node")).limit(sample_sources)
+        source_ids = [r["node"] for r in srcs.collect()]
+        scale = n_nodes / len(source_ids)
+    else:
+        if not _fits_driver(e, driver_threshold) and not exact:
+            raise ValueError(
+                "betweenness_centrality: graph exceeds the driver threshold "
+                "and no sample_sources were given — exact betweenness is O(V) "
+                "sources with O(V^2) state. Pass sample_sources=k for the "
+                "Brandes-Pich estimator, or exact=True to opt in."
+            )
+        source_ids = [r["node"] for r in all_nodes.collect()]
+        scale = 1.0
+    if _fits_driver(e, driver_threshold):
+        return _brandes_local(e, source_ids, scale)
+
+    vs = bfs_sigma(e, source_ids, src_col="src", dst_col="dst",
+                   driver_threshold=0, checkpoint_every=checkpoint_every)
+    vs = vs.localCheckpoint(eager=True)
+    max_dist = vs.agg(F.max("dist").alias("m")).collect()[0]["m"] or 0
+
+    # Backward pass: process distance levels descending. delta rows are
+    # created once per (source, node) at its own level — a node's delta
+    # is complete when its level is processed because every dependent w
+    # (dist = level+1) was finalized the previous round. Each round is
+    # one reversed-edge join + one (source, node) sum.
+    delta = vs.filter(F.col("dist") == max_dist).select(
+        "source", "node", F.lit(0.0).alias("delta")
+    )
+    acc = delta
+    for level in range(max_dist, 0, -1):
+        w_rows = (
+            vs.filter(F.col("dist") == level)
+            .join(acc.filter(F.col("delta").isNotNull()), ["source", "node"], "left")
+            .select(
+                "source", F.col("node").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                F.coalesce("delta", F.lit(0.0)).alias("delta_w"),
+            )
+        )
+        u_side = vs.filter(F.col("dist") == level - 1).select(
+            "source", F.col("node").alias("u"), F.col("sigma").alias("sigma_u")
+        )
+        contribs = (
+            w_rows.join(e, w_rows.w == e.dst)
+            .select("source", F.col("src").alias("u"), "sigma_w", "delta_w")
+            .join(u_side, ["source", "u"])
+            .groupBy("source", F.col("u").alias("node"))
+            .agg(
+                F.sum(
+                    F.col("sigma_u") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("delta")
+            )
+        )
+        contribs = contribs.localCheckpoint(eager=True)
+        acc = acc.unionByName(contribs)
+        if (max_dist - level + 1) % checkpoint_every == 0:
+            acc = acc.localCheckpoint(eager=True)
+    per_source = acc.groupBy("source", "node").agg(F.sum("delta").alias("delta"))
+    return (
+        per_source.filter(F.col("source") != F.col("node"))
+        .groupBy("node")
+        .agg((F.sum("delta") * F.lit(float(scale))).alias("betweenness"))
+        .join(all_nodes, "node", "right")
+        .select("node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
+    )

@@ -864,6 +864,115 @@ def closeness_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closeness_centrality(build_jumps(spark, sf_dir, with_risk=False))
 
 
+def _betweenness_unrolled_sql(levels: int = 12) -> str:
+    """DuckDB replay of betweenness via the pair formula. dist+sigma come
+    from walk counts: w{L}(s,v) = number of length-L walks; the MINIMAL
+    L with a walk is d(s,v), and its count is sigma (a minimal-length
+    walk cannot revisit a node, so minimal walks == shortest paths).
+    Unrolled `levels` rounds like the LPA/kcore oracles — the fixture
+    jump graph is 25 nodes with diameter <= 12 at every SF (pinned by
+    the hash-green closeness oracle's same cap). Each term of the pair
+    sum is fixed-pointed to integer micro-units BEFORE summing, making
+    the SUM exact integer arithmetic — order-independent, so Spark and
+    DuckDB hash-match bit-for-bit (same device as _dsum/pagerank)."""
+    steps = [
+        ", bnodes AS MATERIALIZED (SELECT DISTINCT src_system_id AS node FROM fix_jumps)",
+        ", bw0 AS MATERIALIZED (SELECT node AS s, node AS v, CAST(1 AS DOUBLE) AS cnt FROM bnodes)",
+    ]
+    for i in range(1, levels + 1):
+        steps.append(f"""
+    , bw{i} AS MATERIALIZED (
+        SELECT w.s, e.dst_system_id AS v, SUM(w.cnt) AS cnt
+        FROM bw{i - 1} w JOIN fix_jumps e ON e.src_system_id = w.v
+        GROUP BY w.s, e.dst_system_id
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS lvl, s, v, cnt FROM bw{i}" for i in range(levels + 1)
+    )
+    steps.append(f"""
+    , ballw AS MATERIALIZED ({union})
+    , bds AS MATERIALIZED (SELECT s, v, MIN(lvl) AS d FROM ballw GROUP BY s, v)
+    , bsig AS MATERIALIZED (
+        SELECT a.s, a.v, ds.d, a.cnt AS sigma
+        FROM ballw a JOIN bds ds ON a.s = ds.s AND a.v = ds.v AND a.lvl = ds.d
+    )
+    SELECT n.node,
+           COALESCE(CAST(t.fp AS DOUBLE) / 1000000.0, 0.0) AS betweenness
+    FROM bnodes n LEFT JOIN (
+        SELECT sv.v AS node,
+               SUM(CAST(FLOOR(sv.sigma * vt.sigma / st.sigma * 1000000 + 0.5)
+                   AS BIGINT)) AS fp
+        FROM bsig sv
+        JOIN bsig vt ON vt.s = sv.v
+        JOIN bsig st ON st.s = sv.s AND st.v = vt.v
+        WHERE sv.d + vt.d = st.d AND sv.s <> sv.v AND vt.s <> vt.v
+        GROUP BY sv.v
+    ) t ON t.node = n.node""")
+    return _graph_cte("".join(steps))
+
+
+@register("betweenness_centrality", _betweenness_unrolled_sql(12))
+def betweenness_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Betweenness over ordered (s,t) pairs via the PAIR FORMULA on
+    # bfs_sigma's (dist, sigma) table: bet(v) = sum over pairs of
+    # sigma_sv * sigma_vt / sigma_st where d(s,v)+d(v,t)=d(s,t). Each
+    # term is fixed-pointed to integer micro-units before the sum, so
+    # the aggregate is order-independent and hash-exact vs DuckDB —
+    # the Brandes-accumulation OPERATOR (graph_analytics.
+    # betweenness_centrality, with the sampled scale path) cannot be
+    # fixed-pointed (nested non-integer ratios) and is pinned against
+    # this formula in tests/test_betweenness.py instead. The 25-row
+    # fixture node collect is constant-size by construction (same
+    # pattern as safest_route_path).
+    from eve_graph_spark.operators.graph_analytics import bfs_sigma
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    # sources=None: all-pairs forward pass from bfs_sigma's single edge
+    # collect; the dist==0 rows ARE the node set (one row per source),
+    # so no separate node-list job or second fixture subtree is planned
+    # the driver-path result is a Python-built relation; the pair join
+    # scans it FOUR times (nodes/sv/vt/st) and each scan of a
+    # python-RDD-backed plan pays a Python-worker deserialization pass —
+    # one eager localCheckpoint materializes JVM blocks instead (625
+    # rows), turning all four scans JVM-side (~3x on this query's bench)
+    vs = bfs_sigma(jumps, None).localCheckpoint(eager=True)
+    nodes = vs.filter(F.col("dist") == 0).select("node")
+    sv = vs.select(
+        F.col("source").alias("s"), F.col("node").alias("v"),
+        F.col("dist").alias("d_sv"), F.col("sigma").alias("sig_sv"),
+    )
+    vt = vs.select(
+        F.col("source").alias("v2"), F.col("node").alias("t"),
+        F.col("dist").alias("d_vt"), F.col("sigma").alias("sig_vt"),
+    )
+    st = vs.select(
+        F.col("source").alias("s2"), F.col("node").alias("t2"),
+        F.col("dist").alias("d_st"), F.col("sigma").alias("sig_st"),
+    )
+    # broadcast hints: every side is a slice of the 625-row all-pairs
+    # local relation (constant-size at every SF by fixture construction),
+    # so the three-way pair join runs shuffle-free
+    terms = (
+        sv.join(F.broadcast(vt), sv["v"] == vt["v2"])
+        .join(F.broadcast(st), (F.col("s") == F.col("s2")) & (F.col("t") == F.col("t2")))
+        .filter(
+            (F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+            & (F.col("s") != F.col("v"))
+            & (F.col("v2") != F.col("t"))
+        )
+    )
+    fp = F.floor(
+        F.col("sig_sv") * F.col("sig_vt") / F.col("sig_st") * 1000000 + F.lit(0.5)
+    ).cast("long")
+    per_v = terms.groupBy(F.col("v").alias("node")).agg(F.sum(fp).alias("__fp"))
+    return nodes.join(F.broadcast(per_v), "node", "left").select(
+        "node",
+        (F.coalesce(F.col("__fp"), F.lit(0)).cast("double") / F.lit(1000000.0)).alias(
+            "betweenness"
+        ),
+    )
+
+
 # =========================================================================
 # Sort / top-k / window — SURVEY §2.8 relational extensions
 # =========================================================================
