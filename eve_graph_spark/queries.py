@@ -864,6 +864,39 @@ def closeness_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closeness_centrality(build_jumps(spark, sf_dir, with_risk=False))
 
 
+@register(
+    "degree_centrality",
+    _graph_cte(
+        """
+        SELECT node, CAST(SUM(o) AS BIGINT) AS out_degree,
+               CAST(SUM(i) AS BIGINT) AS in_degree
+        FROM (SELECT src_system_id AS node, 1 AS o, 0 AS i FROM fix_jumps
+              UNION ALL
+              SELECT dst_system_id AS node, 0 AS o, 1 AS i FROM fix_jumps) d
+        GROUP BY node
+        """
+    ),
+)
+def degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree centrality (GDS family, completing pagerank/closeness/
+    # betweenness): ONE union + single groupBy — one keyed shuffle of
+    # (node, 0/1, 0/1) rows at any scale, with map-side partial sums;
+    # no join, no second edge scan (the union's two branches share the
+    # scan via ReuseExchange-free column pruning on the same subtree).
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    tagged = jumps.select(
+        F.col("src_system_id").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionByName(
+        jumps.select(
+            F.col("dst_system_id").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i")
+        )
+    )
+    return tagged.groupBy("node").agg(
+        F.sum("o").cast("long").alias("out_degree"),
+        F.sum("i").cast("long").alias("in_degree"),
+    )
+
+
 def _betweenness_unrolled_sql(levels: int = 12) -> str:
     """DuckDB replay of betweenness via the pair formula. dist+sigma come
     from walk counts: w{L}(s,v) = number of length-L walks; the MINIMAL
