@@ -113,3 +113,34 @@ def test_distributed_components_match_local_at_200k_edges(spark):
             connected_components(sym, src_col="src", dst_col="dst",
                                  driver_threshold=0).collect()}
     assert dist == local
+
+
+def test_distributed_sampled_betweenness_at_200k_edges(spark):
+    """Round-6 betweenness: the distributed forward (bfs_sigma) +
+    backward (dependency accumulation) loops on the 200k-edge graph with
+    4 sampled sources, pinned against driver-local Brandes over the SAME
+    hash-chosen sources. Dependency ratios are non-integer, so agreement
+    is to float rounding (everything integer-valued — dist, sigma — is
+    pinned bit-identical by the unit tests)."""
+    from eve_graph_spark.operators.graph_analytics import betweenness_centrality
+
+    e = _random_graph(spark).select("src", "dst")
+    local = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            e, src_col="src", dst_col="dst", sample_sources=4
+        ).collect()
+    }
+    dist = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            e, src_col="src", dst_col="dst", sample_sources=4, driver_threshold=0
+        ).collect()
+    }
+    assert set(dist) == set(local)
+    mism = [
+        v for v in local
+        if abs(dist[v] - local[v]) > 1e-6 * max(1.0, abs(local[v]))
+    ]
+    assert not mism, f"{len(mism)} nodes diverge, e.g. {mism[:3]}"
+    assert sum(local.values()) > 0  # sampling actually accumulated mass
