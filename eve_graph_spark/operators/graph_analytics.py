@@ -857,7 +857,9 @@ def betweenness_centrality(edges: DataFrame, src_col: str = "src_system_id",
         n_nodes = all_nodes.count()
         srcs = all_nodes.orderBy(F.xxhash64("node")).limit(sample_sources)
         source_ids = [r["node"] for r in srcs.collect()]
-        scale = n_nodes / len(source_ids)
+        # empty edge set -> no nodes, no sources: the result is empty
+        # regardless of path, and the n/k scale is undefined
+        scale = n_nodes / len(source_ids) if source_ids else 1.0
     else:
         if not _fits_driver(e, driver_threshold) and not exact:
             raise ValueError(

@@ -131,3 +131,11 @@ def test_sampled_with_all_nodes_equals_exact(spark):
     )
     for v in exact:
         assert sampled[v] == pytest.approx(exact[v], rel=1e-9, abs=1e-9)
+
+
+def test_empty_edge_set_yields_empty_result(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert betweenness_centrality(e, src_col="src", dst_col="dst").collect() == []
+    assert betweenness_centrality(
+        e, src_col="src", dst_col="dst", sample_sources=3
+    ).collect() == []
