@@ -897,6 +897,50 @@ def degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "harmonic_centrality",
+    _graph_cte(
+        """
+        , hw(src, node, dist) AS (
+            SELECT system_id, system_id, CAST(0 AS BIGINT) FROM fix_systems
+            UNION
+            SELECT w.src, e.dst_system_id, w.dist + 1
+            FROM hw w JOIN fix_jumps e ON e.src_system_id = w.node
+            WHERE w.dist < 12
+        ),
+        hbest AS (SELECT src, node, MIN(dist) AS d FROM hw GROUP BY src, node)
+        SELECT src AS node,
+               CAST(SUM(CASE WHEN d > 0
+                             THEN CAST(FLOOR(1000000.0 / d + 0.5) AS BIGINT)
+                             ELSE 0 END) AS DOUBLE) / 1000000.0 AS harmonic,
+               CAST(MAX(d) AS BIGINT) AS eccentricity
+        FROM hbest GROUP BY src
+        """
+    ),
+)
+def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Harmonic centrality (Σ 1/d over reachable peers — the
+    # disconnected-robust closeness variant) and eccentricity (max d) in
+    # one pass over bfs_sigma's all-pairs dist table. Each 1/d term is
+    # fixed-pointed to integer micro-units BEFORE the sum, so the
+    # aggregate is order-independent and hash-exact vs DuckDB's
+    # recursive-CTE replay (same cap-12 BFS as the closeness oracle);
+    # eccentricity is an integer MAX — exact by nature. Scale shape: the
+    # all-pairs table is the fixture-bound driver path here; at scale
+    # the same aggregate runs over landmark-sampled bfs_sigma output.
+    from eve_graph_spark.operators.graph_analytics import bfs_sigma
+
+    vs = bfs_sigma(build_jumps(spark, sf_dir, with_risk=False), None)
+    term = F.when(
+        F.col("dist") > 0,
+        F.floor(F.lit(1000000.0) / F.col("dist") + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0))
+    return vs.groupBy(F.col("source").alias("node")).agg(
+        (F.sum(term).cast("double") / F.lit(1000000.0)).alias("harmonic"),
+        F.max("dist").cast("long").alias("eccentricity"),
+    )
+
+
 def _betweenness_unrolled_sql(levels: int = 12) -> str:
     """DuckDB replay of betweenness via the pair formula. dist+sigma come
     from walk counts: w{L}(s,v) = number of length-L walks; the MINIMAL
