@@ -97,3 +97,20 @@ class PropertyGraph:
         e = self.edges.withColumn("__w", F.lit(1.0))
         dist = sssp(e, [from_id], weight_col="__w", src_col="src", dst_col="dst")
         return reconstruct_path(dist, to_id)
+
+    def betweennessCentrality(self, sampleSources: int | None = None) -> DataFrame:  # noqa: N802,N803
+        """(id, betweenness) — Brandes over ordered pairs; pass
+        sampleSources=k for the source-sampled estimator at scale
+        (graph_analytics.betweenness_centrality semantics)."""
+        from eve_graph_spark.operators.graph_analytics import betweenness_centrality
+
+        return betweenness_centrality(
+            self.edges, src_col="src", dst_col="dst", sample_sources=sampleSources
+        ).select(F.col("node").alias("id"), "betweenness")
+
+    def closenessCentrality(self, landmarks: int | None = None) -> DataFrame:  # noqa: N802
+        from eve_graph_spark.operators.graph_analytics import closeness_centrality
+
+        return closeness_centrality(
+            self.edges, src_col="src", dst_col="dst", landmarks=landmarks
+        ).select(F.col("node").alias("id"), "closeness")

@@ -42,3 +42,14 @@ def test_pagerank_and_bfs(graph):
     assert pr[1] == max(pr.values())  # best-connected node
     assert graph.bfs(0, 3) == [0, 1, 2, 3]
     assert graph.bfs(3, 3) == [3]
+
+
+def test_centralities(graph):
+    bet = {r["id"]: r["betweenness"] for r in graph.betweennessCentrality().collect()}
+    # node 2 is the only route to 3: carries (s,3)+(3,s) for s in {0,1,4}
+    assert bet[3] == 0.0 and bet[2] > bet[3]
+    clo = {r["id"]: r["closeness"] for r in graph.closenessCentrality().collect()}
+    assert set(clo) == set(range(5)) and all(v > 0 for v in clo.values())
+    # sampled estimator returns the same node universe
+    samp = graph.betweennessCentrality(sampleSources=3)
+    assert {r["id"] for r in samp.collect()} == set(range(5))
