@@ -320,6 +320,9 @@ def multi_source_sssp(
     scale smoke pins.
     """
     spark = edges.sparkSession
+    # order-preserving dedup: a repeated source id would seed duplicate
+    # (source, source) state rows and emit every result row twice
+    source_ids = list(dict.fromkeys(source_ids))
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),

@@ -692,6 +692,10 @@ def bfs_sigma(edges: DataFrame, source_ids: list[int] | None,
     identical level/sum schedule, bit-identical output.
     """
     spark = edges.sparkSession
+    if source_ids is not None:
+        # order-preserving dedup: a repeated source would seed duplicate
+        # (source, source) state rows and double every result row
+        source_ids = list(dict.fromkeys(source_ids))
     e = _edge_frame(edges, src_col, dst_col)
     if _fits_driver(e, driver_threshold):
         adj: dict[int, list[int]] = {}

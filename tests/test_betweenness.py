@@ -139,3 +139,10 @@ def test_empty_edge_set_yields_empty_result(spark):
     assert betweenness_centrality(
         e, src_col="src", dst_col="dst", sample_sources=3
     ).collect() == []
+
+
+def test_bfs_sigma_dedups_repeated_sources(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    once = bfs_sigma(e, [1], src_col="src", dst_col="dst").collect()
+    twice = bfs_sigma(e, [1, 1], src_col="src", dst_col="dst").collect()
+    assert sorted(map(tuple, twice)) == sorted(map(tuple, once))

@@ -228,3 +228,14 @@ def test_fits_driver_probe_is_memoized(spark, sf_dir):
     assert G.fits_driver(e2, 2_000_000)
     after_ids = set(tracker.getJobIdsForGroup() or [])
     assert after_ids == mid_ids
+
+
+def test_multi_source_sssp_dedups_repeated_sources(spark, fixture_edges):
+    from eve_graph_spark.operators.graph import multi_source_sssp
+
+    jumps, _ = fixture_edges
+    once = multi_source_sssp(jumps, [0], weight_col="risk",
+                             src_col="src_system_id", dst_col="dst_system_id").collect()
+    twice = multi_source_sssp(jumps, [0, 0], weight_col="risk",
+                              src_col="src_system_id", dst_col="dst_system_id").collect()
+    assert sorted(map(tuple, twice)) == sorted(map(tuple, once))
