@@ -4731,6 +4731,68 @@ def paragraph_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "boilerplate_strip_documents",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    idx AS (
+        SELECT doc_id, ws,
+               unnest(range(0, CASE WHEN len(ws) <= 20 THEN 1
+                                    ELSE 1 + (len(ws) - 20 + 19) // 20 END)) AS i
+        FROM w
+    ),
+    blocks AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(ws, i * 20 + 1, i * 20 + 20), ' ') AS block
+        FROM idx
+    ),
+    wd AS (SELECT doc_id, i, block, md5(block) AS d FROM blocks),
+    freq AS (SELECT d, COUNT(*) AS n FROM wd GROUP BY d)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(list(b.block ORDER BY b.i)
+                        FILTER (WHERE f.n = 1), ' '), '') AS clean_text
+    FROM wd b JOIN freq f USING (d)
+    GROUP BY b.doc_id
+    """,
+)
+def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style boilerplate REMOVAL (the transform, where
+    # paragraph_dedup_rate above is the metric): drop every 20-word block
+    # whose content appears more than once corpus-wide, rebuild the doc
+    # from the surviving blocks in order. Same chunking as the rate query
+    # (chunk_expr stride=20). Shuffle budget: the freq side is digest-only
+    # (partial-agg'd map-side); the rewrite side necessarily moves text
+    # twice (digest-keyed join + doc-keyed regroup) — inherent to any
+    # transform that rewrites documents, and each is one keyed pass, no
+    # window over a corpus-global partition. A mega-common block (classic
+    # skew) lands on one join key; AQE skew-join splits it.
+    from eve_graph_spark.operators.text_analysis import chunk_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    blocks = (
+        docs.select("doc_id", F.split("text", " ").alias("__w"))
+        .select("doc_id", F.posexplode(chunk_expr("__w", 20, 20)).alias("__i", "__chunk"))
+        .select("doc_id", "__i", "__chunk", F.md5(F.encode("__chunk", "utf-8")).alias("__d"))
+    )
+    freq = blocks.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
+    kept = F.when(
+        F.col("__n") == 1, F.struct(F.col("__i").alias("i"), F.col("__chunk").alias("c"))
+    )  # NULL for removed blocks: collect_list skips NULLs
+    return (
+        blocks.join(freq, "__d")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["c"]), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
 TOKEN_BUDGET = 10_000
 
 

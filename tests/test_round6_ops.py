@@ -61,3 +61,38 @@ def test_ann_ivf_production_shape_and_determinism(spark):
         assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
         cosines = [c for _, c, _ in lst]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_boilerplate_strip_removes_repeated_blocks(spark, tmp_path):
+    """Crafted corpus: a shared 20-word header block + unique bodies.
+    The transform must drop the header from every doc, keep each unique
+    body, and preserve block order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    header = " ".join(f"h{i}" for i in range(20))
+    bodies = [" ".join(f"b{d}w{i}" for i in range(20)) for d in range(3)]
+    texts = [f"{header} {b}" for b in bodies] + [bodies[0] + " " + bodies[0]]
+    tbl = pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    })
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_removed"], r["clean_text"])
+        for r in registry.queries()["boilerplate_strip_documents"](
+            spark, str(d)
+        ).collect()
+    }
+    # header removed everywhere (shared 3x); doc 0's body also appears
+    # twice inside doc 3, so that block is removed everywhere too
+    assert got[0] == (2, 2, "")
+    assert got[1] == (2, 1, bodies[1])
+    assert got[2] == (2, 1, bodies[2])
+    assert got[3] == (2, 2, "")
