@@ -44,20 +44,106 @@ def _fits_driver(e: DataFrame, threshold: int) -> bool:
 
 # --- connected components ---------------------------------------------------
 
+def _star_symmetrize(cur: DataFrame) -> DataFrame:
+    return cur.union(
+        cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _star_phase(sym: DataFrame, large: bool) -> DataFrame:
+    """One star phase over a SYMMETRIC edge set. m(u) = min(Γ(u) ∪ {u}).
+    large-star: emit (v, m) for neighbors v > u — strictly-larger
+    neighbors re-hang under u's minimum. small-star: emit (v, m) for
+    neighbors v <= u (v != m) plus (u, m) — u and its small neighbors
+    hang under the minimum. Alternating the two converges to min-rooted
+    stars in O(log n) rounds."""
+    mins = (
+        sym.groupBy("src").agg(F.min("dst").alias("__mv"))
+        .select(F.col("src").alias("__u"), F.least("__mv", F.col("src")).alias("__m"))
+    )
+    j = sym.join(mins, sym["src"] == F.col("__u"))
+    if large:
+        out = j.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("__m").alias("dst")
+        )
+    else:
+        out = j.filter(
+            (F.col("dst") <= F.col("src")) & (F.col("dst") != F.col("__m"))
+        ).select(F.col("dst").alias("src"), F.col("__m").alias("dst")).union(
+            mins.filter(F.col("__u") != F.col("__m")).select(
+                F.col("__u").alias("src"), F.col("__m").alias("dst")
+            )
+        )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _star_components(e: DataFrame, max_iterations: int, checkpoint_every: int,
+                     stats_out: dict | None) -> DataFrame:
+    """Alternating star contraction. Output identical to the min-label
+    loop: (node, component = min node id), every input node present
+    (self-loop-only nodes re-attached as their own component)."""
+    spark = e.sparkSession
+    nodes = (
+        e.select(F.col("src").alias("node")).union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cur = e.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    cur = cur.localCheckpoint(eager=True)
+    cur_count = cur.count()
+    n_rounds = 0
+    for it in range(max_iterations):
+        a = _star_phase(_star_symmetrize(cur), large=True)
+        b = _star_phase(_star_symmetrize(a), large=False)
+        b = b.localCheckpoint(eager=True)
+        b_count = b.count()
+        n_rounds = it + 1
+        same = b_count == cur_count and (
+            b.join(cur, ["src", "dst"], "left_anti").limit(1).count() == 0
+        )
+        cur = b
+        cur_count = b_count
+        if same:
+            break
+    if stats_out is not None:
+        stats_out["iterations"] = n_rounds
+    # fixpoint edges are (leaf -> root) stars: each node's component is
+    # its min neighbor, roots and isolated nodes are their own
+    comp = (
+        _star_symmetrize(cur).groupBy("src").agg(F.min("dst").alias("__mv"))
+        .select(F.col("src").alias("node"), F.least("__mv", F.col("src")).alias("component"))
+    )
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def connected_components(edges: DataFrame, src_col: str = "src_system_id",
                          dst_col: str = "dst_system_id",
                          driver_threshold: int = DRIVER_MAX_EDGES,
                          max_iterations: int = 100,
-                         checkpoint_every: int = 3) -> DataFrame:
+                         checkpoint_every: int = 3,
+                         algorithm: str = "label",
+                         stats_out: dict | None = None) -> DataFrame:
     """(node, component) where component = min node id in the component.
 
     Assumes a symmetric edge set (the JUMP table is: every gate pair and
     wormhole is inserted in both directions, database.rs:241-254). For a
     directed input, union the flipped edges first.
 
-    Distributed form: min-label propagation — label'(v) = min(label(v),
-    min over in-edges label(u)) until fixpoint. Converges in O(diameter)
-    supersteps on the label-join shape.
+    Two distributed forms, identical output:
+    - `algorithm="label"` (default): min-label propagation — label'(v) =
+      min(label(v), min over in-edges label(u)) until fixpoint. ONE
+      join+agg shuffle per superstep, but O(diameter) supersteps — the
+      right trade on low-diameter graphs (social/web cores, the jump
+      graph).
+    - `algorithm="star"`: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+      O(log n) rounds regardless of diameter, ~4 shuffles per round. The
+      right trade on high- or unknown-diameter graphs (chains, road
+      networks, long filament crawl graphs): on a 2k-node path the label
+      loop needs ~2k supersteps, star ~a dozen rounds. Superstep COUNT
+      is the wall-clock driver at scale (SCALE.md long-diameter stress),
+      so pick star whenever the diameter is not known to be small.
     """
     e = _edge_frame(edges, src_col, dst_col)
     spark = edges.sparkSession
@@ -81,6 +167,8 @@ def connected_components(edges: DataFrame, src_col: str = "src_system_id",
         rows = [(n, find(n)) for n in parent]
         return spark.createDataFrame(rows, "node long, component long")
 
+    if algorithm == "star":
+        return _star_components(e, max_iterations, checkpoint_every, stats_out)
     labels = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -209,3 +209,39 @@ def test_label_propagation_isolated_direction_keeps_label(spark):
     e = _edges(spark, [(1, 2)], symmetric=False)
     got = {r["node"]: r["community"] for r in label_propagation(e, iterations=3).collect()}
     assert got[1] == 1 and got[2] == 1
+
+
+def test_star_cc_matches_label_cc(spark):
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (12, 12)])
+    ref = {r["node"]: r["component"]
+           for r in connected_components(e).collect()}
+    for algo in ("label", "star"):
+        st: dict = {}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                e, driver_threshold=0, algorithm=algo, stats_out=st
+            ).collect()
+        }
+        assert got == ref, algo
+
+
+def test_star_cc_chain_converges_in_log_rounds(spark):
+    """The reason star exists: a 2,000-node path has diameter 1,999 — the
+    min-label loop would need ~2,000 supersteps; star contraction must
+    finish in O(log n) rounds."""
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    n = 2000
+    e = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    st: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e, driver_threshold=0, algorithm="star", stats_out=st
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert st["iterations"] <= 15, st

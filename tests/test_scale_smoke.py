@@ -144,3 +144,19 @@ def test_distributed_sampled_betweenness_at_200k_edges(spark):
     ]
     assert not mism, f"{len(mism)} nodes diverge, e.g. {mism[:3]}"
     assert sum(local.values()) > 0  # sampling actually accumulated mass
+
+
+def test_star_components_match_local_at_200k_edges(spark):
+    e = _random_graph(spark)
+    sym = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    local = {r["node"]: r["component"] for r in
+             connected_components(sym, src_col="src", dst_col="dst").collect()}
+    st: dict = {}
+    star = {r["node"]: r["component"] for r in
+            connected_components(sym, src_col="src", dst_col="dst",
+                                 driver_threshold=0, algorithm="star",
+                                 stats_out=st).collect()}
+    assert star == local
+    assert st["iterations"] <= 10, st  # O(log n) rounds, not O(diameter)

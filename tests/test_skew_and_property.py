@@ -154,3 +154,26 @@ def test_near_dup_clusters_collapse_invariance(spark, texts):
     }
     expected = {i: cc.get(i, i) for i in range(len(texts))}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edge_lists)
+def test_star_cc_matches_union_find_on_random_graphs(spark, edges):
+    """Star contraction (round 6) vs the driver union-find reference on
+    random digraphs (symmetrized), including self-loops and duplicate
+    edges the generator produces."""
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    sym = [(u, v) for u, v, _ in edges] + [(v, u) for u, v, _ in edges]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    ref = {
+        r["node"]: r["component"]
+        for r in connected_components(e, src_col="src", dst_col="dst").collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e, src_col="src", dst_col="dst", driver_threshold=0, algorithm="star"
+        ).collect()
+    }
+    assert got == ref
