@@ -77,11 +77,19 @@ def _star_phase(sym: DataFrame, large: bool) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _star_components(e: DataFrame, max_iterations: int, checkpoint_every: int,
+def _star_components(e: DataFrame, max_iterations: int,
                      stats_out: dict | None) -> DataFrame:
     """Alternating star contraction. Output identical to the min-label
     loop: (node, component = min node id), every input node present
-    (self-loop-only nodes re-attached as their own component)."""
+    (self-loop-only nodes re-attached as their own component).
+
+    No checkpoint cadence knob (ADVICE r6 dropped the dead parameter):
+    every round localCheckpoints unconditionally — a round is ~4 shuffles
+    deep and its convergence probe (count + anti-join) must materialize
+    the round's output anyway, so deferring truncation would re-execute
+    those shuffles, not save them; and rounds number O(log n), so the
+    per-round checkpoint cost never compounds the way the label loop's
+    O(diameter) supersteps can."""
     spark = e.sparkSession
     nodes = (
         e.select(F.col("src").alias("node")).union(e.select(F.col("dst").alias("node")))
@@ -105,7 +113,9 @@ def _star_components(e: DataFrame, max_iterations: int, checkpoint_every: int,
         if same:
             break
     if stats_out is not None:
-        stats_out["iterations"] = n_rounds
+        stats_out["iterations"] = stats_out.get("iterations", 0) + n_rounds
+        stats_out["star_rounds"] = n_rounds
+        stats_out["algorithm"] = "star"
     # fixpoint edges are (leaf -> root) stars: each node's component is
     # its min neighbor, roots and isolated nodes are their own
     comp = (
@@ -117,12 +127,58 @@ def _star_components(e: DataFrame, max_iterations: int, checkpoint_every: int,
     )
 
 
+AUTO_LABEL_BUDGET = 12  # label supersteps before "auto" concedes to star
+
+
+def _label_components(e: DataFrame, max_iterations: int, checkpoint_every: int,
+                      stats_out: dict | None) -> tuple[DataFrame, bool]:
+    """Min-label propagation loop. Returns (labels, converged)."""
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    converged = False
+    n_iters = 0
+    for it in range(max_iterations):
+        msgs = (
+            labels.join(e, labels.node == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("cand"))
+        )
+        merged = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("cand") < F.col("component")).alias("__improved"),
+            )
+        )
+        merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("__improved")).limit(1).count()
+        labels = merged.drop("__improved")
+        n_iters = it + 1
+        if changed == 0:
+            converged = True
+            break
+        if (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    if stats_out is not None:
+        stats_out["iterations"] = stats_out.get("iterations", 0) + n_iters
+        stats_out["label_supersteps"] = n_iters
+        stats_out["algorithm"] = "label"
+    return labels, converged
+
+
 def connected_components(edges: DataFrame, src_col: str = "src_system_id",
                          dst_col: str = "dst_system_id",
                          driver_threshold: int = DRIVER_MAX_EDGES,
                          max_iterations: int = 100,
                          checkpoint_every: int = 3,
-                         algorithm: str = "label",
+                         algorithm: str = "auto",
                          stats_out: dict | None = None) -> DataFrame:
     """(node, component) where component = min node id in the component.
 
@@ -130,8 +186,8 @@ def connected_components(edges: DataFrame, src_col: str = "src_system_id",
     wormhole is inserted in both directions, database.rs:241-254). For a
     directed input, union the flipped edges first.
 
-    Two distributed forms, identical output:
-    - `algorithm="label"` (default): min-label propagation — label'(v) =
+    Three distributed forms, identical output:
+    - `algorithm="label"`: min-label propagation — label'(v) =
       min(label(v), min over in-edges label(u)) until fixpoint. ONE
       join+agg shuffle per superstep, but O(diameter) supersteps — the
       right trade on low-diameter graphs (social/web cores, the jump
@@ -144,7 +200,24 @@ def connected_components(edges: DataFrame, src_col: str = "src_system_id",
       loop needs ~2k supersteps, star ~a dozen rounds. Superstep COUNT
       is the wall-clock driver at scale (SCALE.md long-diameter stress),
       so pick star whenever the diameter is not known to be small.
+    - `algorithm="auto"` (default): min-label for up to AUTO_LABEL_BUDGET
+      supersteps — the cheap-per-step loop wins outright on the common
+      low-diameter case — then, if not converged, restart as star
+      contraction on the original edges, bounding the whole run at
+      budget + O(log n) rounds on ANY diameter (r6 verdict item 4: a
+      chain-shaped near-dup topology must not drag the dedup pipeline's
+      CC stage into the O(diameter) regime). The budget supersteps are
+      the only waste on the switch; star recomputes from scratch.
+
+    `stats_out`: records total `iterations` (label supersteps + star
+    rounds), `algorithm` actually used last, and the per-form counters
+    `label_supersteps` / `star_rounds`.
     """
+    if algorithm not in ("label", "star", "auto"):
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            "(expected 'label', 'star', or 'auto')"
+        )
     e = _edge_frame(edges, src_col, dst_col)
     spark = edges.sparkSession
     if _fits_driver(e, driver_threshold):
@@ -168,37 +241,14 @@ def connected_components(edges: DataFrame, src_col: str = "src_system_id",
         return spark.createDataFrame(rows, "node long, component long")
 
     if algorithm == "star":
-        return _star_components(e, max_iterations, checkpoint_every, stats_out)
-    labels = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        return _star_components(e, max_iterations, stats_out)
+    label_budget = (
+        min(AUTO_LABEL_BUDGET, max_iterations) if algorithm == "auto" else max_iterations
     )
-    for it in range(max_iterations):
-        msgs = (
-            labels.join(e, labels.node == e.src)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("component").alias("cand"))
-        )
-        merged = (
-            labels.join(msgs, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias(
-                    "component"
-                ),
-                (F.col("cand") < F.col("component")).alias("__improved"),
-            )
-        )
-        merged = merged.localCheckpoint(eager=True)
-        changed = merged.filter(F.col("__improved")).limit(1).count()
-        labels = merged.drop("__improved")
-        if changed == 0:
-            break
-        if (it + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
-    return labels
+    labels, converged = _label_components(e, label_budget, checkpoint_every, stats_out)
+    if converged or algorithm == "label":
+        return labels
+    return _star_components(e, max_iterations, stats_out)
 
 
 # --- PageRank ---------------------------------------------------------------

@@ -114,6 +114,10 @@ def _make_near_dup_fn(threshold: float, state_cap: int, idle_ttl_ms: int):
         if state.exists:
             ids = [int(i) for i in state.get[0]]
             roster = np.array([list(s) for s in state.get[1]], dtype=np.int64)
+            if roster.ndim == 1:
+                # a persisted EMPTY roster restores as shape (0,), not
+                # (0, 0) — normalize or roster.shape[1] below raises
+                roster = roster.reshape(0, 0)
         else:
             ids, roster = [], np.empty((0, 0), dtype=np.int64)
         id_pos = {v: i for i, v in enumerate(ids)}
@@ -148,11 +152,17 @@ def _make_near_dup_fn(threshold: float, state_cap: int, idle_ttl_ms: int):
                         })
                 if did in id_pos:
                     # re-delivered doc_id (micro-batch replay after failure,
-                    # duplicate source rows): refresh the stored signature in
-                    # place — appending would create duplicate roster entries
-                    # that emit duplicate hit rows and evict older distinct
-                    # entries from the capped roster
-                    roster[id_pos[did]] = sig
+                    # duplicate source rows): refresh the stored signature and
+                    # MOVE the entry to the roster end — appending a second
+                    # entry would emit duplicate hit rows, while refreshing in
+                    # place would leave the doc in its old position and let
+                    # the state_cap truncation below evict a just-seen doc as
+                    # if it were the oldest (r6 verdict: cap honors recency)
+                    i = id_pos[did]
+                    ids.pop(i)
+                    ids.append(did)
+                    roster = np.concatenate([roster[:i], roster[i + 1:], sig[None, :]], axis=0)
+                    id_pos = {v: j for j, v in enumerate(ids)}
                 else:
                     id_pos[did] = len(ids)
                     ids.append(did)

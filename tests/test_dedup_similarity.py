@@ -44,11 +44,23 @@ def test_exact_dedup(docs):
 
 def test_exact_dedup_collision_never_merges_distinct(docs):
     # every row forced into ONE digest group: with verify=True a digest
-    # collision degrades to under-merge — distinct texts all survive —
+    # collision changes nothing — distinct texts all survive —
     # while identical texts still collapse to the min id (r5 verdict:
     # the old 64-bit digest silently merged colliding distinct docs).
     kept = exact_dedup(docs, digest=F.lit("collide"), verify=True)
     assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 5}
+
+
+def test_exact_dedup_collision_nonwinner_duplicate_pair_collapses(spark):
+    # ADVICE r6: under the old per-digest-winner re-check, two identical
+    # NON-winner texts sharing a collided digest group both survived
+    # (each differed from the winner's text, so each passed the check).
+    # verify=True must collapse every duplicate pair, winners or not.
+    df = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (6, NEAR), (3, FAR)], "doc_id long, text string"
+    )
+    kept = exact_dedup(df, digest=F.lit("collide"), verify=True)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
 
 
 def test_exact_dedup_default_digest_and_null_text(spark):

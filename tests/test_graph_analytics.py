@@ -245,3 +245,57 @@ def test_star_cc_chain_converges_in_log_rounds(spark):
     }
     assert got == {i: 0 for i in range(n)}
     assert st["iterations"] <= 15, st
+
+
+def test_auto_cc_uses_label_on_low_diameter(spark):
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    st: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e, driver_threshold=0, algorithm="auto", stats_out=st
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert st["algorithm"] == "label"  # converged inside the budget, no switch
+    assert "star_rounds" not in st
+
+
+def test_auto_cc_switches_to_star_on_chain(spark):
+    """r6 verdict item 4: a chain-shaped topology (diameter >> budget) must
+    flip auto to star contraction, bounding the run at
+    AUTO_LABEL_BUDGET + O(log n) rounds instead of O(diameter)."""
+    from eve_graph_spark.operators.graph_analytics import (
+        AUTO_LABEL_BUDGET,
+        connected_components,
+    )
+
+    n = 2000
+    e = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    star_st: dict = {}
+    connected_components(
+        e, driver_threshold=0, algorithm="star", stats_out=star_st
+    ).collect()
+    st: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e, driver_threshold=0, algorithm="auto", stats_out=st
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert st["algorithm"] == "star"
+    assert st["label_supersteps"] == AUTO_LABEL_BUDGET
+    assert st["iterations"] <= 2 * star_st["iterations"] + AUTO_LABEL_BUDGET, st
+
+
+def test_cc_rejects_unknown_algorithm(spark):
+    import pytest
+
+    from eve_graph_spark.operators.graph_analytics import connected_components
+
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(e, algorithm="Star")

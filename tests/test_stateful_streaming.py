@@ -9,10 +9,19 @@ from pyspark.sql import functions as F
 
 
 def _stream_dir(tmp_path, name, batches):
+    import os
+    import time
+
     p = tmp_path / name
     p.mkdir()
+    base = time.time() - len(batches)
     for i, rows in enumerate(batches):
-        (p / f"b{i}.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+        f = p / f"b{i}.jsonl"
+        f.write_text("\n".join(json.dumps(r) for r in rows))
+        # FileStreamSource orders files by MODIFICATION TIME, not name:
+        # files written within the same ms get processed in arbitrary
+        # order, so pin strictly increasing mtimes for batch determinism
+        os.utime(f, (base + i, base + i))
     return str(p)
 
 
@@ -136,3 +145,53 @@ def test_near_dup_stream_redelivery_keeps_single_roster_entry(spark, tmp_path):
         assert (r["doc_id"], r["matched_doc_id"]) == (2, 1)
         per_band[r["band"]] = per_band.get(r["band"], 0) + 1
     assert per_band and all(n == 1 for n in per_band.values()), per_band
+
+
+def test_near_dup_stream_redelivery_refreshes_roster_recency(spark, tmp_path):
+    """r6 verdict item 5: a refreshed doc_id moves to the roster END, so
+    the state_cap truncation (keep newest) honors recency — a just-seen
+    doc must not be evicted as if it were the oldest entry."""
+    from eve_graph_spark.streaming.stateful import near_dup_hits_stream
+
+    text_a = "the quick brown fox jumps over the lazy dog and runs far away"
+    b0 = [{"doc_id": 1, "text": text_a}, {"doc_id": 2, "text": text_a}]
+    b1 = [{"doc_id": 1, "text": text_a}]  # refresh 1: roster order -> [2, 1]
+    b2 = [{"doc_id": 3, "text": text_a}]  # cap 2 evicts the OLDEST -> [1, 3]
+    b3 = [{"doc_id": 4, "text": text_a}]  # probes the surviving roster
+    path = _stream_dir(tmp_path, "docs_recency", [b0, b1, b2, b3])
+    raw = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(path)
+    _run(near_dup_hits_stream(raw, threshold=0.5, state_cap=2), "near_recency",
+         tmp_path, mode="append")
+    rows = spark.sql("SELECT * FROM near_recency").collect()
+    probe_hits = {r["matched_doc_id"] for r in rows if r["doc_id"] == 4}
+    # refreshed doc 1 survived the cap; stale doc 2 was the one evicted
+    # (the old refresh-in-place form kept 1 at position 0 and evicted it)
+    assert probe_hits == {1, 3}, probe_hits
+
+
+def test_near_dup_state_fn_restores_empty_roster(spark):
+    """ADVICE r6: a persisted EMPTY roster restores as a 1-D (0,) array;
+    the state fn must normalize it to 2-D before roster.shape[1]."""
+    import pandas as pd
+
+    from eve_graph_spark.streaming.stateful import _make_near_dup_fn
+
+    class FakeState:
+        exists = True
+        hasTimedOut = False
+        get = ([], [])
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = _make_near_dup_fn(threshold=0.5, state_cap=4, idle_ttl_ms=1000)
+    batch = pd.DataFrame({"doc_id": [7], "__sig": [[1, 2, 3, 4, 5, 6, 7, 8]]})
+    st = FakeState()
+    out = list(fn((0, 0), iter([batch]), st))
+    assert len(out) == 1 and len(out[0]) == 0  # nothing to match against
+    assert st.updated[0] == [7]  # doc entered the roster without raising
