@@ -52,7 +52,10 @@ class GraphEngine:
     def _route(self, projection: str, from_name: str, to_name: str) -> list[str]:
         src, dst = self._resolve(from_name), self._resolve(to_name)
         edges = self.registry.get(projection)
-        dist = sssp(edges, [src])
+        # target-pruned: GDS Dijkstra stops at targetNode
+        # (database.rs:484-513); the early exit keeps a route request from
+        # relaxing the whole graph above the driver threshold
+        dist = sssp(edges, [src], target_id=dst)
         path = reconstruct_path(dist, dst)
         if not path:
             raise RouteNotFound("route not found")

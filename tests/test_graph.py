@@ -230,6 +230,86 @@ def test_fits_driver_probe_is_memoized(spark, sf_dir):
     assert after_ids == mid_ids
 
 
+def test_sssp_target_early_exit_distributed_chain(spark):
+    """r6 verdict item 1: with a target at layer 10 of a long chain, the
+    distributed loop must stop ~when the target settles, not relax the
+    whole graph — and the path entries must be the full run's values."""
+    n, target = 60, 10
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+    )
+    st: dict = {}
+    dist = sssp(e, [0], driver_threshold=0, target_id=target, stats_out=st)
+    rows = {r["node"]: (r["dist"], r["pred"]) for r in dist.collect()}
+    assert st["early_exit"] is True
+    assert st["iterations"] <= target + 2  # ~11 supersteps, not 60
+    assert reconstruct_path(dist, target) == list(range(target + 1))
+    for i in range(target + 1):
+        assert rows[i] == (float(i), None if i == 0 else i - 1)
+
+
+def test_sssp_target_early_exit_branchy_parity(spark, fixture_edges):
+    """On the branchy risk fixture the target-pruned distributed run must
+    agree with the full distributed run on every entry with
+    dist <= dist(target) — the contract reconstruct_path depends on."""
+    jumps, _ = fixture_edges
+    full = {
+        r["node"]: (r["dist"], r["pred"])
+        for r in sssp(jumps, [0], weight_col="risk", src_col="src_system_id",
+                      dst_col="dst_system_id", driver_threshold=0).collect()
+    }
+    st: dict = {}
+    pruned_df = sssp(jumps, [0], weight_col="risk", src_col="src_system_id",
+                     dst_col="dst_system_id", driver_threshold=0,
+                     target_id=13, stats_out=st)
+    pruned = {r["node"]: (r["dist"], r["pred"]) for r in pruned_df.collect()}
+    d13 = full[13][0]
+    for node, (d, p) in full.items():
+        if d <= d13:
+            assert pruned[node] == (d, p), node
+    assert reconstruct_path(pruned_df, 13) == reconstruct_path(
+        sssp(jumps, [0], weight_col="risk", src_col="src_system_id",
+             dst_col="dst_system_id", driver_threshold=0), 13
+    )
+
+
+def test_sssp_target_early_exit_driver_path(spark, fixture_edges):
+    jumps, _ = fixture_edges
+    full = {
+        r["node"]: (r["dist"], r["pred"])
+        for r in sssp(jumps, [0], weight_col="risk", src_col="src_system_id",
+                      dst_col="dst_system_id").collect()
+    }
+    pruned = {
+        r["node"]: (r["dist"], r["pred"])
+        for r in sssp(jumps, [0], weight_col="risk", src_col="src_system_id",
+                      dst_col="dst_system_id", target_id=13).collect()
+    }
+    d13 = full[13][0]
+    for node, (d, p) in full.items():
+        if d <= d13:
+            assert pruned[node] == (d, p), node
+
+
+def test_sssp_target_edge_cases(spark):
+    # target == source: exits after one round, path is the single node
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    st: dict = {}
+    dist = sssp(e, [0], driver_threshold=0, target_id=0, stats_out=st)
+    assert st["early_exit"] and st["iterations"] == 1
+    assert reconstruct_path(dist, 0) == [0]
+    # unreachable target: no early exit, loop drains normally, empty path
+    e2 = spark.createDataFrame(
+        [(0, 1, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    st2: dict = {}
+    dist2 = sssp(e2, [0], driver_threshold=0, target_id=3, stats_out=st2)
+    assert st2["early_exit"] is False
+    assert reconstruct_path(dist2, 3) == []
+
+
 def test_multi_source_sssp_dedups_repeated_sources(spark, fixture_edges):
     from eve_graph_spark.operators.graph import multi_source_sssp
 
