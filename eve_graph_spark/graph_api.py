@@ -55,15 +55,17 @@ class PropertyGraph:
     def shortestPaths(self, landmarks: list[int], weight_col: str | None = None) -> DataFrame:  # noqa: N802
         """Distances from every landmark: (id, distances map<landmark,dist>).
         Unweighted (cost=1) when `weight_col` is None, like GraphFrames;
-        weighted via the engine's SSSP otherwise (which GraphFrames lacks)."""
+        weighted via the engine's SSSP otherwise (which GraphFrames lacks).
+        All landmarks run as ONE (source, node)-keyed frontier loop
+        (multi_source_sssp): O(max diameter) supersteps total, not
+        len(landmarks) sequential sweeps."""
+        from eve_graph_spark.operators.graph import multi_source_sssp
+
         e = self.edges.withColumn("__w", F.lit(1.0) if weight_col is None else F.col(weight_col))
-        per_lm = None
-        for lm in landmarks:
-            d = sssp(e, [lm], weight_col="__w", src_col="src", dst_col="dst").select(
-                F.col("node").alias("id"), F.lit(lm).alias("lm"), "dist"
-            )
-            per_lm = d if per_lm is None else per_lm.unionByName(d)
-        return per_lm.groupBy("id").agg(
+        d = multi_source_sssp(
+            e, list(landmarks), weight_col="__w", src_col="src", dst_col="dst"
+        ).select(F.col("node").alias("id"), F.col("source").alias("lm"), "dist")
+        return d.groupBy("id").agg(
             F.map_from_entries(F.collect_list(F.struct("lm", "dist"))).alias("distances")
         )
 
@@ -95,22 +97,29 @@ class PropertyGraph:
         from eve_graph_spark.operators.graph import reconstruct_path
 
         e = self.edges.withColumn("__w", F.lit(1.0))
-        dist = sssp(e, [from_id], weight_col="__w", src_col="src", dst_col="dst")
+        # target-pruned: the frontier loop stops once to_id settles
+        dist = sssp(e, [from_id], weight_col="__w", src_col="src", dst_col="dst",
+                    target_id=to_id)
         return reconstruct_path(dist, to_id)
 
-    def betweennessCentrality(self, sampleSources: int | None = None) -> DataFrame:  # noqa: N802,N803
+    def betweennessCentrality(self, sampleSources: int | None = None,  # noqa: N802,N803
+                              weightCol: str | None = None) -> DataFrame:  # noqa: N803
         """(id, betweenness) — Brandes over ordered pairs; pass
-        sampleSources=k for the source-sampled estimator at scale
+        sampleSources=k for the source-sampled estimator at scale,
+        weightCol for weighted (Dijkstra-Brandes) betweenness
         (graph_analytics.betweenness_centrality semantics)."""
         from eve_graph_spark.operators.graph_analytics import betweenness_centrality
 
         return betweenness_centrality(
-            self.edges, src_col="src", dst_col="dst", sample_sources=sampleSources
+            self.edges, src_col="src", dst_col="dst", sample_sources=sampleSources,
+            weight_col=weightCol,
         ).select(F.col("node").alias("id"), "betweenness")
 
-    def closenessCentrality(self, landmarks: int | None = None) -> DataFrame:  # noqa: N802
+    def closenessCentrality(self, landmarks: int | None = None,  # noqa: N802
+                            weightCol: str | None = None) -> DataFrame:  # noqa: N803
         from eve_graph_spark.operators.graph_analytics import closeness_centrality
 
         return closeness_centrality(
-            self.edges, src_col="src", dst_col="dst", landmarks=landmarks
+            self.edges, src_col="src", dst_col="dst", landmarks=landmarks,
+            weight_col=weightCol,
         ).select(F.col("node").alias("id"), "closeness")

@@ -331,10 +331,23 @@ def closeness_centrality(edges: DataFrame, src_col: str = "src_system_id",
                          dst_col: str = "dst_system_id",
                          driver_threshold: int = DRIVER_MAX_EDGES,
                          landmarks: int | None = None,
-                         exact: bool = False) -> DataFrame:
+                         exact: bool = False,
+                         weight_col: str | None = None) -> DataFrame:
     """(node, closeness) with closeness = (reached-1) / Σ hop-dist — exact
     all-pairs BFS on the driver below the edge threshold (the graph that
     fits on the driver is the only one where exact all-pairs is sane).
+
+    `weight_col` switches the distance to WEIGHTED shortest paths (GDS
+    closeness relationshipWeightProperty parity, r6 verdict item 3) —
+    every mode (exact driver, landmarks, exact=True) goes through the
+    same `graph.multi_source_sssp` loop with that weight. Because the
+    per-pair dists are then floats, Σ dist is made order-independent by
+    fixed-pointing each dist to integer micro-units before the sum
+    (floor(d*1e6 + 0.5), the _dsum device): the dist values themselves
+    are engine-exact min-plus fixpoints, so the quantized sum — and
+    hence the closeness — is reproducible bit-for-bit across engines
+    and run orders. closeness = (reached-1) / (Σfp / 1e6) with two IEEE
+    double ops over identical operands.
 
     At scale, exact all-pairs is O(V) SSSP runs — pass `landmarks=k` to
     approximate with k hash-chosen pivot sources instead (the standard
@@ -352,6 +365,38 @@ def closeness_centrality(edges: DataFrame, src_col: str = "src_system_id",
     """
     e = _edge_frame(edges, src_col, dst_col)
     spark = e.sparkSession
+    if weight_col is not None:
+        ew = _weighted_edge_frame(edges, src_col, dst_col, weight_col)
+        if landmarks is None and not exact and not _fits_driver(ew, driver_threshold):
+            raise ValueError(
+                "closeness_centrality: graph exceeds the driver threshold and no "
+                "landmarks were given — exact all-pairs closeness is O(V) pivots "
+                "with O(V^2) frontier state. Pass landmarks=k for the standard "
+                "approximation, or exact=True to opt into the full computation."
+            )
+        sources = (
+            ew.select(F.col("src").alias("node"))
+            .union(ew.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        if landmarks:
+            sources = sources.orderBy(F.xxhash64("node")).limit(landmarks)
+        pivot_ids = [r["node"] for r in sources.collect()]
+        d = multi_source_sssp(
+            ew, pivot_ids, weight_col="w", src_col="src", dst_col="dst",
+            driver_threshold=driver_threshold,
+        ).select("node", "dist")
+        fp = F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        sum_fp = F.sum(fp)
+        return d.groupBy("node").agg(
+            F.when(
+                sum_fp > 0,
+                (F.count(F.lit(1)) - 1).cast("double")
+                / (sum_fp.cast("double") / F.lit(1000000.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness")
+        )
     if landmarks is None and _fits_driver(e, driver_threshold):
         adj: dict[int, list[int]] = {}
         nodes: set[int] = set()
@@ -911,6 +956,226 @@ def bfs_sigma(edges: DataFrame, source_ids: list[int] | None,
     return visited
 
 
+def _weighted_edge_frame(edges: DataFrame, src_col: str, dst_col: str,
+                         weight_col: str) -> DataFrame:
+    return edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+
+
+def _dijkstra_sigma_local_one(adj: dict[int, list[tuple[int, float]]], s: int):
+    """Per-source Dijkstra with path counting, DAG preds, and longest-path
+    depth — the driver kernel shared by dijkstra_sigma and weighted
+    Brandes. Returns (dist, sigma, preds, depth) dicts."""
+    import heapq
+
+    dist = {s: 0.0}
+    sigma = {s: 1.0}
+    preds: dict[int, list[int]] = {}
+    pq = [(0.0, s)]
+    settled: set[int] = set()
+    while pq:
+        d, u = heapq.heappop(pq)
+        if u in settled or d > dist[u]:
+            continue
+        settled.add(u)
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if v not in dist or nd < dist[v]:
+                dist[v], sigma[v], preds[v] = nd, sigma[u], [u]
+                heapq.heappush(pq, (nd, v))
+            elif nd == dist[v]:
+                # u settles before v (w > 0), so v's sigma is still open
+                sigma[v] += sigma[u]
+                preds[v].append(u)
+    depth = {}
+    for v in sorted(dist, key=lambda n: (dist[n], n)):
+        depth[v] = 0 if v == s else 1 + max(depth[u] for u in preds[v])
+    return dist, sigma, preds, depth
+
+
+def dijkstra_sigma(edges: DataFrame, source_ids: list[int] | None,
+                   weight_col: str,
+                   src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+                   max_iterations: int = 200, checkpoint_every: int = 5,
+                   driver_threshold: int = DRIVER_MAX_EDGES,
+                   stats_out: dict | None = None) -> DataFrame:
+    """(source, node, dist, sigma, depth): WEIGHTED shortest-path distance,
+    shortest-path COUNT, and shortest-path-DAG longest-path depth per
+    source — the forward pass of weighted (Dijkstra-)Brandes betweenness,
+    the weighted analogue of `bfs_sigma` (r6 verdict item 3: GDS
+    betweenness accepts relationshipWeightProperty).
+
+    Weights must be STRICTLY positive (true for cost ≡ 1 and risk >
+    baseline > 0): w > 0 makes the shortest-path DAG edges strictly
+    dist-increasing, so DAG preds always settle first (sigma sums close)
+    and the longest-path `depth` layering is well-defined — it is the
+    superstep schedule the backward dependency pass processes in
+    descending order (with real-valued dists there are no integer BFS
+    levels to iterate over; longest-path depth is the standard
+    replacement and is bounded by the unweighted diameter).
+
+    Distributed shape: ONE weighted multi-source frontier loop for dists
+    (graph.multi_source_sssp), then the per-source shortest-path DAG as a
+    single dist-join (dist(u) + w == dist(v), exact float equality —
+    both sides are the same IEEE min-plus sums by construction), then
+    depth and sigma each as an O(max depth)-superstep propagation loop.
+    All state is (source, node)-keyed; supersteps are bounded by the max
+    DAG depth, independent of the source count.
+
+    sigma is a double holding an exact integer (same rationale as
+    bfs_sigma). Driver fast path below the edge threshold: per-source
+    heap Dijkstra, identical sums, bit-identical output.
+    """
+    spark = edges.sparkSession
+    if source_ids is not None:
+        source_ids = list(dict.fromkeys(source_ids))
+    ew = _weighted_edge_frame(edges, src_col, dst_col, weight_col)
+    out_schema = "source long, node long, dist double, sigma double, depth int"
+    if _fits_driver(ew, driver_threshold):
+        adj: dict[int, list[tuple[int, float]]] = {}
+        nodes: set[int] = set()
+        for r in ew.collect():
+            adj.setdefault(r["src"], []).append((r["dst"], r["w"]))
+            nodes.update((r["src"], r["dst"]))
+        if source_ids is None:
+            source_ids = sorted(nodes)
+        rows = []
+        for s in source_ids:
+            dist, sigma, _, depth = _dijkstra_sigma_local_one(adj, int(s))
+            rows.extend(
+                (int(s), int(n), float(d), float(sigma[n]), int(depth[n]))
+                for n, d in dist.items()
+            )
+        return spark.createDataFrame(rows, out_schema)
+
+    if source_ids is None:
+        raise ValueError(
+            "dijkstra_sigma: source_ids=None (all nodes) above the driver "
+            "threshold is O(V) sources with O(V^2) state — pass an explicit "
+            "sampled source list (betweenness_centrality(sample_sources=k, "
+            "weight_col=...) does) or raise driver_threshold knowingly."
+        )
+    from eve_graph_spark.operators.graph import multi_source_sssp
+
+    d = multi_source_sssp(
+        ew, source_ids, weight_col="w", src_col="src", dst_col="dst",
+        max_iterations=max_iterations, checkpoint_every=checkpoint_every,
+        driver_threshold=0, stats_out=stats_out,
+    ).select("source", "node", "dist")
+    d = d.localCheckpoint(eager=True)
+
+    # per-source shortest-path DAG: edge (u, v) is on a shortest path from
+    # `source` iff dist(u) + w == dist(v) — exact equality, see docstring
+    du = d.select("source", F.col("node").alias("src"), F.col("dist").alias("__du"))
+    dv = d.select("source", F.col("node").alias("dst"), F.col("dist").alias("__dv"))
+    # dag columns carry reserved names (__gs/__gu/__gv) so joins against
+    # frames derived from the same dist lineage never collapse into
+    # trivially-true self-comparisons
+    dag = (
+        ew.join(du, "src")
+        .join(dv, ["source", "dst"])
+        .filter(F.col("__du") + F.col("w") == F.col("__dv"))
+        .select(
+            F.col("source").alias("__gs"),
+            F.col("src").alias("__gu"),
+            F.col("dst").alias("__gv"),
+        )
+    )
+    dag = dag.localCheckpoint(eager=True)
+
+    # longest-path depth: max-propagation to fixpoint, O(max depth) rounds
+    depth = d.filter(F.col("dist") == 0.0).select(
+        "source", "node", F.lit(0).alias("depth")
+    )
+    n_depth_iters = 0
+    for it in range(max_iterations):
+        cand = (
+            depth.join(dag, (F.col("source") == F.col("__gs")) & (F.col("node") == F.col("__gu")))
+            .select(F.col("__gs").alias("source"), F.col("__gv").alias("node"),
+                    (F.col("depth") + 1).alias("cand"))
+            .groupBy("source", "node")
+            .agg(F.max("cand").alias("cand"))
+        )
+        merged = (
+            cand.join(depth.select(F.col("source").alias("__os"), F.col("node").alias("__on"),
+                                   F.col("depth").alias("__old")),
+                      (F.col("source") == F.col("__os")) & (F.col("node") == F.col("__on")),
+                      "left")
+            .filter(F.col("__old").isNull() | (F.col("cand") > F.col("__old")))
+            .select("source", "node", F.col("cand").alias("depth"))
+        )
+        merged = merged.localCheckpoint(eager=True)
+        n_depth_iters = it + 1
+        if merged.limit(1).count() == 0:
+            break
+        keys = merged.select(F.col("source").alias("__s"), F.col("node").alias("__n"))
+        depth = (
+            depth.join(keys, (depth.source == F.col("__s")) & (depth.node == F.col("__n")),
+                       "left_anti")
+            .unionByName(merged)
+        )
+        depth = depth.localCheckpoint(eager=True)
+    if stats_out is not None:
+        stats_out["depth_iterations"] = n_depth_iters
+    max_depth = depth.agg(F.max("depth").alias("m")).collect()[0]["m"] or 0
+
+    # sigma: process depth levels ascending — every DAG pred of a level-L
+    # node sits at a strictly smaller depth, so its sigma is final
+    sigma = depth.filter(F.col("depth") == 0).select(
+        "source", "node", F.lit(1.0).alias("sigma")
+    )
+    for level in range(1, max_depth + 1):
+        lvl_nodes = depth.filter(F.col("depth") == level).select("source", "node")
+        contrib = (
+            sigma.join(dag, (F.col("source") == F.col("__gs")) & (F.col("node") == F.col("__gu")))
+            .select(F.col("__gs").alias("source"), F.col("__gv").alias("node"), "sigma")
+            .join(lvl_nodes, ["source", "node"], "left_semi")
+            .groupBy("source", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        sigma = sigma.unionByName(contrib)
+        if level % checkpoint_every == 0:
+            sigma = sigma.localCheckpoint(eager=True)
+    out = (
+        d.join(depth, ["source", "node"])
+        .join(sigma, ["source", "node"])
+        .select("source", "node", "dist", "sigma", F.col("depth").cast("int").alias("depth"))
+    )
+    if stats_out is not None:
+        stats_out["max_depth"] = int(max_depth)
+    return out
+
+
+def _weighted_brandes_local(ew: DataFrame, source_ids: list[int],
+                            scale: float) -> DataFrame:
+    """Driver fast path for weighted betweenness — textbook
+    Dijkstra-Brandes over the collected edge list; per-node delta sums in
+    a CANONICAL order ((dist, node) descending), same float caveat as
+    `_brandes_local`."""
+    spark = ew.sparkSession
+    adj: dict[int, list[tuple[int, float]]] = {}
+    nodes: set[int] = set()
+    for r in ew.collect():
+        adj.setdefault(r["src"], []).append((r["dst"], r["w"]))
+        nodes.update((r["src"], r["dst"]))
+    bet = {v: 0.0 for v in nodes}
+    for s in source_ids:
+        dist, sigma, preds, _ = _dijkstra_sigma_local_one(adj, int(s))
+        delta = {v: 0.0 for v in dist}
+        for w in sorted(dist, key=lambda n: (-dist[n], -n)):
+            for u in preds.get(w, ()):
+                delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+        for v, dl in delta.items():
+            if v != s:
+                bet[v] += dl * scale
+    return spark.createDataFrame(
+        sorted(bet.items()), "node long, betweenness double"
+    )
+
+
 def _brandes_local(e: DataFrame, source_ids: list[int], scale: float) -> DataFrame:
     """Driver fast path — textbook Brandes over the collected edge list
     (forward BFS with sigma, backward dependency accumulation in
@@ -961,17 +1226,102 @@ def _brandes_local(e: DataFrame, source_ids: list[int], scale: float) -> DataFra
     )
 
 
+def _weighted_betweenness_distributed(ew: DataFrame, source_ids: list[int],
+                                      scale: float, all_nodes: DataFrame,
+                                      checkpoint_every: int) -> DataFrame:
+    """Distributed weighted Brandes backward pass: dependency accumulation
+    over the shortest-path DAG by longest-path depth descending. A
+    depth-L node's dependents sit at depths > L (DAG edges strictly
+    increase depth), all processed in earlier rounds — so its delta is
+    the aggregate of every partial contribution accumulated so far
+    (unlike the unweighted pass, one level does NOT mean one row)."""
+    vs = dijkstra_sigma(
+        ew, source_ids, weight_col="w", src_col="src", dst_col="dst",
+        driver_threshold=0, checkpoint_every=checkpoint_every,
+    )
+    vs = vs.localCheckpoint(eager=True)
+    du = vs.select("source", F.col("node").alias("src"), F.col("dist").alias("__du"))
+    dv = vs.select("source", F.col("node").alias("dst"), F.col("dist").alias("__dv"))
+    # reserved dag names — see dijkstra_sigma: joins against same-lineage
+    # frames must not collapse into trivially-true self-comparisons
+    dag = (
+        ew.join(du, "src")
+        .join(dv, ["source", "dst"])
+        .filter(F.col("__du") + F.col("w") == F.col("__dv"))
+        .select(
+            F.col("source").alias("__gs"),
+            F.col("src").alias("__gu"),
+            F.col("dst").alias("__gv"),
+        )
+    )
+    dag = dag.localCheckpoint(eager=True)
+    max_depth = vs.agg(F.max("depth").alias("m")).collect()[0]["m"] or 0
+    u_sigma = vs.select("source", F.col("node").alias("node"), F.col("sigma").alias("sigma_u"))
+    acc: DataFrame | None = None
+    for level in range(max_depth, 0, -1):
+        w_rows = vs.filter(F.col("depth") == level).select(
+            "source", F.col("node").alias("wn"), F.col("sigma").alias("sigma_w")
+        )
+        if acc is not None:
+            delta_agg = acc.groupBy("source", "node").agg(F.sum("delta").alias("__dw")).select(
+                F.col("source").alias("__ds"), F.col("node").alias("__dn"), "__dw"
+            )
+            w_rows = w_rows.join(
+                delta_agg,
+                (w_rows["source"] == F.col("__ds")) & (w_rows["wn"] == F.col("__dn")),
+                "left",
+            ).select("source", "wn", "sigma_w", F.coalesce("__dw", F.lit(0.0)).alias("delta_w"))
+        else:
+            w_rows = w_rows.withColumn("delta_w", F.lit(0.0))
+        contribs = (
+            w_rows.join(dag, (F.col("source") == F.col("__gs")) & (F.col("wn") == F.col("__gv")))
+            .select("source", F.col("__gu").alias("node"), "sigma_w", "delta_w")
+            .join(u_sigma, ["source", "node"])
+            .groupBy("source", "node")
+            .agg(
+                F.sum(
+                    F.col("sigma_u") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("delta")
+            )
+        )
+        contribs = contribs.localCheckpoint(eager=True)
+        acc = contribs if acc is None else acc.unionByName(contribs)
+        if (max_depth - level + 1) % checkpoint_every == 0:
+            acc = acc.localCheckpoint(eager=True)
+    if acc is None:
+        return all_nodes.select("node", F.lit(0.0).alias("betweenness"))
+    per_source = acc.groupBy("source", "node").agg(F.sum("delta").alias("delta"))
+    return (
+        per_source.filter(F.col("source") != F.col("node"))
+        .groupBy("node")
+        .agg((F.sum("delta") * F.lit(float(scale))).alias("betweenness"))
+        .join(all_nodes, "node", "right")
+        .select("node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
+    )
+
+
 def betweenness_centrality(edges: DataFrame, src_col: str = "src_system_id",
                            dst_col: str = "dst_system_id",
                            sample_sources: int | None = None,
                            driver_threshold: int = DRIVER_MAX_EDGES,
                            exact: bool = False,
-                           checkpoint_every: int = 5) -> DataFrame:
+                           checkpoint_every: int = 5,
+                           weight_col: str | None = None) -> DataFrame:
     """(node, betweenness) over ordered (s, t) pairs — Brandes: forward
     multi-source BFS-with-sigma, then backward dependency accumulation
     level by level. On a symmetric edge set this is 2x the undirected
     textbook value (each unordered pair counted both ways); documented
     rather than halved so directed inputs need no special case.
+
+    `weight_col` switches to WEIGHTED betweenness (GDS
+    relationshipWeightProperty parity, r6 verdict item 3): shortest paths
+    by summed edge weight (strictly positive — see dijkstra_sigma),
+    Dijkstra-Brandes on the driver path, and the distributed form runs
+    `dijkstra_sigma` forward then the dependency pass over the
+    shortest-path DAG by longest-path depth descending — dependents span
+    multiple depth levels in a weighted DAG, so each level aggregates its
+    accumulated partial deltas before emitting (unlike the unweighted
+    pass, where a BFS level's dependents all sit exactly one level up).
 
     Scale shape: `sample_sources=k` runs the standard source-sampled
     estimator (Brandes-Pich): k hash-chosen sources, result scaled by
@@ -985,9 +1335,9 @@ def betweenness_centrality(edges: DataFrame, src_col: str = "src_system_id",
     unlike pagerank/closeness the accumulated sums cannot be
     fixed-pointed without changing the result; driver and distributed
     paths agree to float rounding, not bit-for-bit. The oracle-checked
-    registered query (queries.py betweenness_centrality) instead uses
-    the pair formula with fixed-point TERMS, which IS order-independent
-    and engine-exact.
+    registered queries (queries.py betweenness_centrality /
+    betweenness_weighted) instead use the pair formula with fixed-point
+    TERMS, which IS order-independent and engine-exact.
     """
     spark = edges.sparkSession
     e = _edge_frame(edges, src_col, dst_col)
@@ -1012,6 +1362,13 @@ def betweenness_centrality(edges: DataFrame, src_col: str = "src_system_id",
             )
         source_ids = [r["node"] for r in all_nodes.collect()]
         scale = 1.0
+    if weight_col is not None:
+        ew = _weighted_edge_frame(edges, src_col, dst_col, weight_col)
+        if _fits_driver(ew, driver_threshold):
+            return _weighted_brandes_local(ew, source_ids, scale)
+        return _weighted_betweenness_distributed(
+            ew, source_ids, scale, all_nodes, checkpoint_every
+        )
     if _fits_driver(e, driver_threshold):
         return _brandes_local(e, source_ids, scale)
 

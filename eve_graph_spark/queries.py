@@ -98,21 +98,12 @@ def _correctness_tiers(root=None) -> dict[str, int]:
 # into the driver window right after the never-checked tier, so changed code
 # is always externally re-verified in the round it changes (ADVICE r2).
 _MODIFIED_THIS_ROUND = {
-    # r5: first-ever oracles for the two last rows-only queries
-    "sketches",
-    "safest_route_path",
-    # r5: NULL-embedding guards made symmetric with the oracle
-    "hard_negatives_topk",
-    "semantic_bucket_dedup",
-    # r5: persist() -> localCheckpoint() plan change under the
-    # distributed-rank trio
-    "token_budget_sample",
-    "quality_deciles",
-    "customer_spend_quartiles",
-    # r5: first-ever oracles for the two approximate-ANN queries
-    # (bit-reproducible fixed-point LSH; IVF recall-bound harness)
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    # r7: CC algorithm selection default moved to "auto" (driver-path
+    # results identical; forced back into the window as a safety check
+    # on every query whose pipeline embeds a CC stage)
+    "connected_components",
+    "dedup_pipeline_documents",
+    "dedup_survivors_quality",
 }
 
 
@@ -1048,6 +1039,165 @@ def betweenness_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "betweenness"
         ),
     )
+
+
+def _weighted_betweenness_unrolled_sql(hops: int = 24) -> str:
+    """DuckDB replay of WEIGHTED betweenness via the pair formula over
+    weighted walk enumeration: vw{i}(s, v, wsum, cnt) counts i-hop walks
+    by total weight; dist(s,v) = MIN wsum over every hop count, sigma =
+    the count at that wsum summed across hop counts (each walk appears in
+    exactly one vw{i}; positive weights make every min-weight walk a
+    simple path, so minimal walks == shortest paths and counts match —
+    hop counts CAN differ among equal-weight shortest paths, hence the
+    cross-i sum). Weights are the sssp_weighted fixture's
+    (kills² % 7 + 1) integers, so wsum/d are exact in BIGINTs and the
+    pair-formula terms are fixed-pointed exactly like the hop version.
+    `hops`=24 covers all simple paths on the 25-node fixture."""
+    steps = [
+        ", vw_edges AS MATERIALIZED (SELECT e.src_system_id AS src, "
+        "e.dst_system_id AS dst, CAST((s.kills * s.kills) % 7 + 1 AS BIGINT) AS w "
+        "FROM fix_edges_base e JOIN fix_systems s ON s.system_id = e.dst_system_id)",
+        ", vw_nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM vw_edges)",
+        ", vw0 AS MATERIALIZED (SELECT node AS s, node AS v, CAST(0 AS BIGINT) AS wsum, "
+        "CAST(1 AS DOUBLE) AS cnt FROM vw_nodes)",
+    ]
+    for i in range(1, hops + 1):
+        steps.append(
+            f", vw{i} AS MATERIALIZED (SELECT w.s, e.dst AS v, w.wsum + e.w AS wsum, "
+            f"SUM(w.cnt) AS cnt FROM vw{i - 1} w JOIN vw_edges e ON e.src = w.v "
+            f"GROUP BY w.s, e.dst, w.wsum + e.w)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, v, wsum, cnt FROM vw{i}" for i in range(hops + 1)
+    )
+    steps.append(f"""
+    , vwall AS MATERIALIZED (
+        SELECT s, v, wsum, SUM(cnt) AS cnt FROM ({union}) GROUP BY s, v, wsum
+    )
+    , vwd AS MATERIALIZED (SELECT s, v, MIN(wsum) AS d FROM vwall GROUP BY s, v)
+    , vwsig AS MATERIALIZED (
+        SELECT a.s, a.v, ds.d, a.cnt AS sigma
+        FROM vwall a JOIN vwd ds ON a.s = ds.s AND a.v = ds.v AND a.wsum = ds.d
+    )
+    SELECT n.node,
+           COALESCE(CAST(t.fp AS DOUBLE) / 1000000.0, 0.0) AS betweenness
+    FROM vw_nodes n LEFT JOIN (
+        SELECT sv.v AS node,
+               SUM(CAST(FLOOR(sv.sigma * vt.sigma / st.sigma * 1000000 + 0.5)
+                   AS BIGINT)) AS fp
+        FROM vwsig sv
+        JOIN vwsig vt ON vt.s = sv.v
+        JOIN vwsig st ON st.s = sv.s AND st.v = vt.v
+        WHERE sv.d + vt.d = st.d AND sv.s <> sv.v AND vt.s <> vt.v
+        GROUP BY sv.v
+    ) t ON t.node = n.node""")
+    return _graph_cte("".join(steps))
+
+
+@register("betweenness_weighted", _weighted_betweenness_unrolled_sql(24))
+def betweenness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WEIGHTED betweenness (GDS relationshipWeightProperty parity, r6
+    # verdict item 3) via the pair formula over dijkstra_sigma's
+    # (dist, sigma) table — same fixed-point-terms device as the hop
+    # version, same integer (kills² % 7 + 1) weights as sssp_weighted so
+    # dist equalities are exact in doubles. The Brandes-accumulation
+    # OPERATOR (betweenness_centrality(weight_col=...), with the
+    # Dijkstra-Brandes driver path and the depth-layered distributed
+    # backward pass) cannot be fixed-pointed and is pinned against an
+    # independent Floyd-Warshall pair-formula oracle in
+    # tests/test_weighted_centrality.py instead.
+    from eve_graph_spark.operators.graph_analytics import dijkstra_sigma
+
+    systems = build_systems(spark, sf_dir)
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    wedges = jumps.join(
+        F.broadcast(systems.select(F.col("system_id").alias("dst_system_id"),
+                                   ((F.col("kills") * F.col("kills")) % 7 + 1)
+                                   .cast("long").alias("w"))),
+        "dst_system_id",
+    ).select(F.col("src_system_id").alias("src"), F.col("dst_system_id").alias("dst"), "w")
+    # sources=None: all-pairs driver path (25-node fixture at every SF);
+    # one eager localCheckpoint turns the four pair-join scans JVM-side
+    # (same rationale as betweenness_centrality)
+    vs = dijkstra_sigma(wedges, None, weight_col="w",
+                        src_col="src", dst_col="dst").localCheckpoint(eager=True)
+    nodes = vs.filter(F.col("dist") == 0).select("node")
+    sv = vs.select(
+        F.col("source").alias("s"), F.col("node").alias("v"),
+        F.col("dist").alias("d_sv"), F.col("sigma").alias("sig_sv"),
+    )
+    vt = vs.select(
+        F.col("source").alias("v2"), F.col("node").alias("t"),
+        F.col("dist").alias("d_vt"), F.col("sigma").alias("sig_vt"),
+    )
+    st = vs.select(
+        F.col("source").alias("s2"), F.col("node").alias("t2"),
+        F.col("dist").alias("d_st"), F.col("sigma").alias("sig_st"),
+    )
+    terms = (
+        sv.join(F.broadcast(vt), sv["v"] == vt["v2"])
+        .join(F.broadcast(st), (F.col("s") == F.col("s2")) & (F.col("t") == F.col("t2")))
+        .filter(
+            (F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+            & (F.col("s") != F.col("v"))
+            & (F.col("v2") != F.col("t"))
+        )
+    )
+    fp = F.floor(
+        F.col("sig_sv") * F.col("sig_vt") / F.col("sig_st") * 1000000 + F.lit(0.5)
+    ).cast("long")
+    per_v = terms.groupBy(F.col("v").alias("node")).agg(F.sum(fp).alias("__fp"))
+    return nodes.join(F.broadcast(per_v), "node", "left").select(
+        "node",
+        (F.coalesce(F.col("__fp"), F.lit(0)).cast("double") / F.lit(1000000.0)).alias(
+            "betweenness"
+        ),
+    )
+
+
+def _weighted_closeness_sql(rounds: int = 24) -> str:
+    """DuckDB replay of weighted closeness on the float risk graph:
+    multi-source unrolled Bellman-Ford (min-plus over doubles is
+    engine-exact — min is order-free and IEEE addition is monotone, the
+    safest_route_path argument), then Σdist made order-independent by
+    fixed-pointing each dist to micro-units before the integer sum."""
+    parts = [
+        ", cw_edges AS MATERIALIZED "
+        "(SELECT src_system_id, dst_system_id, risk FROM fix_jumps)",
+        ", cw_d0 AS (SELECT system_id AS s, system_id AS node, "
+        "CAST(0.0 AS DOUBLE) AS dist FROM fix_systems)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", cw_d{r} AS MATERIALIZED (SELECT s, node, MIN(dist) AS dist FROM ("
+            f"SELECT s, node, dist FROM cw_d{r - 1} "
+            f"UNION ALL SELECT d.s, e.dst_system_id, d.dist + e.risk "
+            f"FROM cw_d{r - 1} d JOIN cw_edges e ON e.src_system_id = d.node"
+            f") GROUP BY s, node)"
+        )
+    parts.append(f"""
+    SELECT node,
+           CASE WHEN SUM(fp) > 0
+                THEN CAST(COUNT(*) - 1 AS DOUBLE)
+                     / (CAST(SUM(fp) AS DOUBLE) / 1000000.0)
+                ELSE 0.0 END AS closeness
+    FROM (SELECT s, node, CAST(FLOOR(dist * 1000000.0 + 0.5) AS BIGINT) AS fp
+          FROM cw_d{rounds})
+    GROUP BY node""")
+    return _graph_cte("".join(parts))
+
+
+@register("closeness_weighted", _weighted_closeness_sql(24))
+def closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WEIGHTED closeness on the RISK graph (r6 verdict item 3): every
+    # pivot runs through the one-loop weighted multi-source SSSP; float
+    # dists are engine-exact min-plus fixpoints, and the operator
+    # quantizes each dist to micro-units before the sum so the aggregate
+    # is order-independent and hash-exact vs the unrolled-Bellman-Ford
+    # oracle. 24 rounds cover all simple paths on the 25-node fixture.
+    from eve_graph_spark.operators.graph_analytics import closeness_centrality
+
+    return closeness_centrality(build_jumps(spark, sf_dir), weight_col="risk")
 
 
 # =========================================================================
