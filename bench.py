@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 from pathlib import Path
 
 _REPO = str(Path(__file__).resolve().parent)
@@ -42,9 +43,50 @@ METHODOLOGY = (
 )
 
 
+def _stage_metrics(spark) -> dict:
+    """(stageId, attemptId) -> stage dict from the UI REST API."""
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=15
+        ) as r:
+            stages = json.load(r)
+    except OSError:
+        return {}
+    return {(s["stageId"], s.get("attemptId", 0)): s for s in stages}
+
+
+def shuffle_row_flags(rows_map: dict[str, int], baseline_rows: dict[str, int]) -> list[dict]:
+    """Deterministic plan-regression flags (r6 verdict item 2): a query's
+    shuffle WRITE RECORDS growing >10% (+1k floor) vs baseline is a plan
+    change — host-load-independent, unlike wall-clock, so it cannot
+    false-alarm under co-tenant drift. Queries with no baseline entry
+    (new this round) are skipped until the baseline is refreshed."""
+    return sorted(
+        (
+            {
+                "query": n,
+                "baseline_shuffle_rows": baseline_rows[n],
+                "shuffle_rows": r,
+            }
+            for n, r in rows_map.items()
+            if r >= 0
+            and baseline_rows.get(n, -1) >= 0
+            and r > baseline_rows[n] * 1.10
+            and r - baseline_rows[n] > 1_000
+        ),
+        key=lambda x: x["shuffle_rows"] - x["baseline_shuffle_rows"],
+        reverse=True,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = [s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s]
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
 
     from pyspark.sql import SparkSession
@@ -56,7 +98,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI stays on for the REST stage-metrics endpoint (shuffle-rows
+        # regression flags); port 0 = pick any free port
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,18 +136,37 @@ def main() -> None:
     # "regressions" of 0.5-1s queries. Fast queries keep single-run
     # timings (noise there is bounded by the threshold itself).
     timings: dict[str, float] = {}
+    shuffle_rows: dict[str, int] = {}
     for name, fn in sorted(registry.queries().items()):
+        if only and not any(s in name for s in only):
+            continue
+        before = set(_stage_metrics(spark))
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t1 = time.perf_counter() - t0
+            after = _stage_metrics(spark)
+            rows1 = sum(
+                s.get("shuffleWriteRecords", 0)
+                for k, s in after.items() if k not in before
+            )
             if t1 > 0.5:
+                before2 = set(after)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 t1 = min(t1, time.perf_counter() - t0)
+                after2 = _stage_metrics(spark)
+                # min of the two executions = the steady state (memoized
+                # driver-threshold probes can drop jobs on the rerun)
+                rows1 = min(rows1, sum(
+                    s.get("shuffleWriteRecords", 0)
+                    for k, s in after2.items() if k not in before2
+                ))
             timings[name] = round(t1, 3)
+            shuffle_rows[name] = int(rows1)
         except Exception as exc:  # a broken query must not hide the rest
             timings[name] = -1.0
+            shuffle_rows[name] = -1
             print(f"FAIL {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -120,6 +184,7 @@ def main() -> None:
     # baseline x canary. Reported in the JSON so totals can be read in
     # host-normalized terms too.
     regressions: list[dict] = []
+    shuffle_regressions: list[dict] = []
     baseline_total = None
     canary = None
     retried: list[str] = []
@@ -129,6 +194,19 @@ def main() -> None:
         if base.get("sf") == sf:
             baseline_total = base.get("value")
             bq = base.get("queries", {})
+            # Shuffle-volume flags (r6 verdict item 2): rows written to
+            # shuffles are a pure function of the plan + data, immune to
+            # host drift — the structural complement to the wall-clock
+            # canary below. Flags mean a PLAN regression, not a slow host.
+            shuffle_regressions = shuffle_row_flags(
+                shuffle_rows, base.get("shuffle_rows", {})
+            )
+            for r in shuffle_regressions[:15]:
+                print(
+                    f"  SHUFFLE-ROWS REGRESSED {r['query']}: "
+                    f"{r['baseline_shuffle_rows']} -> {r['shuffle_rows']} rows",
+                    file=sys.stderr,
+                )
 
             def flag(ts: dict[str, float]) -> tuple[float | None, list[dict]]:
                 ratios = sorted(
@@ -215,6 +293,8 @@ def main() -> None:
                 "canary_ratio": canary,
                 "retried": retried,
                 "regressions": regressions,
+                "shuffle_rows": shuffle_rows,
+                "shuffle_regressions": shuffle_regressions,
             }
         )
     )

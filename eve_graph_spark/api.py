@@ -145,6 +145,65 @@ class GraphEngine:
         self.build_cost_projection()
         return self.jumps
 
+    # --- A6, incremental form (r6 verdict item 6) ---------------------------
+    def refresh_wormholes_incremental(
+        self,
+        signatures: DataFrame,
+        reset_names: tuple[str, ...] = ("Thera", "Turnur"),
+        stats_out: dict | None = None,
+    ) -> DataFrame:
+        """Delta form of `refresh_wormholes`: wormholes churn every poll
+        (A6, sync.rs:66-94), but the edge DELTA per poll is a handful of
+        signatures — re-deriving the whole cost projection per poll is
+        the scale leak. This applies exactly the same edge-table update
+        as the full path, then patches the persisted projection with
+        (removed reset-system edges, newly-missing wormhole edges) via
+        `ProjectionRegistry.apply_delta` — one left_anti + union over
+        the CACHED projection, never the full derivation. Routes after
+        this are identical to a full rebuild (test-pinned e2e).
+
+        `stats_out` gets apply_delta's removed_rows/added_rows — both
+        delta-sized.
+        """
+        if not self.registry.exists(SYSTEM_MAP):
+            # nothing to patch — take the full path (also builds the
+            # projection the next delta will patch)
+            return self.refresh_wormholes(signatures, reset_names)
+        reset_ids = [
+            r["system_id"]
+            for r in self.systems.filter(F.col("name").isin(list(reset_names)))
+            .select("system_id")
+            .collect()
+        ]
+        old_jumps = self.jumps
+        removed_keys = old_jumps.filter(
+            F.col("src_system_id").isin(reset_ids)
+            | F.col("dst_system_id").isin(reset_ids)
+        ).select("src_system_id", "dst_system_id")
+        kept = old_jumps.join(
+            removed_keys, ["src_system_id", "dst_system_id"], "left_anti"
+        )
+        wh = R.filter_wormhole_signatures(signatures).select(
+            F.col("in_system_id").alias("src_system_id"),
+            F.col("out_system_id").alias("dst_system_id"),
+            F.lit(1).cast("long").alias("cost"),
+            F.lit(None).cast("double").alias("risk"),
+            F.lit("wormhole").alias("kind"),
+        )
+        bi = R.bidirectional_edges(wh).dropDuplicates(
+            ["src_system_id", "dst_system_id"]
+        )
+        added = bi.join(
+            kept.select("src_system_id", "dst_system_id"),
+            ["src_system_id", "dst_system_id"],
+            "left_anti",
+        )
+        self.jumps = kept.unionByName(added)
+        self.registry.apply_delta(
+            SYSTEM_MAP, added, removed_keys, "cost", stats_out=stats_out
+        )
+        return self.jumps
+
     # --- bootstrap (D9, main.rs:84-107) --------------------------------------
     def bootstrap(self, esi_systems: DataFrame, stargates: DataFrame,
                   kills: DataFrame, jumps_activity: DataFrame, signatures: DataFrame) -> None:

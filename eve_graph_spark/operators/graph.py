@@ -114,6 +114,50 @@ class ProjectionRegistry:
         self.drop(name)
         return self.project(name, edges, weight_col)
 
+    def apply_delta(self, name: str, added: DataFrame | None,
+                    removed_keys: DataFrame | None, weight_col: str,
+                    stats_out: dict | None = None) -> DataFrame:
+        """Incremental projection maintenance (r6 verdict item 6): apply an
+        edge delta to a persisted projection instead of re-deriving it
+        from the full edge table. `added` is rows in the edge-table
+        schema; `removed_keys` is (src_system_id, dst_system_id) pairs.
+        One left_anti + union over the OLD PERSISTED projection — the
+        scan is the cached projection plus delta-sized sides, never the
+        upstream derivation (which at 100 TB is the full risk/cost join
+        pipeline the wormhole poll loop must not replay every cycle).
+
+        `stats_out` records `removed_rows`/`added_rows` (delta sizes).
+        """
+        old = self._graphs[name]
+        cur = old
+        n_removed = n_added = 0
+        if removed_keys is not None:
+            rk = removed_keys.select(
+                F.col("src_system_id").alias("__rs"), F.col("dst_system_id").alias("__rd")
+            )
+            n_removed = rk.count()
+            cur = cur.join(
+                F.broadcast(rk),
+                (cur["src"] == F.col("__rs")) & (cur["dst"] == F.col("__rd")),
+                "left_anti",
+            )
+        if added is not None:
+            add = added.select(
+                F.col("src_system_id").alias("src"),
+                F.col("dst_system_id").alias("dst"),
+                F.col(weight_col).cast("double").alias("weight"),
+            )
+            n_added = add.count()
+            cur = cur.unionByName(add)
+        new = cur.repartition("src").persist()
+        new.count()
+        old.unpersist()
+        self._graphs[name] = new
+        if stats_out is not None:
+            stats_out["removed_rows"] = n_removed
+            stats_out["added_rows"] = n_added
+        return new
+
 
 DRIVER_SSSP_MAX_EDGES = 2_000_000  # below this, solve on the driver
 

@@ -27,9 +27,18 @@ def promote(paths: list[str], out: str = "BENCH_BASELINE.json") -> dict:
     for r in runs[1:]:
         for name, sec in r["queries"].items():
             queries[name] = min(queries.get(name, sec), sec)
+    # shuffle WRITE RECORDS per query (r7): deterministic plan signature —
+    # min across runs strips probe-memoization variation, nothing else
+    # varies on a healthy plan
+    shuffle_rows: dict[str, int] = dict(head.get("shuffle_rows", {}))
+    for r in runs[1:]:
+        for name, n in r.get("shuffle_rows", {}).items():
+            shuffle_rows[name] = min(shuffle_rows.get(name, n), n)
     base = {k: head[k] for k in BASELINE_FIELDS if k in head}
     base["queries"] = dict(sorted(queries.items()))
     base["value"] = round(sum(queries.values()), 3)
+    if shuffle_rows:
+        base["shuffle_rows"] = dict(sorted(shuffle_rows.items()))
     base["n_runs"] = len(runs)
     Path(out).write_text(json.dumps(base, indent=1) + "\n")
     return base

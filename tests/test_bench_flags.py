@@ -1,0 +1,39 @@
+"""Shuffle-rows regression flags (r6 verdict item 2): deterministic,
+host-independent plan-change detection in bench.py. The end-to-end signal
+is demonstrated in SCALE.md (q5 with broadcasts disabled: 5 -> 750,040
+rows, flagged); these pin the flag function's contract."""
+
+from __future__ import annotations
+
+from bench import shuffle_row_flags
+
+
+def test_flags_on_large_relative_growth():
+    got = shuffle_row_flags(
+        {"q": 750_040}, {"q": 5}
+    )
+    assert len(got) == 1 and got[0]["query"] == "q"
+
+
+def test_no_flag_inside_tolerance():
+    # +10% exactly, and small absolute growth under the 1k floor
+    assert shuffle_row_flags({"a": 110, "b": 900}, {"a": 100, "b": 500}) == []
+
+
+def test_no_flag_without_baseline_entry():
+    # a query new this round has no baseline rows yet -> skipped, not flagged
+    assert shuffle_row_flags({"new_q": 10_000_000}, {}) == []
+
+
+def test_failed_runs_never_flag():
+    # -1 marks a failed measurement on either side
+    assert shuffle_row_flags({"q": -1}, {"q": 5}) == []
+    assert shuffle_row_flags({"q": 10_000_000}, {"q": -1}) == []
+
+
+def test_flags_sorted_by_absolute_growth():
+    got = shuffle_row_flags(
+        {"small": 20_000, "big": 5_000_000},
+        {"small": 10_000, "big": 1_000_000},
+    )
+    assert [f["query"] for f in got] == ["big", "small"]
