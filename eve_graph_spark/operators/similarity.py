@@ -337,6 +337,236 @@ def _ivf_topk_local(
     )
 
 
+def _unit_rows_np(M):
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return M / n
+
+
+def ivf_pq_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    lloyd_iterations: int = 2,
+    train_sample: int = 200_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """IVF-PQ index build (r6 verdict item 8, the standard FAISS split):
+    a coarse k-means quantizer assigns each vector to a cell, and a
+    PRODUCT QUANTIZER compresses it to `m_subspaces` byte-sized codes —
+    per subspace, the nearest entry of a small L2-trained codebook.
+
+    Returns (index_df, model): index_df is (id, cell, codes array<int>)
+    — the table a deployment MATERIALIZES, partitioned by cell; model
+    carries the centroids/codebooks needed at query time. The scale
+    story: with m=8 codes the probe-stage scan reads ~8 bytes + ids per
+    vector instead of dim×4 (~32x less for dim=64 float32) — the probe
+    cost at 100 TB is the index table, never the vector table, which is
+    touched only by the final re-rank's id lookups (bucket/z-order the
+    vector table by id so those prune).
+
+    Training is driver-side numpy over a deterministic sample (the
+    `train_sample` lowest ids — FAISS practice: quantizers train on a
+    sample, the full corpus is only ENCODED, a narrow map). Both
+    quantizers are deterministic: seeds = first rows, argmin/argmax ties
+    break to the lowest cell/code, fixed Lloyd iterations.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    rows = (
+        embeddings.orderBy(id_col).limit(train_sample)
+        .select(id_col, vec_col).collect()
+    )
+    V = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dim = V.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    d = dim // m_subspaces
+
+    # coarse quantizer — same algorithm as _ivf_topk_local
+    cents = V[: min(n_centroids, len(V))].copy()
+    cell_ids = np.arange(len(cents), dtype=np.int64)
+    for _ in range(lloyd_iterations):
+        assign = cell_ids[np.argmax(V @ _unit_rows_np(cents).T, axis=1)]
+        kept, new_c = [], []
+        for c in cell_ids:
+            members = V[assign == c]
+            if len(members):
+                kept.append(c)
+                new_c.append(members.mean(axis=0))
+        cell_ids, cents = np.array(kept, dtype=np.int64), np.array(new_c)
+
+    # product quantizer: per-subspace L2 k-means codebooks
+    codebooks = []
+    for mi in range(m_subspaces):
+        X = V[:, mi * d:(mi + 1) * d]
+        cb = X[: min(n_codes, len(X))].copy()
+        for _ in range(lloyd_iterations):
+            d2 = ((X[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            code = np.argmin(d2, axis=1)  # first min = lowest code
+            for c in range(len(cb)):
+                members = X[code == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        codebooks.append([[float(x) for x in row] for row in cb])
+
+    model = {
+        "cents": [[float(x) for x in row] for row in cents],
+        "cell_ids": [int(c) for c in cell_ids],
+        "codebooks": codebooks,
+        "m": m_subspaces,
+        "d": d,
+    }
+
+    # encode the corpus: cell (argmax dot vs unit centroids) + codes
+    # (argmin L2 per subspace) — pure JVM array expressions against one
+    # broadcast row, a narrow map over the corpus
+    ucents = _unit_rows_np(np.array(model["cents"]))
+    cent_row = spark.createDataFrame(
+        [(sorted(zip(model["cell_ids"], [[float(x) for x in r] for r in ucents])),)],
+        "cents array<struct<cell:bigint,cvec:array<double>>>",
+    )
+    cb_row = spark.createDataFrame([(codebooks,)], "cb array<array<array<double>>>")
+    scores = F.transform(F.col("cents"), lambda s: dot_expr(F.col(vec_col), s["cvec"]))
+    cell = F.element_at(
+        F.transform(F.col("cents"), lambda s: s["cell"]),
+        F.array_position(scores, F.array_max(scores)).cast("int"),
+    )
+    sub = lambda mi: F.slice(F.col(vec_col), mi * d + 1, d)  # noqa: E731
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+        lambda mi: (
+            F.array_position(
+                F.transform(F.element_at(F.col("cb"), (mi + 1).cast("int")),
+                            lambda e: l2(sub(mi), e)),
+                F.array_min(
+                    F.transform(F.element_at(F.col("cb"), (mi + 1).cast("int")),
+                                lambda e: l2(sub(mi), e))
+                ),
+            ) - 1
+        ).cast("int"),
+    )
+    index = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent_row))
+        .crossJoin(F.broadcast(cb_row))
+        .select(id_col, cell.alias("cell"), codes.alias("codes"))
+    )
+    return index, model
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 100,
+    index: DataFrame | None = None,
+    model: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **train_kwargs,
+) -> DataFrame:
+    """IVF-PQ ANN query: probe the `n_probe` nearest cells, rank probed
+    candidates by the ADC approximation (per-query lookup table over PQ
+    codes — the scan touches ONLY the narrow index table), keep the top
+    `rerank` per query, then exact-cosine re-rank just those against the
+    full vector table. Output schema matches ivf_topk.
+
+    The two-stage read is the point at scale: stage 1 scans
+    (id, cell, codes) for the probed cells (~32x fewer bytes than the
+    vectors); stage 2 fetches `rerank` full vectors per query by id.
+    Recall ≤ plain IVF with the same cells by construction, approaching
+    it as `rerank` grows — the default re-ranks 100 of the probed
+    candidates, which holds the recall harness's bound on the fixtures
+    (tests + the ann_ivf_pq_topk query pin it).
+
+    Pass a materialized `index` + its `model` to skip the build (the
+    deployment shape); otherwise both are derived in place.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    if index is None or model is None:
+        index, model = ivf_pq_index(
+            embeddings, id_col=id_col, vec_col=vec_col, **train_kwargs
+        )
+    m, d = model["m"], model["d"]
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col).collect()
+    )
+    cents = np.array(model["cents"])
+    ucents = _unit_rows_np(cents)
+    cell_ids = model["cell_ids"]
+    qdata = []
+    for r in qrows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        cscore = ucents @ qv
+        order = sorted(range(len(cell_ids)), key=lambda i: (-cscore[i], cell_ids[i]))
+        lut = [
+            [float(np.dot(qv[mi * d:(mi + 1) * d], np.array(e)))
+             for e in model["codebooks"][mi]]
+            for mi in range(m)
+        ]
+        for i in order[:n_probe]:
+            qdata.append((int(r[id_col]), int(cell_ids[i]), lut))
+    if not qdata:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, cosine double, rank int"
+        )
+    qdf = spark.createDataFrame(
+        qdata, f"query_id long, cell long, __lut array<array<double>>"
+    )
+    # stage 1: ADC over the narrow index — codes ride the scan, vectors don't
+    approx = (
+        index.join(F.broadcast(qdf), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("__lut"),
+                    lambda c, row: F.element_at(row, c + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__adc"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("__adc").desc(), F.col(id_col))
+    shortlist = (
+        approx.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") <= rerank)
+        .select("query_id", id_col)
+    )
+    # stage 2: exact cosine on the shortlist only
+    qvec_df = spark.createDataFrame(
+        [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in qrows],
+        "query_id long, qvec array<double>",
+    )
+    scored = (
+        shortlist.join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qvec_df), "query_id")
+        .select(
+            "query_id", id_col,
+            cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def fixed_dot(a, b):
     """Exact fixed-point dot of two array columns: per-dimension products
     floored at 1e9 fixed point (an IEEE-identical op in any engine) and
