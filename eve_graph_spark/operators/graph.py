@@ -564,6 +564,110 @@ def k_shortest_paths(edges: DataFrame, source: int, target: int, k: int = 3,
     return found
 
 
+def a_star(
+    edges: DataFrame,
+    coords: DataFrame,
+    source: int,
+    target: int,
+    weight_col: str = "weight",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "system_id",
+    driver_threshold: int = DRIVER_SSSP_MAX_EDGES,
+    stats_out: dict | None = None,
+) -> tuple[float, list[int]] | None:
+    """A* single-pair route over the stored x,y,z coordinates — the
+    reference keeps them on every System (database.rs:86-88) but never
+    queries them; here they prune the search (r6 verdict item 1's
+    optional arm, on top of the sssp(target_id=) early exit).
+
+    Heuristic: h(v) = euclid(v, target) / r with r = max over edges of
+    (euclid(u, v) / w(u, v)) — the best distance-per-cost any single
+    edge achieves. Admissible (any path to the target must cover the
+    straight-line distance at cost >= euclid/r) and consistent
+    (euclid(u,t) <= euclid(u,v) + euclid(v,t) <= r*w + euclid(v,t)),
+    so the first settle of the target is optimal and no node is
+    re-expanded. Zero-weight or zero-length edges force r -> inf (h = 0)
+    and the search degrades gracefully to Dijkstra — same for missing /
+    all-zero coordinates, so wormhole systems with placeholder positions
+    are safe.
+
+    Driver-side over the collected edge list, like `k_shortest_paths`:
+    a single-pair interactive route on a graph that fits the driver
+    must not launch a job per expansion (the distributed answer to the
+    same question is sssp(target_id=...)). Raises above
+    `driver_threshold`.
+
+    Returns (total_cost, [node, ...]) or None when unreachable.
+    `stats_out["expansions"]` counts settled nodes — the quantity the
+    heuristic exists to shrink (test-pinned < Dijkstra's on a grid).
+    """
+    import heapq
+    import math
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+    if not fits_driver(e, driver_threshold):
+        raise ValueError(
+            "a_star: graph exceeds the driver threshold; single-pair routes "
+            "at that scale run sssp(target_id=...) with its distributed "
+            "early-exit loop"
+        )
+    xyz = {
+        r[id_col]: (float(r["x"]), float(r["y"]), float(r["z"]))
+        for r in coords.select(id_col, "x", "y", "z").collect()
+    }
+
+    def euclid(a: int, b: int) -> float:
+        pa, pb = xyz.get(a), xyz.get(b)
+        if pa is None or pb is None:
+            return 0.0
+        return math.dist(pa, pb)
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    r_best = 0.0
+    for row in e.collect():
+        u, v, w = row["src"], row["dst"], row["weight"]
+        adj.setdefault(u, []).append((v, w))
+        if w > 0:
+            r_best = max(r_best, euclid(u, v) / w)
+
+    def h(v: int) -> float:
+        return euclid(v, target) / r_best if r_best > 0 else 0.0
+
+    dist = {source: 0.0}
+    pred: dict[int, int] = {}
+    pq = [(h(source), source)]
+    settled: set[int] = set()
+    expansions = 0
+    while pq:
+        f, u = heapq.heappop(pq)
+        if u in settled:
+            continue
+        settled.add(u)
+        expansions += 1
+        if u == target:
+            break
+        du = dist[u]
+        for v, w in adj.get(u, ()):
+            nd = du + w
+            if v not in dist or nd < dist[v]:
+                dist[v], pred[v] = nd, u
+                heapq.heappush(pq, (nd + h(v), v))
+    if stats_out is not None:
+        stats_out["expansions"] = expansions
+    if target not in settled:
+        return None
+    path, cur = [target], target
+    while cur != source:
+        cur = pred[cur]
+        path.append(cur)
+    return dist[target], list(reversed(path))
+
+
 DRIVER_PATH_MAX_NODES = 2_000_000  # below this, collect the whole pred map
 
 
