@@ -59,6 +59,26 @@ def _stage_metrics(spark) -> dict:
     return {(s["stageId"], s.get("attemptId", 0)): s for s in stages}
 
 
+def _stable_stage_metrics(spark) -> dict:
+    """_stage_metrics, polled until the completed-stage set stops growing.
+
+    The UI status store is fed by an ASYNC listener bus: stages that
+    complete just as the action returns may not be visible yet and would
+    get mis-attributed to the next query's window, making shuffle_rows
+    nondeterministic. Two consecutive identical snapshots (or a 2s cap)
+    means the bus has drained for this quiet point — between queries
+    nothing else is producing events.
+    """
+    prev = _stage_metrics(spark)
+    for _ in range(40):
+        time.sleep(0.05)
+        cur = _stage_metrics(spark)
+        if set(cur) == set(prev):
+            return cur
+        prev = cur
+    return prev
+
+
 def shuffle_row_flags(rows_map: dict[str, int], baseline_rows: dict[str, int]) -> list[dict]:
     """Deterministic plan-regression flags (r6 verdict item 2): a query's
     shuffle WRITE RECORDS growing >10% (+1k floor) vs baseline is a plan
@@ -140,12 +160,12 @@ def main() -> None:
     for name, fn in sorted(registry.queries().items()):
         if only and not any(s in name for s in only):
             continue
-        before = set(_stage_metrics(spark))
+        before = set(_stable_stage_metrics(spark))
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t1 = time.perf_counter() - t0
-            after = _stage_metrics(spark)
+            after = _stable_stage_metrics(spark)
             rows1 = sum(
                 s.get("shuffleWriteRecords", 0)
                 for k, s in after.items() if k not in before
@@ -155,7 +175,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 t1 = min(t1, time.perf_counter() - t0)
-                after2 = _stage_metrics(spark)
+                after2 = _stable_stage_metrics(spark)
                 # min of the two executions = the steady state (memoized
                 # driver-threshold probes can drop jobs on the rerun)
                 rows1 = min(rows1, sum(
@@ -276,13 +296,22 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    # The per-query shuffle-row map is bulky (131 entries) and only needed
+    # for the NEXT baseline refresh — it goes to a committed side file,
+    # never stdout. The driver keeps only the TAIL of stdout, so the JSON
+    # line is ordered scalars-first, `queries` LAST: whatever gets
+    # truncated is the front matter, and the per-query timings — the one
+    # map future rounds must compare — always survive the tail window
+    # (r7 lost every timing by emitting shuffle_rows after queries).
+    Path(_REPO, "BENCH_SHUFFLE_ROWS.json").write_text(
+        json.dumps({"sf": sf, "shuffle_rows": shuffle_rows}, indent=1) + "\n"
+    )
     print(
         json.dumps(
             {
                 "metric": METHODOLOGY,
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
                 "warmup_sec": round(warmup, 3),
@@ -293,8 +322,8 @@ def main() -> None:
                 "canary_ratio": canary,
                 "retried": retried,
                 "regressions": regressions,
-                "shuffle_rows": shuffle_rows,
                 "shuffle_regressions": shuffle_regressions,
+                "queries": timings,
             }
         )
     )

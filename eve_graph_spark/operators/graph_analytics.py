@@ -218,6 +218,12 @@ def connected_components(edges: DataFrame, src_col: str = "src_system_id",
             f"connected_components: unknown algorithm {algorithm!r} "
             "(expected 'label', 'star', or 'auto')"
         )
+    # Accumulated counters are scoped to ONE call: auto mode's two phases
+    # (label budget + star restart) add into the same keys on purpose, but
+    # a caller reusing stats_out across calls must not inherit the totals.
+    if stats_out is not None:
+        for k in ("iterations", "label_supersteps", "star_rounds"):
+            stats_out.pop(k, None)
     e = _edge_frame(edges, src_col, dst_col)
     spark = edges.sparkSession
     if _fits_driver(e, driver_threshold):
@@ -294,6 +300,16 @@ def incremental_cc_insert(labels: DataFrame, new_edges: DataFrame,
     known_comp = {r["node"]: r["component"] for r in known}
     comp_of = {n: (c if c is not None else n) for n, c in known_comp.items()}
     parent: dict[int, int] = {c: c for c in comp_of.values()}
+    # `merged_components` counts unions of PRE-EXISTING components only:
+    # a batch edge joining two brand-new nodes creates one fresh
+    # component, it does not merge anything the labels table knew about
+    # (round-7 shipped this stat counting new-singleton unions too).
+    has_pre: dict[int, bool] = {
+        c: any(known_comp.get(n) is not None and comp_of[n] == c
+               for n in endpoints)
+        for c in parent
+    }
+    merged = 0
 
     def find(x: int) -> int:
         while parent[x] != x:
@@ -304,13 +320,17 @@ def incremental_cc_insert(labels: DataFrame, new_edges: DataFrame,
     for r in batch:
         ra, rb = find(comp_of[r["src"]]), find(comp_of[r["dst"]])
         if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+            if has_pre[ra] and has_pre[rb]:
+                merged += 1
+            keep, gone = min(ra, rb), max(ra, rb)
+            parent[gone] = keep
+            has_pre[keep] = has_pre[ra] or has_pre[rb]
     remap = [(c, find(c)) for c in parent if find(c) != c]
     new_nodes = [(n, find(comp_of[n])) for n in endpoints
                  if known_comp.get(n) is None]
     if stats_out is not None:
         stats_out["rows_collected"] = len(batch) + len(known)
-        stats_out["merged_components"] = len(remap)
+        stats_out["merged_components"] = merged
     out = labels
     if remap:
         m = spark.createDataFrame(remap, "component long, __new long")

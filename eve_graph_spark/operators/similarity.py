@@ -501,6 +501,16 @@ def ivf_pq_topk(
         index, model = ivf_pq_index(
             embeddings, id_col=id_col, vec_col=vec_col, **train_kwargs
         )
+        # Materialize the narrow (id, cell, codes) index ONCE. Without
+        # this the in-place build re-plans the corpus encode scan under
+        # every downstream consumer (the ADC probe AND any caller that
+        # branches on the result), turning one corpus pass into several —
+        # exactly what a deployment avoids by writing the index table
+        # out. localCheckpoint is the in-session equivalent of that
+        # materialized table: lineage is truncated, so the only
+        # embeddings scan left in the query plan is the final re-rank's
+        # id fetch.
+        index = index.localCheckpoint(eager=True)
     m, d = model["m"], model["d"]
     qrows = (
         embeddings.filter(F.col(id_col).isin(query_ids))

@@ -30,7 +30,18 @@ def promote(paths: list[str], out: str = "BENCH_BASELINE.json") -> dict:
     # shuffle WRITE RECORDS per query (r7): deterministic plan signature —
     # min across runs strips probe-memoization variation, nothing else
     # varies on a healthy plan
-    shuffle_rows: dict[str, int] = dict(head.get("shuffle_rows", {}))
+    # Since r8 bench.py writes the map to BENCH_SHUFFLE_ROWS.json (side
+    # file) instead of stdout, so the driver's tail-capture keeps the
+    # timings; fall back to it when the run JSON carries no map. The side
+    # file reflects the LAST bench run on this checkout — promote right
+    # after benching, as this script's usage already assumes.
+    side = Path(__file__).resolve().parent.parent / "BENCH_SHUFFLE_ROWS.json"
+    fallback = {}
+    if side.exists():
+        sdoc = json.loads(side.read_text())
+        if sdoc.get("sf") == head.get("sf"):
+            fallback = sdoc.get("shuffle_rows", {})
+    shuffle_rows: dict[str, int] = dict(head.get("shuffle_rows", fallback))
     for r in runs[1:]:
         for name, n in r.get("shuffle_rows", {}).items():
             shuffle_rows[name] = min(shuffle_rows.get(name, n), n)

@@ -52,6 +52,12 @@ BUDGET: dict[str, dict[str, int]] = {
     "containment_pairs_lsh": {"documents": 4},
     # consecutive-id pair source (2 pruned id scans) + two cosine sides
     "embedding_near_dups": {"embeddings": 4},
+    # recall harness = exact-fixed-point side (same 4 as ann_ivf_topk:
+    # candidates + norms + 2 pushdown-pruned query fetches) + the PQ
+    # re-rank's shortlist id fetch. The PQ index itself is
+    # localCheckpoint-materialized in ivf_pq_topk, so the encode scan
+    # does NOT appear — the ADC probe stage reads zero embeddings.
+    "ann_ivf_pq_topk": {"embeddings": 5},
     # benchmark side (doc_id<20 pushed down) + corpus side + zero-hit
     # left join back — the bench scans are eval-suite-sized after pushdown
     "bloom_decontaminate": {"documents": 3},
