@@ -31,9 +31,14 @@ class GraphEngine:
     """Holds the vertex/edge tables + named projections, mirrors the
     reference service's lifecycle (bootstrap → refresh → query)."""
 
-    def __init__(self, systems: DataFrame, jumps: DataFrame):
+    def __init__(self, systems: DataFrame, jumps: DataFrame,
+                 coords: DataFrame | None = None):
         self.systems = systems
         self.jumps = jumps
+        # (system_id, x, y, z) — the reference stores coordinates on every
+        # System (database.rs:86-88); they enable the heuristic=True route
+        # arm. Optional: without them every route runs target-pruned sssp.
+        self.coords = coords
         self.registry = ProjectionRegistry()
 
     # --- projections (G1-G6) ------------------------------------------------
@@ -49,9 +54,26 @@ class GraphEngine:
             raise RouteNotFound(f"system {name!r} not found")
         return row[0]["system_id"]
 
-    def _route(self, projection: str, from_name: str, to_name: str) -> list[str]:
+    def _route(self, projection: str, from_name: str, to_name: str,
+               heuristic: bool = False) -> list[str]:
         src, dst = self._resolve(from_name), self._resolve(to_name)
         edges = self.registry.get(projection)
+        if heuristic:
+            # coordinate-pruned A* (driver-sized graphs): h = euclidean
+            # distance scaled by the graph's best distance-per-cost ratio,
+            # admissible for ANY positive weight column — cost and risk
+            # alike — because r is derived from the same weights.
+            if self.coords is None:
+                raise ValueError(
+                    "heuristic route requires the engine to be built with "
+                    "a coords table (system_id, x, y, z)"
+                )
+            from eve_graph_spark.operators.graph import a_star
+
+            res = a_star(edges, self.coords, src, dst)
+            if res is None:
+                raise RouteNotFound("route not found")
+            return path_as_names(self.systems, res[1])
         # target-pruned: GDS Dijkstra stops at targetNode
         # (database.rs:484-513); the early exit keeps a route request from
         # relaxing the whole graph above the driver threshold
@@ -62,17 +84,19 @@ class GraphEngine:
         return path_as_names(self.systems, path)
 
     # --- A1: GET /shortest-route/{from}/to/{to} (main.rs:153-171) ----------
-    def shortest_route(self, from_name: str, to_name: str) -> list[str]:
+    def shortest_route(self, from_name: str, to_name: str,
+                       heuristic: bool = False) -> list[str]:
         if not self.registry.exists(SYSTEM_MAP):
             self.build_cost_projection()
-        return self._route(SYSTEM_MAP, from_name, to_name)
+        return self._route(SYSTEM_MAP, from_name, to_name, heuristic)
 
     # --- A2: GET /safest-route/{from}/to/{to} (main.rs:173-199) ------------
     # Lazily (re)builds the risk projection if missing (main.rs:178-185).
-    def safest_route(self, from_name: str, to_name: str) -> list[str]:
+    def safest_route(self, from_name: str, to_name: str,
+                     heuristic: bool = False) -> list[str]:
         if not self.registry.exists(JUMP_RISK):
             self.build_risk_projection()
-        return self._route(JUMP_RISK, from_name, to_name)
+        return self._route(JUMP_RISK, from_name, to_name, heuristic)
 
     def route_alternatives(self, from_name: str, to_name: str, k: int = 3) -> list[tuple[float, list[str]]]:
         """k best loop-free routes ranked by total cost (SURVEY §2.8 route

@@ -79,6 +79,15 @@ class ProjectionRegistry:
     """
 
     _graphs: dict[str, DataFrame] = field(default_factory=dict)
+    # deltas applied since the projection last had its lineage truncated
+    _deltas_since_anchor: dict[str, int] = field(default_factory=dict)
+    # Every N-th apply_delta localCheckpoints the patched projection: a
+    # persisted frame's RECOVERY lineage is still its logical plan, so an
+    # unbounded left_anti+union chain means one evicted block replays
+    # every historical delta back to the original derivation. Truncating
+    # on a period bounds recovery at N deltas for a small per-period
+    # materialization cost (the projection is persisted anyway).
+    CHECKPOINT_EVERY_DELTAS = 8
 
     def project(self, name: str, edges: DataFrame, weight_col: str) -> DataFrame:
         """G1/G2: materialize (src, dst, weight), partitioned by src for the
@@ -94,6 +103,7 @@ class ProjectionRegistry:
         )
         proj.count()  # force materialization, like gds.graph.project
         self._graphs[name] = proj
+        self._deltas_since_anchor[name] = 0  # fresh derivation = fresh anchor
         return proj
 
     def exists(self, name: str) -> bool:
@@ -106,6 +116,7 @@ class ProjectionRegistry:
     def drop(self, name: str) -> None:
         """G4/G5 (database.rs:402-420)."""
         g = self._graphs.pop(name, None)
+        self._deltas_since_anchor.pop(name, None)
         if g is not None:
             g.unpersist()
 
@@ -149,8 +160,14 @@ class ProjectionRegistry:
             )
             n_added = add.count()
             cur = cur.unionByName(add)
-        new = cur.repartition("src").persist()
-        new.count()
+        n_since = self._deltas_since_anchor.get(name, 0) + 1
+        if n_since >= self.CHECKPOINT_EVERY_DELTAS:
+            new = cur.repartition("src").localCheckpoint(eager=True)
+            n_since = 0
+        else:
+            new = cur.repartition("src").persist()
+            new.count()
+        self._deltas_since_anchor[name] = n_since
         old.unpersist()
         self._graphs[name] = new
         if stats_out is not None:
@@ -587,10 +604,18 @@ def a_star(
     straight-line distance at cost >= euclid/r) and consistent
     (euclid(u,t) <= euclid(u,v) + euclid(v,t) <= r*w + euclid(v,t)),
     so the first settle of the target is optimal and no node is
-    re-expanded. Zero-weight or zero-length edges force r -> inf (h = 0)
-    and the search degrades gracefully to Dijkstra — same for missing /
-    all-zero coordinates, so wormhole systems with placeholder positions
-    are safe.
+    re-expanded.
+
+    Two degradations keep h admissible on dirty inputs, both collapsing
+    it to 0 (= plain Dijkstra, always correct):
+    - an edge with w <= 0 but positive euclidean length achieves
+      infinite distance-per-cost, so no finite r bounds the graph —
+      r is forced to inf;
+    - a node with MISSING or ALL-ZERO (placeholder) coordinates anywhere
+      in the edge set: a cheap wormhole through such a node covers real
+      distance that r never saw (its incident euclids read as 0), so any
+      nonzero h could overestimate the remaining cost.
+    Both arms are pinned by tests/test_a_star.py.
 
     Driver-side over the collected edge list, like `k_shortest_paths`:
     a single-pair interactive route on a graph that fits the driver
@@ -600,7 +625,8 @@ def a_star(
 
     Returns (total_cost, [node, ...]) or None when unreachable.
     `stats_out["expansions"]` counts settled nodes — the quantity the
-    heuristic exists to shrink (test-pinned < Dijkstra's on a grid).
+    heuristic exists to shrink (tests/test_a_star.py pins it strictly
+    below Dijkstra's on a coordinate-true grid).
     """
     import heapq
     import math
@@ -627,16 +653,25 @@ def a_star(
             return 0.0
         return math.dist(pa, pb)
 
+    erows = e.collect()
+    nodes = {row["src"] for row in erows} | {row["dst"] for row in erows}
+    coords_ok = all(
+        n in xyz and any(c != 0.0 for c in xyz[n]) for n in nodes
+    )
     adj: dict[int, list[tuple[int, float]]] = {}
     r_best = 0.0
-    for row in e.collect():
+    for row in erows:
         u, v, w = row["src"], row["dst"], row["weight"]
         adj.setdefault(u, []).append((v, w))
         if w > 0:
             r_best = max(r_best, euclid(u, v) / w)
+        elif euclid(u, v) > 0:
+            r_best = math.inf  # free edge with real length: unbounded ratio
+
+    use_h = coords_ok and 0.0 < r_best < math.inf
 
     def h(v: int) -> float:
-        return euclid(v, target) / r_best if r_best > 0 else 0.0
+        return euclid(v, target) / r_best if use_h else 0.0
 
     dist = {source: 0.0}
     pred: dict[int, int] = {}

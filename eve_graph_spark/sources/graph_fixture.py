@@ -95,6 +95,37 @@ def build_gate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System x,y,z positions (reference keeps them on every System,
+    database.rs:86-88, ingested from ESI but never queried). Deterministic
+    ring layout matching the ring-gate topology: system k sits at angle
+    2πk/N on a radius-100 circle, z = 1 (nonzero, so no system trips the
+    a_star placeholder rule). Gate neighbors are spatial neighbors, which
+    is what makes the A* heuristic informative on this fixture; wormholes
+    cross the circle — exactly the long-jump-cheap-cost shape the
+    heuristic's global distance-per-cost bound r accounts for.
+    """
+    return _memo(spark, "coords", sf_dir, lambda: _build_coords(spark, sf_dir))
+
+
+def _build_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("system_id")
+    )
+    n_count = nation.groupBy().agg(
+        (F.max("system_id") + 1).alias("n")
+    )
+    theta = F.lit(2 * math.pi) * F.col("system_id") / F.col("n")
+    return nation.crossJoin(F.broadcast(n_count)).select(
+        "system_id",
+        (F.cos(theta) * 100.0).alias("x"),
+        (F.sin(theta) * 100.0).alias("y"),
+        F.lit(1.0).alias("z"),
+    )
+
+
 def build_wormhole_edges(spark: SparkSession) -> DataFrame:
     """Both directions per signature (reference: src/database.rs:246-254)."""
     rows = []
