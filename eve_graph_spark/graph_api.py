@@ -123,3 +123,17 @@ class PropertyGraph:
             self.edges, src_col="src", dst_col="dst", landmarks=landmarks,
             weight_col=weightCol,
         ).select(F.col("node").alias("id"), "closeness")
+
+    def harmonicCentrality(self, landmarks: list[int] | None = None,  # noqa: N802
+                           weightCol: str | None = None) -> DataFrame:  # noqa: N803
+        """(id, harmonic, eccentricity) — Σ 1/d over reachable peers plus
+        max distance per source; weightCol switches hop distance to
+        weighted shortest-path distance (GDS relationshipWeightProperty
+        semantics). `landmarks` = explicit source sample for the scale
+        path (rows are emitted per landmark)."""
+        from eve_graph_spark.operators.graph_analytics import harmonic_centrality
+
+        return harmonic_centrality(
+            self.edges, src_col="src", dst_col="dst", landmarks=landmarks,
+            weight_col=weightCol,
+        ).select(F.col("node").alias("id"), "harmonic", "eccentricity")

@@ -540,6 +540,54 @@ def closeness_centrality(edges: DataFrame, src_col: str = "src_system_id",
     )
 
 
+# --- harmonic centrality / eccentricity -------------------------------------
+
+def harmonic_centrality(edges: DataFrame, src_col: str = "src_system_id",
+                        dst_col: str = "dst_system_id",
+                        weight_col: str | None = None,
+                        landmarks: list[int] | None = None,
+                        driver_threshold: int = DRIVER_MAX_EDGES,
+                        stats_out: dict | None = None) -> DataFrame:
+    """(node, harmonic, eccentricity) per SOURCE node: harmonic =
+    Σ 1/d(node→v) over reachable v ≠ node (the disconnected-robust
+    closeness variant), eccentricity = max d(node→v). With `weight_col`,
+    d is the weighted shortest-path distance (GDS exposes
+    relationshipWeightProperty across the closeness/harmonic family —
+    r7 verdict stretch 7 closes the gap left when closeness/betweenness
+    took weights in earlier rounds).
+
+    Exactness: each 1/d term is fixed-pointed to integer micro-units
+    (floor(1e6/d + 0.5)) BEFORE the sum, so the aggregate is
+    order-independent; weighted d values are engine-exact min-plus
+    fixpoints (dijkstra_sigma → multi_source_sssp), so the quotient
+    bits — and MAX for eccentricity — replay identically in any engine.
+
+    Scale contract mirrors closeness_centrality: all-sources is the
+    driver-sized fast path; above the threshold pass `landmarks` (the
+    sampled-source estimator) — the forward pass is ONE (source,
+    node)-keyed frontier loop regardless of landmark count. Output is
+    per-landmark rows in that mode, full semantics per row.
+    """
+    if weight_col is None:
+        vs = bfs_sigma(edges, landmarks, src_col, dst_col,
+                       driver_threshold=driver_threshold,
+                       stats_out=stats_out)
+        ecc = F.max("dist").cast("long")
+    else:
+        vs = dijkstra_sigma(edges, landmarks, weight_col, src_col, dst_col,
+                            driver_threshold=driver_threshold,
+                            stats_out=stats_out)
+        ecc = F.max("dist")
+    term = F.when(
+        F.col("dist") > 0,
+        F.floor(F.lit(1000000.0) / F.col("dist") + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0))
+    return vs.groupBy(F.col("source").alias("node")).agg(
+        (F.sum(term).cast("double") / F.lit(1000000.0)).alias("harmonic"),
+        ecc.alias("eccentricity"),
+    )
+
+
 # --- triangle counting ------------------------------------------------------
 
 def triangle_count(edges: DataFrame, src_col: str = "src_system_id",

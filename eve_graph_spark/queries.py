@@ -546,12 +546,15 @@ def safest_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path, its positions, and cumulative risks — agree bit-for-bit; the
     # loop's pred breaks float ties by first-achiever ITERATION, which no
     # SQL engine can reproduce). Chain is strictly dist-decreasing
-    # (risk > 0) hence acyclic and ≤ 24 hops; the driver-side walk
-    # collects the 25-row fixture tables (constant at every SF — at real
-    # scale the iterative reconstruct_path walk is the tool). Output
-    # pins endpoints, edge validity, and cum_risk(13) == sssp_weighted-
-    # style dist — the oracle recomputes the whole thing via unrolled
-    # Bellman-Ford.
+    # (risk > 0) hence acyclic and ≤ 24 hops. The walk itself is the
+    # SHIPPING reconstruct_path (r7 verdict item 5): threshold-guarded —
+    # driver mode collects only (node, pred) here, iterative mode above
+    # the threshold fetches one pushed-down row per hop — so the
+    # registered query never collects a vertex-sized dist map; cum_risk
+    # comes from joining the path-sized order frame back onto dist.
+    # The oracle recomputes everything via unrolled Bellman-Ford.
+    from eve_graph_spark.operators.graph import reconstruct_path
+
     jumps = build_jumps(spark, sf_dir)
     systems = build_systems(spark, sf_dir)
     dist = sssp(
@@ -570,19 +573,15 @@ def safest_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.min("src").alias("pred"))
     )
-    pred_map = {r["node"]: r["pred"] for r in preds.collect()}
-    dist_map = {r["node"]: r["dist"] for r in dist.collect()}
-    path = [13]
-    while path[-1] != 0 and path[-1] in pred_map:
-        path.append(pred_map[path[-1]])
-    path.reverse()
+    path = reconstruct_path(dist.join(preds, "node", "left"), 13)
     order = spark.createDataFrame(
-        [(pos, nid, dist_map[nid]) for pos, nid in enumerate(path)],
-        "pos long, system_id long, cum_risk double",
+        list(enumerate(path)), "pos long, system_id long"
     )
     return (
-        order.join(F.broadcast(systems.select("system_id", "name")), "system_id")
-        .select("pos", "system_id", "name", "cum_risk")
+        dist.withColumnRenamed("node", "system_id")
+        .join(F.broadcast(order), "system_id")
+        .join(F.broadcast(systems.select("system_id", "name")), "system_id")
+        .select("pos", "system_id", "name", F.col("dist").alias("cum_risk"))
     )
 
 
@@ -911,25 +910,17 @@ def degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Harmonic centrality (Σ 1/d over reachable peers — the
-    # disconnected-robust closeness variant) and eccentricity (max d) in
-    # one pass over bfs_sigma's all-pairs dist table. Each 1/d term is
-    # fixed-pointed to integer micro-units BEFORE the sum, so the
-    # aggregate is order-independent and hash-exact vs DuckDB's
-    # recursive-CTE replay (same cap-12 BFS as the closeness oracle);
-    # eccentricity is an integer MAX — exact by nature. Scale shape: the
-    # all-pairs table is the fixture-bound driver path here; at scale
-    # the same aggregate runs over landmark-sampled bfs_sigma output.
-    from eve_graph_spark.operators.graph_analytics import bfs_sigma
+    # disconnected-robust closeness variant) and eccentricity (max d),
+    # via the graph_analytics operator (one pass over bfs_sigma's
+    # all-pairs dist table). Each 1/d term is fixed-pointed to integer
+    # micro-units BEFORE the sum, so the aggregate is order-independent
+    # and hash-exact vs DuckDB's recursive-CTE replay (same cap-12 BFS
+    # as the closeness oracle); eccentricity is an integer MAX — exact
+    # by nature. Scale shape: all-pairs is the fixture-bound driver
+    # path; at scale the same aggregate runs landmark-sampled.
+    from eve_graph_spark.operators.graph_analytics import harmonic_centrality as hc
 
-    vs = bfs_sigma(build_jumps(spark, sf_dir, with_risk=False), None)
-    term = F.when(
-        F.col("dist") > 0,
-        F.floor(F.lit(1000000.0) / F.col("dist") + F.lit(0.5)).cast("long"),
-    ).otherwise(F.lit(0))
-    return vs.groupBy(F.col("source").alias("node")).agg(
-        (F.sum(term).cast("double") / F.lit(1000000.0)).alias("harmonic"),
-        F.max("dist").cast("long").alias("eccentricity"),
-    )
+    return hc(build_jumps(spark, sf_dir, with_risk=False))
 
 
 def _betweenness_unrolled_sql(levels: int = 12) -> str:
@@ -1198,6 +1189,51 @@ def closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eve_graph_spark.operators.graph_analytics import closeness_centrality
 
     return closeness_centrality(build_jumps(spark, sf_dir), weight_col="risk")
+
+
+def _weighted_harmonic_sql(rounds: int = 24) -> str:
+    """DuckDB replay of weighted harmonic + eccentricity on the float risk
+    graph: the same unrolled min-plus Bellman-Ford as weighted closeness
+    (dist bits are engine-exact), then 1/d fixed-pointed to micro-units
+    per term (an IEEE double division + floor on identical d bits —
+    identical in both engines) and MAX(dist) compared bit-for-bit."""
+    parts = [
+        ", hcw_edges AS MATERIALIZED "
+        "(SELECT src_system_id, dst_system_id, risk FROM fix_jumps)",
+        ", hcw_d0 AS (SELECT system_id AS s, system_id AS node, "
+        "CAST(0.0 AS DOUBLE) AS dist FROM fix_systems)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", hcw_d{r} AS MATERIALIZED (SELECT s, node, MIN(dist) AS dist FROM ("
+            f"SELECT s, node, dist FROM hcw_d{r - 1} "
+            f"UNION ALL SELECT d.s, e.dst_system_id, d.dist + e.risk "
+            f"FROM hcw_d{r - 1} d JOIN hcw_edges e ON e.src_system_id = d.node"
+            f") GROUP BY s, node)"
+        )
+    parts.append(f"""
+    SELECT s AS node,
+           CAST(SUM(CASE WHEN dist > 0
+                         THEN CAST(FLOOR(1000000.0 / dist + 0.5) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 1000000.0 AS harmonic,
+           MAX(dist) AS eccentricity
+    FROM hcw_d{rounds}
+    GROUP BY s""")
+    return _graph_cte("".join(parts))
+
+
+@register("harmonic_weighted", _weighted_harmonic_sql(24))
+def harmonic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WEIGHTED harmonic centrality + eccentricity on the RISK graph (r7
+    # verdict stretch 7: GDS relationshipWeightProperty parity for the
+    # last hop-only centrality pair). Same exactness chain as
+    # closeness_weighted — engine-exact min-plus dists out of the one
+    # weighted multi-source frontier loop (dijkstra_sigma), per-term
+    # 1e6 fixed-point before the order-free integer sum, bit-exact MAX
+    # for eccentricity.
+    from eve_graph_spark.operators.graph_analytics import harmonic_centrality as hc
+
+    return hc(build_jumps(spark, sf_dir), weight_col="risk")
 
 
 # =========================================================================

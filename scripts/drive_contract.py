@@ -88,14 +88,23 @@ def main() -> int:
     if ONLY:
         qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
     failed = []
+    ledger: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        cols = df.columns
-        rows = [tuple(r) for r in df.collect()]
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as exc:
+            print(f"  {name:35s} ERROR {exc}")
+            failed.append(name)
+            ledger[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            continue
         took = time.time() - t0
         if name not in oracles:
             print(f"  {name:35s} rows-only: {len(rows)} rows [{took:.1f}s]")
+            ledger[name] = {"no_oracle": True, "spark_rows": len(rows),
+                            "err": None}
             continue
         opdf = con.execute(oracles[name]).fetchdf()
         ocols = list(opdf.columns)
@@ -105,6 +114,27 @@ def main() -> int:
         print(f"  {name:35s} {'OK ' if ok else 'MISMATCH'} rows={len(rows)}/{len(orows)} hash={sh}/{oh} [{took:.1f}s]")
         if not ok:
             failed.append(name)
+        ledger[name] = {
+            "rows_match": len(rows) == len(orows),
+            "schema_match": sorted(cols) == sorted(ocols),
+            "hash_match": sh == oh,
+            "spark_rows": len(rows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
+    # Self-recorded full-registry ledger (r7 verdict item 6): the grading
+    # driver samples ~50 queries per round, so most queries' last driver
+    # verdict can be rounds old. DRIVE_ARTIFACT=path writes the driver-
+    # format per-query verdicts for THIS checkout so every query has a
+    # current hash verdict regardless of sampling.
+    artifact = os.environ.get("DRIVE_ARTIFACT", "")
+    if artifact:
+        import json
+
+        Path(artifact).write_text(json.dumps(
+            {"sf_dir": SF_DIR, "n_queries": len(ledger),
+             "n_failed": len(failed), "queries": ledger}, indent=1) + "\n")
+        print(f"ledger -> {artifact} ({len(ledger)} queries, {len(failed)} failed)")
     print(f"{'FAIL: ' + ', '.join(failed) if failed else 'ALL MATCH'}")
     return 1 if failed else 0
 

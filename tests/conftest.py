@@ -26,3 +26,30 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMALL
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _reclaim_spark_blocks():
+    """Per-module block-manager hygiene for the shared session (r7 verdict
+    item 6): 550 tests in ONE session accumulate persisted projections,
+    localCheckpoint blocks, and broadcast variables faster than the JVM
+    GC-driven ContextCleaner reaps them — by minute ~40 the r7 suite hit a
+    broadcast OOM that no individual test reproduces. After each module,
+    drop every cached frame (the memoized graph fixtures re-persist
+    lazily on next use — they are 25-row frames, the rebuild is free) and
+    nudge the JVM so the cleaner processes the newly unreachable blocks.
+    """
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession._instantiatedSession  # don't CREATE one just to clean
+    if s is None:
+        return
+    try:
+        s.catalog.clearCache()
+        from eve_graph_spark.sources import graph_fixture
+
+        graph_fixture._FIXTURE_CACHE.clear()
+        s.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # a stopped/broken session must not fail unrelated modules

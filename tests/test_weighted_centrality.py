@@ -238,3 +238,66 @@ def test_weighted_closeness_landmarks_distributed(spark, sf_dir):
         ).collect()
     }
     assert dist == local
+
+
+# --- harmonic centrality / eccentricity (r7 stretch 7) ----------------------
+
+def test_harmonic_weighted_hand_graph(spark):
+    from eve_graph_spark.operators.graph_analytics import harmonic_centrality
+
+    # 0-(2)->1-(2)->2, plus 0-(5)->2: d(0,1)=2, d(0,2)=4, d(1,2)=2
+    e = _wedges(spark, [(0, 1, 2.0), (1, 2, 2.0), (0, 2, 5.0)])
+    rows = {
+        r["node"]: (r["harmonic"], r["eccentricity"])
+        for r in harmonic_centrality(e, src_col="src", dst_col="dst",
+                                     weight_col="w").collect()
+    }
+    assert rows[0] == (pytest.approx(0.75), pytest.approx(4.0))  # 1/2 + 1/4
+    assert rows[1] == (pytest.approx(0.5), pytest.approx(2.0))
+    assert rows[2] == (0.0, 0.0)  # sink: reaches only itself
+
+
+def test_harmonic_weighted_driver_distributed_parity(spark, sf_dir):
+    from eve_graph_spark.operators.graph_analytics import harmonic_centrality
+
+    jumps = build_jumps(spark, sf_dir)
+    lm = [0, 5, 13]
+    local = {
+        r["node"]: (r["harmonic"], r["eccentricity"])
+        for r in harmonic_centrality(jumps, weight_col="risk",
+                                     landmarks=lm).collect()
+    }
+    dist = {
+        r["node"]: (r["harmonic"], r["eccentricity"])
+        for r in harmonic_centrality(jumps, weight_col="risk", landmarks=lm,
+                                     driver_threshold=0).collect()
+    }
+    assert set(local) == set(lm)
+    assert dist == local  # bit-identical: same IEEE min-plus fixpoint
+
+
+def test_harmonic_unit_weights_match_hop_version(spark, sf_dir):
+    from eve_graph_spark.operators.graph_analytics import harmonic_centrality
+
+    jumps = build_jumps(spark, sf_dir).withColumn("__one", F.lit(1.0))
+    hop = {
+        r["node"]: (r["harmonic"], float(r["eccentricity"]))
+        for r in harmonic_centrality(jumps).collect()
+    }
+    unit = {
+        r["node"]: (r["harmonic"], float(r["eccentricity"]))
+        for r in harmonic_centrality(jumps, weight_col="__one").collect()
+    }
+    assert unit == hop
+
+
+def test_property_graph_harmonic(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    e = _wedges(spark, [(0, 1, 2.0), (1, 2, 2.0), (0, 2, 5.0)])
+    got = {
+        r["id"]: (r["harmonic"], r["eccentricity"])
+        for r in PropertyGraph(v, e).harmonicCentrality(weightCol="w").collect()
+    }
+    assert got[0] == (pytest.approx(0.75), pytest.approx(4.0))
