@@ -138,6 +138,7 @@ class GraphEngine:
             "system_id", risk_expr(F.col("kills"), F.col("jumps"), F.col("baseline")).alias("risk")
         )
         self.jumps = R.update_inbound_edge_risk(self.jumps, sys_risk)
+        self._gate_base = None  # full-table rewrite invalidates the poll split
         self.build_risk_projection()
         return self.jumps
 
@@ -149,6 +150,7 @@ class GraphEngine:
             "risk", F.lit(None).cast("double")
         ).select("src_system_id", "dst_system_id", "cost", "risk", "kind")
         self.jumps = R.upsert_edges_if_missing(self.jumps, gate_edges)
+        self._gate_base = None  # gate set changed — rebuild the poll split
         self.build_cost_projection()
         return self.jumps
 
@@ -166,6 +168,7 @@ class GraphEngine:
             F.lit("wormhole").alias("kind"),
         )
         self.jumps = R.upsert_edges_if_missing(self.jumps, R.bidirectional_edges(wh))
+        self._gate_base = None  # full rewrite — the poll split re-derives lazily
         self.build_cost_projection()
         return self.jumps
 
@@ -199,13 +202,50 @@ class GraphEngine:
             .select("system_id")
             .collect()
         ]
-        old_jumps = self.jumps
-        removed_keys = old_jumps.filter(
+        # Base/overlay split, built once and ANCHORED: gates are static
+        # across wormhole polls, wormholes churn. Every poll rebuilds
+        # only the delta-sized wormhole overlay (materialized eagerly —
+        # it is signature-batch-sized) and re-unions it onto the frozen
+        # gate base, so self.jumps stays at CONSTANT lineage depth. The
+        # first wiring (r7) layered left_anti+union directly on
+        # self.jumps per poll; scripts/measure_incremental_refresh.py
+        # measured the per-poll input rows growing QUADRATICALLY as each
+        # poll replayed every prior poll's chain — the classic immutable-
+        # table delta mistake. This is the in-memory analogue of a
+        # kind-partitioned stored table where the poll overwrites only
+        # the wormhole partition (SCALE.md "Incremental refresh").
+        if getattr(self, "_gate_base", None) is None:
+            self._gate_base = self.jumps.filter(
+                F.col("kind") != "wormhole"
+            ).localCheckpoint(eager=True)
+            self._wh_overlay = self.jumps.filter(
+                F.col("kind") == "wormhole"
+            ).localCheckpoint(eager=True)
+        # Removed pairs come from the CACHED projection, not the edge
+        # table (the cost projection covers every jump edge, so the two
+        # filters select the same pairs) — one cached scan, no upstream
+        # re-derivation.
+        old_proj = self.registry.get(SYSTEM_MAP)
+        removed_keys = old_proj.filter(
+            F.col("src").isin(reset_ids) | F.col("dst").isin(reset_ids)
+        ).select(
+            F.col("src").alias("src_system_id"), F.col("dst").alias("dst_system_id")
+        )
+        # Gate edges touching a reset system are none in practice (resets
+        # are wormhole-only systems) — probe the anchored base and, in
+        # the rare hit, patch and RE-ANCHOR it so the base never grows a
+        # lineage chain.
+        gate_hit = self._gate_base.filter(
             F.col("src_system_id").isin(reset_ids)
             | F.col("dst_system_id").isin(reset_ids)
-        ).select("src_system_id", "dst_system_id")
-        kept = old_jumps.join(
-            removed_keys, ["src_system_id", "dst_system_id"], "left_anti"
+        )
+        if gate_hit.limit(1).count():
+            self._gate_base = self._gate_base.join(
+                removed_keys, ["src_system_id", "dst_system_id"], "left_anti"
+            ).localCheckpoint(eager=True)
+        wh_kept = self._wh_overlay.filter(
+            ~(F.col("src_system_id").isin(reset_ids)
+              | F.col("dst_system_id").isin(reset_ids))
         )
         wh = R.filter_wormhole_signatures(signatures).select(
             F.col("in_system_id").alias("src_system_id"),
@@ -217,12 +257,18 @@ class GraphEngine:
         bi = R.bidirectional_edges(wh).dropDuplicates(
             ["src_system_id", "dst_system_id"]
         )
-        added = bi.join(
-            kept.select("src_system_id", "dst_system_id"),
-            ["src_system_id", "dst_system_id"],
-            "left_anti",
+        # "Newly missing" check against a PRUNED slice of the base (the
+        # signature batch's src-id set pushes down) plus the tiny overlay
+        # — candidate rows only, never the full table.
+        bi_srcs = [r["src_system_id"] for r in bi.select("src_system_id").collect()]
+        cand = (
+            self._gate_base.filter(F.col("src_system_id").isin(bi_srcs))
+            .select("src_system_id", "dst_system_id")
+            .unionByName(wh_kept.select("src_system_id", "dst_system_id"))
         )
-        self.jumps = kept.unionByName(added)
+        added = bi.join(cand, ["src_system_id", "dst_system_id"], "left_anti")
+        self._wh_overlay = wh_kept.unionByName(added).localCheckpoint(eager=True)
+        self.jumps = self._gate_base.unionByName(self._wh_overlay)
         self.registry.apply_delta(
             SYSTEM_MAP, added, removed_keys, "cost", stats_out=stats_out
         )

@@ -142,11 +142,13 @@ class ProjectionRegistry:
         old = self._graphs[name]
         cur = old
         n_removed = n_added = 0
+        want_stats = stats_out is not None
         if removed_keys is not None:
             rk = removed_keys.select(
                 F.col("src_system_id").alias("__rs"), F.col("dst_system_id").alias("__rd")
             )
-            n_removed = rk.count()
+            if want_stats:  # each count is an extra job over the delta side
+                n_removed = rk.count()
             cur = cur.join(
                 F.broadcast(rk),
                 (cur["src"] == F.col("__rs")) & (cur["dst"] == F.col("__rd")),
@@ -158,7 +160,8 @@ class ProjectionRegistry:
                 F.col("dst_system_id").alias("dst"),
                 F.col(weight_col).cast("double").alias("weight"),
             )
-            n_added = add.count()
+            if want_stats:
+                n_added = add.count()
             cur = cur.unionByName(add)
         n_since = self._deltas_since_anchor.get(name, 0) + 1
         if n_since >= self.CHECKPOINT_EVERY_DELTAS:
