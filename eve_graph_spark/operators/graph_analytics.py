@@ -1563,3 +1563,270 @@ def betweenness_centrality(edges: DataFrame, src_col: str = "src_system_id",
         .join(all_nodes, "node", "right")
         .select("node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
     )
+
+
+# --- deterministic random walks (node2vec-style sampling) --------------------
+
+RW_MOD = 1_000_000_007
+RW_KNUTH = 2_654_435_761
+RW_WALK_MIX = 1_000_003
+RW_STEP_MIX = 10_007
+
+
+def _rw_score_expr(walk_id, step: int, dst):
+    """Portable walk-choice score: pure BIGINT arithmetic both Spark and
+    DuckDB execute identically. The inner mix is reduced mod RW_MOD before
+    the Knuth multiply so the product stays < 2^62 (DuckDB raises on BIGINT
+    overflow; Spark would silently wrap) for any node/walk id < RW_MOD."""
+    inner = (walk_id * F.lit(RW_WALK_MIX) + F.lit(step * RW_STEP_MIX) + dst + F.lit(1)) % F.lit(RW_MOD)
+    return (inner * F.lit(RW_KNUTH)) % F.lit(RW_MOD)
+
+
+def rw_score_sql(walk_id: str, step: int, dst: str) -> str:
+    """The DuckDB twin of _rw_score_expr (kept adjacent so they move in
+    lockstep; tests compare the two on the fixture graph)."""
+    return (
+        f"((({walk_id}) * {RW_WALK_MIX} + {step * RW_STEP_MIX} + ({dst}) + 1) "
+        f"% {RW_MOD}) * {RW_KNUTH} % {RW_MOD}"
+    )
+
+
+def random_walks(edges: DataFrame, walks_per_node: int = 2, steps: int = 4,
+                 nodes: DataFrame | None = None,
+                 src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+                 driver_threshold: int = DRIVER_MAX_EDGES,
+                 checkpoint_every: int = 4) -> DataFrame:
+    """Deterministic random-walk corpus: (walk_id, step, node), one row per
+    visited position — the sampling kernel under node2vec/DeepWalk-style
+    graph-embedding training data (the reference has no walk API; this is
+    north-star graph-ML surface).
+
+    "Random" is a seeded portable hash, not an RNG: at step i the walker at
+    u moves to the out-neighbor v minimizing (score(walk_id, i, v), v).
+    That makes the corpus (a) reproducible across runs/engines — the DuckDB
+    oracle replays it bit-for-bit — and (b) diverse across walks and steps,
+    since walk_id and step both mix into the score. Walks stop early at
+    sink nodes (no out-edges): the inner frontier join simply drops them.
+
+    Scale: the frontier is (walk_id, node) — constant width, one row per
+    LIVE walk; each step is one join keyed on node (co-located when the
+    edge table is bucketed by src, SCALE.md) plus one per-walk min-agg with
+    map-side partial min. Nothing walk-length-quadratic, no text/payload
+    moves. Total cost = steps × (frontier ⋈ edges). Driver path below the
+    threshold replays the identical arithmetic in Python.
+    """
+    e = _edge_frame(edges, src_col, dst_col).distinct()
+    spark = e.sparkSession
+    if nodes is None:
+        nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct().select(
+            F.col("src").alias("node")
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+
+    if _fits_driver(e, driver_threshold):
+        adj: dict[int, list[int]] = {}
+        for r in e.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        out_rows: list[tuple[int, int, int]] = []
+        for n in sorted(r["node"] for r in nodes.collect()):
+            for rep in range(walks_per_node):
+                wid = n * walks_per_node + rep
+                cur = n
+                out_rows.append((wid, 0, cur))
+                for i in range(1, steps + 1):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    cur = min(
+                        nbrs,
+                        key=lambda v: (
+                            ((wid * RW_WALK_MIX + i * RW_STEP_MIX + v + 1) % RW_MOD)
+                            * RW_KNUTH % RW_MOD,
+                            v,
+                        ),
+                    )
+                    out_rows.append((wid, i, cur))
+        return spark.createDataFrame(
+            out_rows, "walk_id long, step int, node long"
+        )
+
+    reps = spark.range(walks_per_node).select(F.col("id").alias("rep"))
+    cur = nodes.crossJoin(F.broadcast(reps)).select(
+        (F.col("node") * walks_per_node + F.col("rep")).alias("walk_id"), "node"
+    )
+    outs = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")]
+    for i in range(1, steps + 1):
+        cand = cur.join(e, cur.node == e.src).select(
+            "walk_id",
+            F.col("dst"),
+            _rw_score_expr(F.col("walk_id"), i, F.col("dst")).alias("score"),
+        )
+        cur = (
+            cand.groupBy("walk_id")
+            .agg(F.min(F.struct("score", "dst")).alias("best"))
+            .select("walk_id", F.col("best.dst").alias("node"))
+        )
+        if i % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        outs.append(cur.select("walk_id", F.lit(i).cast("int").alias("step"), "node"))
+    result = outs[0]
+    for df in outs[1:]:
+        result = result.unionByName(df)
+    return result
+
+
+# --- articulation points / bridges (chokepoint analysis) ---------------------
+
+def _exclusion_reach(e: DataFrame, seeds: DataFrame, key_cols: list[str],
+                     edge_filter, max_iterations: int,
+                     checkpoint_every: int = 3) -> DataFrame:
+    """Shared kernel: per exclusion key, the set of nodes reachable from the
+    seed when `edge_filter(reached, e)` prunes forbidden edges. One frontier
+    DataFrame keyed by the exclusion key runs ALL exclusion scenarios as one
+    superstep loop (the multi_source_sssp trick) instead of |keys| serial
+    BFS jobs. Returns (key_cols..., node) distinct rows."""
+    reached = seeds
+    prev = -1
+    for it in range(max_iterations):
+        joined = reached.join(e, reached.node == e.src)
+        new = joined.filter(edge_filter).select(*key_cols, F.col("dst").alias("node"))
+        merged = reached.union(new).distinct().localCheckpoint(eager=True)
+        cnt = merged.count()
+        if cnt == prev:
+            break
+        prev = cnt
+        reached = merged
+    return reached
+
+
+def articulation_points(edges: DataFrame, src_col: str = "src_system_id",
+                        dst_col: str = "dst_system_id",
+                        candidates: DataFrame | None = None,
+                        max_iterations: int = 60,
+                        driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """(node, reached, is_articulation) over a CONNECTED undirected graph
+    (directed-symmetric edge list; symmetrized defensively here): node v is
+    an articulation point (chokepoint system) iff removing it disconnects
+    the graph — the single-point-of-failure set of a route network.
+
+    Semantics via exclusion-BFS: for each candidate v, BFS from the minimum
+    surviving node over G−v; v articulates iff it reaches < |V|−1 nodes.
+    That definition is brute-force but embarrassingly parallel: ALL |V|
+    scenarios run as ONE (ex, node)-keyed frontier loop of O(diameter)
+    supersteps — total work O(V·E), the honest cost of the definition,
+    fine for dimension-sized route graphs (EVE: ~8k systems; here: 25).
+    At 100 TB-edge graphs pass `candidates` (e.g. high-betweenness nodes
+    only) — Tarjan's O(V+E) DFS is inherently sequential and only wins
+    when the graph fits one machine, which is exactly the driver path.
+    """
+    e = _star_symmetrize(_edge_frame(edges, src_col, dst_col))
+    spark = e.sparkSession
+
+    if _fits_driver(e, driver_threshold) and candidates is None:
+        adj: dict[int, set[int]] = {}
+        for r in e.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+            adj.setdefault(r["dst"], set()).add(r["src"])
+        all_nodes = sorted(adj)
+        n = len(all_nodes)
+        rows = []
+        for ex in all_nodes:
+            start = next(x for x in all_nodes if x != ex)
+            seen = {start}
+            stack = [start]
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if v != ex and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            rows.append((ex, len(seen), int(len(seen) < n - 1)))
+        return spark.createDataFrame(rows, "node long, reached long, is_articulation int")
+
+    nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct().select(
+        F.col("src").alias("node")
+    ).persist()
+    n = nodes.count()
+    two_min = [r["node"] for r in nodes.orderBy("node").limit(2).collect()]
+    m0, m1 = two_min[0], two_min[1]
+    cand = nodes if candidates is None else candidates.select(
+        F.col(candidates.columns[0]).cast("long").alias("node")
+    )
+    seeds = cand.select(
+        F.col("node").alias("ex"),
+        F.when(F.col("node") == m0, F.lit(m1)).otherwise(F.lit(m0)).alias("node"),
+    )
+    reached = _exclusion_reach(
+        e, seeds, ["ex"], F.col("dst") != F.col("ex"), max_iterations
+    )
+    out = (
+        reached.groupBy("ex")
+        .agg(F.count(F.lit(1)).alias("reached"))
+        .select(
+            F.col("ex").alias("node"),
+            F.col("reached"),
+            (F.col("reached") < F.lit(n - 1)).cast("int").alias("is_articulation"),
+        )
+    )
+    nodes.unpersist()
+    return out
+
+
+def bridges(edges: DataFrame, src_col: str = "src_system_id",
+            dst_col: str = "dst_system_id", max_iterations: int = 60,
+            driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """(src, dst, reached, is_bridge) per undirected edge (src < dst) of a
+    CONNECTED graph: the edge is a bridge (chokepoint gate) iff removing it
+    disconnects the graph. Same exclusion-BFS design as articulation_points
+    — all |E| scenarios ride one (a, b, node)-keyed frontier loop; total
+    work O(E²) worst case, the candidate set to pass at scale is the
+    spanning-tree edges (non-tree edges are never bridges)."""
+    e = _star_symmetrize(_edge_frame(edges, src_col, dst_col))
+    spark = e.sparkSession
+    if _fits_driver(e, driver_threshold):
+        adj: dict[int, set[int]] = {}
+        for r in e.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+            adj.setdefault(r["dst"], set()).add(r["src"])
+        all_nodes = sorted(adj)
+        n = len(all_nodes)
+        start = all_nodes[0]
+        pairs = sorted({(min(a, b), max(a, b)) for a in adj for b in adj[a]})
+        rows = []
+        for a, b in pairs:
+            seen = {start}
+            stack = [start]
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if (u, v) in ((a, b), (b, a)) or v in seen:
+                        continue
+                    seen.add(v)
+                    stack.append(v)
+            rows.append((a, b, len(seen), int(len(seen) < n)))
+        return spark.createDataFrame(
+            rows, "src long, dst long, reached long, is_bridge int"
+        )
+
+    nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
+    n = nodes.count()
+    m0 = nodes.agg(F.min("src").alias("m")).collect()[0]["m"]
+    pairs = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    seeds = pairs.select("a", "b", F.lit(m0).cast("long").alias("node"))
+    not_excluded = ~(
+        ((F.col("src") == F.col("a")) & (F.col("dst") == F.col("b")))
+        | ((F.col("src") == F.col("b")) & (F.col("dst") == F.col("a")))
+    )
+    reached = _exclusion_reach(e, seeds, ["a", "b"], not_excluded, max_iterations)
+    return (
+        reached.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("reached"))
+        .select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "reached",
+            (F.col("reached") < F.lit(n)).cast("int").alias("is_bridge"),
+        )
+    )

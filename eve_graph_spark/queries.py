@@ -22,6 +22,7 @@ from eve_graph_spark.operators import relational as R
 from eve_graph_spark.operators.dedup import portable_band_buckets_sql
 from eve_graph_spark.operators.graph import sssp
 from eve_graph_spark.sources.graph_fixture import (
+    CHOKE_SQL_CTE,
     GRAPH_SQL_CTE,
     build_jumps,
     build_systems,
@@ -98,12 +99,12 @@ def _correctness_tiers(root=None) -> dict[str, int]:
 # into the driver window right after the never-checked tier, so changed code
 # is always externally re-verified in the round it changes (ADVICE r2).
 _MODIFIED_THIS_ROUND = {
-    # r7: CC algorithm selection default moved to "auto" (driver-path
-    # results identical; forced back into the window as a safety check
-    # on every query whose pipeline embeds a CC stage)
-    "connected_components",
-    "dedup_pipeline_documents",
-    "dedup_survivors_quality",
+    # r8: registered plan changed — safest_route_path now walks the guarded
+    # reconstruct_path; ann_ivf_pq_topk materializes its narrow PQ index
+    # once (scan-budget fix). Results should be identical; forced back into
+    # the driver window for external re-verification.
+    "safest_route_path",
+    "ann_ivf_pq_topk",
 }
 
 
@@ -6001,3 +6002,145 @@ def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return duplicate_spans(docs, ngram=5, digest_hex_chars=14)
+
+
+# =========================================================================
+# Round 8: graph-ML sampling + chokepoint (single-point-of-failure) analysis.
+# random_walks feeds node2vec/DeepWalk-style embedding training; the
+# chokepoint pair answers "which systems/gates must not fall" — the route-
+# robustness question a navigation engine (reference's domain) gets asked.
+# All three are exact integer/count arithmetic, so the oracles replay them
+# bit-for-bit.
+# =========================================================================
+
+def _random_walk_oracle_sql(steps: int, walks_per_node: int) -> str:
+    """Unrolled walk replay: one (candidates, min-score, pick) CTE triple per
+    step — recursive CTEs can't host the per-step argmin aggregate, and with
+    4 steps unrolling is smaller than the workaround. Scoring is
+    graph_analytics.rw_score_sql, the committed twin of _rw_score_expr."""
+    from eve_graph_spark.operators.graph_analytics import rw_score_sql
+
+    reps = " UNION ALL ".join(f"SELECT {r} AS r" for r in range(walks_per_node))
+    parts = [
+        f"""rw_s0 AS (
+            SELECT CAST(system_id * {walks_per_node} + r.r AS BIGINT) AS walk_id,
+                   system_id AS node
+            FROM fix_systems CROSS JOIN ({reps}) r
+        )"""
+    ]
+    for i in range(1, steps + 1):
+        score = rw_score_sql("w.walk_id", i, "e.dst_system_id")
+        parts.append(
+            f"""rw_c{i} AS (
+            SELECT w.walk_id, CAST(e.dst_system_id AS BIGINT) AS dst, {score} AS score
+            FROM rw_s{i - 1} w JOIN fix_jumps e ON e.src_system_id = w.node
+        )"""
+        )
+        parts.append(
+            f"rw_m{i} AS (SELECT walk_id, MIN(score) AS ms FROM rw_c{i} GROUP BY walk_id)"
+        )
+        parts.append(
+            f"""rw_s{i} AS (
+            SELECT c.walk_id, MIN(c.dst) AS node
+            FROM rw_c{i} c JOIN rw_m{i} m ON m.walk_id = c.walk_id AND c.score = m.ms
+            GROUP BY c.walk_id
+        )"""
+        )
+    final = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({i} AS INTEGER) AS step, node FROM rw_s{i}"
+        for i in range(steps + 1)
+    )
+    return ", " + ",\n".join(parts) + "\n" + final
+
+
+@register("random_walks", _graph_cte(_random_walk_oracle_sql(steps=4, walks_per_node=2)))
+def random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Graph-embedding training corpus: 2 walks × 4 steps from every system,
+    # next hop = argmin of a seeded portable hash over out-neighbors
+    # (reproducible "randomness" both engines replay exactly). The frontier
+    # carries (walk_id, node) only — one join per step, co-located when the
+    # edge table is bucketed by src (SCALE.md). Distributed/driver parity
+    # is pinned in tests/test_round8_ops.py.
+    from eve_graph_spark.operators.graph_analytics import random_walks as rw
+
+    jumps = build_jumps(spark, sf_dir)
+    systems = build_systems(spark, sf_dir)
+    return rw(jumps, walks_per_node=2, steps=4, nodes=systems.select("system_id"))
+
+
+_CHOKE_ORACLE_BODY = """
+, {choke}
+, ap_seeds AS (
+    SELECT v.system_id AS ex, MIN(s.system_id) AS start
+    FROM fix_systems v JOIN fix_systems s ON s.system_id <> v.system_id
+    GROUP BY v.system_id
+),
+ap_reach(ex, node) AS (
+    SELECT ex, start FROM ap_seeds
+    UNION
+    SELECT r.ex, e.dst
+    FROM ap_reach r JOIN fix_choke e ON e.src = r.node
+    WHERE e.dst <> r.ex
+)
+SELECT ex AS system_id, COUNT(*) AS reached,
+       CAST(COUNT(*) < (SELECT COUNT(*) FROM fix_systems) - 1 AS INTEGER) AS is_articulation
+FROM ap_reach GROUP BY ex
+"""
+
+
+@register(
+    "chokepoint_systems",
+    _graph_cte(_CHOKE_ORACLE_BODY.format(choke=CHOKE_SQL_CTE)),
+)
+def chokepoint_systems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Articulation points of the hub-tree+wormholes subgraph (the full
+    # fixture ring is 2-connected — degenerate for this analysis; the
+    # chokepoint fixture provably yields the 5 region hubs, see
+    # graph_fixture.py). Exclusion-BFS: all |V| remove-one scenarios run as
+    # ONE (ex, node)-keyed frontier loop; the oracle replays it with a
+    # single multi-key recursive CTE. reached counts are exact integers.
+    from eve_graph_spark.operators.graph_analytics import articulation_points
+    from eve_graph_spark.sources.graph_fixture import build_choke_edges
+
+    choke = build_choke_edges(spark, sf_dir)
+    return articulation_points(choke, src_col="src", dst_col="dst").select(
+        F.col("node").alias("system_id"), "reached", "is_articulation"
+    )
+
+
+_BRIDGE_ORACLE_BODY = """
+, {choke}
+, br_pairs AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM fix_choke
+),
+br_reach(a, b, node) AS (
+    SELECT a, b, (SELECT MIN(system_id) FROM fix_systems) FROM br_pairs
+    UNION
+    SELECT r.a, r.b, e.dst
+    FROM br_reach r JOIN fix_choke e ON e.src = r.node
+    WHERE NOT ((e.src = r.a AND e.dst = r.b) OR (e.src = r.b AND e.dst = r.a))
+)
+SELECT a AS src_system_id, b AS dst_system_id, COUNT(*) AS reached,
+       CAST(COUNT(*) < (SELECT COUNT(*) FROM fix_systems) AS INTEGER) AS is_bridge
+FROM br_reach GROUP BY a, b
+"""
+
+
+@register(
+    "bridge_gates",
+    _graph_cte(_BRIDGE_ORACLE_BODY.format(choke=CHOKE_SQL_CTE)),
+)
+def bridge_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bridge edges of the chokepoint subgraph: every gate off the single
+    # wormhole cycle (21 of 25 — a mixed signal, not a degenerate
+    # all-or-nothing; see graph_fixture.py). Same exclusion-BFS kernel as
+    # chokepoint_systems, keyed by the undirected edge pair instead of the
+    # excluded vertex.
+    from eve_graph_spark.operators.graph_analytics import bridges
+    from eve_graph_spark.sources.graph_fixture import build_choke_edges
+
+    choke = build_choke_edges(spark, sf_dir)
+    return bridges(choke, src_col="src", dst_col="dst").select(
+        F.col("src").alias("src_system_id"), F.col("dst").alias("dst_system_id"),
+        "reached", "is_bridge",
+    )

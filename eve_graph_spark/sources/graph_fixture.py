@@ -240,3 +240,78 @@ fix_jumps AS (
     FROM fix_edges_base e JOIN fix_sys_risk r USING (dst_system_id)
 )
 """
+
+
+# --- chokepoint subgraph ------------------------------------------------------
+# The full fixture graph is 2-edge-connected (the ring is a Hamiltonian
+# cycle), so articulation/bridge analysis on it is degenerate (all-zero).
+# The chokepoint fixture drops the ring: region-hub stars + a chain joining
+# consecutive hubs + the two wormhole shortcuts. That is a tree plus (at
+# most) two chords — the hubs are exactly the articulation points (every
+# hub keeps at least one pure-leaf child), and every edge NOT on a wormhole
+# cycle is a bridge. On the driver's nation table (region = nationkey % 5:
+# hubs 0..4), wormhole (2,17) coincides with 17's own leaf gate and dedups
+# away; (5,21) creates the single cycle 5-0-1-21-5, leaving 21 of 25
+# undirected gates as bridges. tests/test_round8_ops.py pins both claims
+# against an independent brute force.
+
+
+def build_choke_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-symmetric chokepoint edge list: (src, dst)."""
+    return _memo(spark, "choke", sf_dir, lambda: _build_choke_edges(spark, sf_dir))
+
+
+def _build_choke_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_regionkey").cast("long").alias("r"),
+    )
+    hubs = nation.groupBy("r").agg(F.min("k").alias("hub"))
+    leaf = (
+        nation.join(F.broadcast(hubs), "r")
+        .where(F.col("k") != F.col("hub"))
+        .select(F.col("k").alias("src"), F.col("hub").alias("dst"))
+    )
+    # consecutive-by-id hub chain; the rank window is over |regions| rows
+    hub_rank = hubs.select("hub", F.row_number().over(Window.orderBy("hub")).alias("rk"))
+    chain = (
+        hub_rank.alias("a")
+        .join(hub_rank.alias("b"), F.col("b.rk") == F.col("a.rk") + 1)
+        .select(F.col("a.hub").alias("src"), F.col("b.hub").alias("dst"))
+    )
+    worm = spark.createDataFrame(list(WORMHOLE_PAIRS), "src long, dst long")
+    fwd = leaf.union(chain).union(worm)
+    return (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+CHOKE_SQL_CTE = """
+choke_hubs AS (
+    SELECT n_regionkey AS r, MIN(n_nationkey) AS hub FROM nation GROUP BY n_regionkey
+),
+choke_leaf AS (
+    SELECT CAST(n.n_nationkey AS BIGINT) AS src, CAST(h.hub AS BIGINT) AS dst
+    FROM nation n JOIN choke_hubs h ON n.n_regionkey = h.r
+    WHERE n.n_nationkey <> h.hub
+),
+choke_rank AS (SELECT hub, ROW_NUMBER() OVER (ORDER BY hub) AS rk FROM choke_hubs),
+choke_chain AS (
+    SELECT CAST(a.hub AS BIGINT) AS src, CAST(b.hub AS BIGINT) AS dst
+    FROM choke_rank a JOIN choke_rank b ON b.rk = a.rk + 1
+),
+choke_fwd AS (
+    SELECT src, dst FROM choke_leaf
+    UNION ALL SELECT src, dst FROM choke_chain
+    UNION ALL SELECT src, dst
+    FROM (VALUES (CAST(2 AS BIGINT), CAST(17 AS BIGINT)), (5, 21)) AS w(src, dst)
+),
+fix_choke AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM choke_fwd UNION ALL SELECT dst AS src, src AS dst FROM choke_fwd
+    )
+)
+"""

@@ -1,0 +1,210 @@
+"""Round-8 operators: deterministic random walks + chokepoint analysis
+(articulation points / bridges via exclusion-BFS).
+
+Contracts under test:
+- the portable-hash walk is a VALID walk (every consecutive pair is an
+  edge) and the distributed frontier loop is bit-identical to the driver
+  replay;
+- the chokepoint fixture's provable structure holds: exactly the 5 region
+  hubs articulate, exactly the 16 pure-leaf gates are bridges;
+- the full fixture graph (Hamiltonian ring) is 2-connected: no
+  articulation points, no bridges — the degenerate case stays degenerate;
+- exclusion scenarios run as ONE keyed frontier loop (supersteps bounded
+  by diameter, not |V|·diameter).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eve_graph_spark.operators.graph_analytics import (
+    articulation_points,
+    bridges,
+    random_walks,
+)
+from eve_graph_spark.sources.graph_fixture import (
+    build_choke_edges,
+    build_jumps,
+    build_systems,
+)
+
+# The driver's synthetic nation table assigns region = nationkey % 5, so
+# region hubs (min key per region) are 0..4. Wormhole (2,17) coincides with
+# 17's leaf gate (17 % 5 == 2) and adds nothing after dedup; wormhole (5,21)
+# creates the single cycle 5-0-1-21-5 — its 4 edges are the only non-bridges.
+HUBS = {0, 1, 2, 3, 4}
+CYCLE_EDGES = {(0, 1), (0, 5), (1, 21), (5, 21)}
+
+
+@pytest.fixture(scope="module")
+def choke(spark, sf_dir):
+    return build_choke_edges(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def jumps(spark, sf_dir):
+    return build_jumps(spark, sf_dir)
+
+
+# --- chokepoint semantics -----------------------------------------------------
+
+def test_articulation_points_are_exactly_the_hubs(choke):
+    rows = articulation_points(choke, src_col="src", dst_col="dst").collect()
+    assert len(rows) == 25
+    arts = {r["node"] for r in rows if r["is_articulation"] == 1}
+    assert arts == HUBS
+    # a non-articulation removal keeps everyone else reachable: n-1 = 24
+    for r in rows:
+        assert r["reached"] == 24 if r["is_articulation"] == 0 else r["reached"] < 24
+
+
+def test_bridges_are_everything_off_the_wormhole_cycle(choke):
+    rows = bridges(choke, src_col="src", dst_col="dst").collect()
+    got = {(r["src"], r["dst"]) for r in rows if r["is_bridge"] == 1}
+    all_pairs = {
+        (min(a, b), max(a, b))
+        for a, b in [(r["src"], r["dst"]) for r in choke.collect()]
+    }
+    assert got == all_pairs - CYCLE_EDGES
+    assert len(all_pairs) == 25 and len(got) == 21
+    # independent brute-force check: python BFS over G-e per edge
+    adj: dict[int, set[int]] = {}
+    for a, b in all_pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    for a, b in all_pairs:
+        seen, stack = {0}, [0]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if (u, v) in ((a, b), (b, a)) or v in seen:
+                    continue
+                seen.add(v)
+                stack.append(v)
+        assert (len(seen) < n) == ((a, b) in got), (a, b)
+
+
+def test_full_ring_graph_is_two_connected(jumps):
+    """The Hamiltonian ring makes the full fixture 2-connected: removing
+    any single system or gate cannot disconnect it."""
+    ap = articulation_points(jumps).collect()
+    assert all(r["is_articulation"] == 0 for r in ap)
+    br = bridges(jumps).collect()
+    assert all(r["is_bridge"] == 0 for r in br)
+
+
+# --- driver vs distributed parity ----------------------------------------------
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_articulation_distributed_matches_driver(choke):
+    drv = articulation_points(choke, src_col="src", dst_col="dst")
+    dist = articulation_points(choke, src_col="src", dst_col="dst", driver_threshold=0)
+    assert _sorted_rows(drv) == _sorted_rows(dist)
+
+
+def test_bridges_distributed_matches_driver(choke):
+    drv = bridges(choke, src_col="src", dst_col="dst")
+    dist = bridges(choke, src_col="src", dst_col="dst", driver_threshold=0)
+    assert _sorted_rows(drv) == _sorted_rows(dist)
+
+
+def test_random_walks_distributed_matches_driver(jumps, spark, sf_dir):
+    nodes = build_systems(spark, sf_dir).select("system_id")
+    drv = random_walks(jumps, walks_per_node=2, steps=4, nodes=nodes)
+    dist = random_walks(
+        jumps, walks_per_node=2, steps=4, nodes=nodes, driver_threshold=0
+    )
+    assert _sorted_rows(drv) == _sorted_rows(dist)
+
+
+# --- walk validity --------------------------------------------------------------
+
+def test_random_walks_are_valid_walks(jumps, spark, sf_dir):
+    nodes = build_systems(spark, sf_dir).select("system_id")
+    walks = random_walks(jumps, walks_per_node=2, steps=4, nodes=nodes)
+    rows = walks.collect()
+    edge_set = {(r["src_system_id"], r["dst_system_id"]) for r in jumps.collect()}
+    by_walk: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    # 25 systems x 2 walks, every node has out-edges -> full-length walks
+    assert len(by_walk) == 50
+    for wid, steps in by_walk.items():
+        assert sorted(steps) == [0, 1, 2, 3, 4]
+        assert steps[0] == wid // 2  # walk starts at its seed system
+        for i in range(4):
+            assert (steps[i], steps[i + 1]) in edge_set, (wid, i)
+
+
+def test_random_walks_diverge_across_replicates(jumps, spark, sf_dir):
+    """walk_id mixes into the score, so the two walks from the same seed
+    should not be identical for EVERY seed (expected: most diverge)."""
+    nodes = build_systems(spark, sf_dir).select("system_id")
+    rows = random_walks(jumps, walks_per_node=2, steps=4, nodes=nodes).collect()
+    by_walk: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["walk_id"], r["step"])):
+        by_walk.setdefault(r["walk_id"], []).append(r["node"])
+    diverged = sum(
+        1 for seed in range(25) if by_walk[seed * 2] != by_walk[seed * 2 + 1]
+    )
+    assert diverged >= 20
+
+
+def test_random_walks_stop_at_sinks(spark):
+    """A node with no out-edges ends the walk early (shorter row set, no
+    nulls, no self-loops invented)."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src_system_id long, dst_system_id long"
+    )
+    rows = random_walks(e, walks_per_node=1, steps=4).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    # node 3 is a sink: its walk is just step 0; node 2 reaches 3 then stops
+    assert set(by_walk[3]) == {0}
+    assert by_walk[2] == {0: 2, 1: 3}
+    assert by_walk[1] == {0: 1, 1: 2, 2: 3}
+    # distributed path agrees on the ragged shape
+    dist = random_walks(e, walks_per_node=1, steps=4, driver_threshold=0).collect()
+    assert sorted(tuple(r) for r in dist) == sorted(tuple(r) for r in rows)
+
+
+def test_exclusion_bfs_superstep_bound(choke):
+    """All 25 exclusion scenarios ride one frontier loop: the iteration
+    count is bounded by the worst-case G-v diameter (+1 fixpoint probe),
+    NOT 25x anything. The choke graph's diameter is ~6 (leaf-hub-chain-
+    hub-leaf); removing a chain hub forces the wormhole detour, ~9."""
+    from unittest.mock import patch
+
+    from eve_graph_spark.operators import graph_analytics as ga
+
+    calls = {"n": 0}
+    orig = ga._exclusion_reach
+
+    def counting(e, seeds, key_cols, edge_filter, max_iterations, checkpoint_every=3):
+        reached = seeds
+        prev = -1
+        for it in range(max_iterations):
+            joined = reached.join(e, reached.node == e.src)
+            new = joined.filter(edge_filter).select(
+                *key_cols, ga.F.col("dst").alias("node")
+            )
+            merged = reached.union(new).distinct().localCheckpoint(eager=True)
+            cnt = merged.count()
+            calls["n"] = it + 1
+            if cnt == prev:
+                break
+            prev = cnt
+            reached = merged
+        return reached
+
+    with patch.object(ga, "_exclusion_reach", side_effect=counting) as m:
+        articulation_points(
+            choke, src_col="src", dst_col="dst", driver_threshold=0
+        ).collect()
+        assert m.called
+    assert calls["n"] <= 14
