@@ -1,0 +1,152 @@
+"""Distributed k-means (Lloyd's) over embedding columns.
+
+The clustering-as-product operator (SemDeDup-style cluster-then-curate,
+diversity balancing, IVF cell design): assignments over the FULL corpus,
+not a driver-sample fit like ivf_topk's internal trainer (similarity.py).
+
+Execution design for 100 TB:
+- assignment is scan-side: centroids are k·dim literals baked into a
+  whole-stage-codegen expression (k and dim are model-sized, never
+  data-sized) — zero shuffle, zero Python;
+- the update step is ONE (cluster, dim)-keyed shuffle carrying partial
+  integer sums — k·dim cells regardless of corpus size;
+- centroids round-trip through the driver between iterations (k·dim longs
+  — the classic parameter-server step; the DATA never moves);
+- everything is integer fixed-point (floor(x·1e6+0.5) per element, exact
+  integer distance sums, one double division per centroid cell with a
+  deterministic round-half-up), so a SQL oracle replays assignments
+  bit-for-bit and results are cluster-size independent of partitioning.
+
+Reference parity note: the reference engine (madmikeross/eve-graph) has no
+clustering surface; this is north-star LLM-pipeline scope (SURVEY.md §2
+"beyond the reference" lane), same as the dedup/ANN family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KM_FP = 1_000_000  # element fixed point: |x| <= ~2k after scaling fits long
+
+
+def _fixed_vec(col: Column) -> Column:
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * KM_FP + F.lit(0.5)).cast("long")
+    )
+
+
+def _dist_expr(fixed_col: Column, centroid: list[int]) -> Column:
+    """Exact integer squared L2 distance to one centroid (fixed-point)."""
+    cvec = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(fixed_col, cvec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_expr(fixed_col: Column, centroids: dict[int, list[int]], k: int) -> Column:
+    """argmin cluster with lowest-index tie-break: min over c of
+    (dist_c * k + c), decoded mod k. dist <= dim·(2·FP)² keeps the encode
+    far below 2^63 for any realistic dim/k."""
+    scores = [
+        (_dist_expr(fixed_col, vec) * F.lit(k) + F.lit(c)).cast("long")
+        for c, vec in sorted(centroids.items())
+    ]
+    return (F.least(*scores) % F.lit(k)).cast("int")
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 4, iterations: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int = 64) -> DataFrame:
+    """(id, cluster) after `iterations` Lloyd rounds from a deterministic
+    init (the k smallest ids' vectors; cluster index = id rank). Fixed
+    iteration count, not convergence-tested: the oracle must replay the
+    exact schedule, and production corpus-clustering runs are budgeted in
+    rounds anyway. Rows with NULL/wrong-arity vectors are dropped (same
+    guard as label_centroids)."""
+    emb = embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
+        F.col(id_col).cast("long").alias("id"), _fixed_vec(F.col(vec_col)).alias("fv")
+    )
+
+    init_rows = emb.orderBy("id").limit(k).collect()
+    centroids: dict[int, list[int]] = {
+        c: list(r["fv"]) for c, r in enumerate(init_rows)
+    }
+
+    assigned = None
+    for it in range(iterations):
+        assigned = emb.select("id", "fv", _assign_expr(F.col("fv"), centroids, k).alias("cluster"))
+        if it == iterations - 1:
+            break  # the last round's update would be dead work
+        # update: one (cluster, idx) shuffle of partial sums; the division
+        # and floor run engine-side so the collected longs are the same
+        # IEEE results the oracle computes
+        cent_rows = (
+            assigned.select("cluster", F.posexplode("fv").alias("idx", "v"))
+            .groupBy("cluster", "idx")
+            .agg(
+                F.floor(
+                    (F.lit(2.0) * F.sum("v") + F.count(F.lit(1)))
+                    / (F.lit(2.0) * F.count(F.lit(1)))
+                ).cast("long").alias("cv")
+            )
+            .collect()
+        )
+        new_cents: dict[int, list[int]] = {}
+        for r in cent_rows:
+            new_cents.setdefault(r["cluster"], [0] * dim)[r["idx"]] = r["cv"]
+        centroids = new_cents  # empty clusters drop out; argmin skips them
+    return assigned.select("id", "cluster")
+
+
+def kmeans_oracle_sql(k: int = 4, iterations: int = 2, dim: int = 64,
+                      table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """DuckDB replay of kmeans_assign: same init, same integer distance,
+    same argmin encode, same round-half-up centroid update — unrolled one
+    CTE block per iteration. Kept adjacent to the operator so the two move
+    in lockstep (the test suite runs both on the fixtures)."""
+    parts = [
+        f"""km_e AS (
+            SELECT {id_col} AS id, i - 1 AS idx,
+                   CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * {KM_FP} + 0.5) AS BIGINT) AS ev
+            FROM {table}, unnest(range(1, {dim + 1})) AS u(i)
+            WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}
+        )""",
+        f"""km_init AS (
+            SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS c
+            FROM (SELECT DISTINCT id FROM km_e ORDER BY id LIMIT {k})
+        )""",
+        """km_c0 AS (
+            SELECT i.c, e.idx, e.ev AS cv FROM km_init i JOIN km_e e ON e.id = i.id
+        )""",
+    ]
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"""km_d{it} AS (
+            SELECT e.id, c.c, SUM((e.ev - c.cv) * (e.ev - c.cv)) AS dist
+            FROM km_e e JOIN km_c{it - 1} c ON c.idx = e.idx
+            GROUP BY e.id, c.c
+        )"""
+        )
+        parts.append(
+            f"""km_a{it} AS (
+            SELECT id, CAST(MIN(dist * {k} + c) % {k} AS INTEGER) AS cluster
+            FROM km_d{it} GROUP BY id
+        )"""
+        )
+        if it < iterations:
+            parts.append(
+                f"""km_c{it} AS (
+                SELECT a.cluster AS c, e.idx,
+                       CAST(FLOOR((2.0 * SUM(e.ev) + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS cv
+                FROM km_a{it} a JOIN km_e e ON e.id = a.id
+                GROUP BY a.cluster, e.idx
+            )"""
+            )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT id AS {id_col}, cluster FROM km_a{iterations}"

@@ -6144,3 +6144,22 @@ def bridge_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("src_system_id"), F.col("dst").alias("dst_system_id"),
         "reached", "is_bridge",
     )
+
+
+from eve_graph_spark.operators.clustering import kmeans_assign, kmeans_oracle_sql  # noqa: E402
+
+
+@register("kmeans_embeddings", kmeans_oracle_sql(k=4, iterations=2, dim=64))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full-corpus Lloyd's over the embedding table (2 rounds, k=4,
+    # deterministic lowest-id init): the SemDeDup-style cluster-then-curate
+    # building block. Assignment is a scan-side codegen expression against
+    # broadcast centroid literals; the update is one (cluster, dim)-keyed
+    # partial-sum shuffle of k*64 cells; centroids are the only driver
+    # round-trip (parameter-server pattern — model state, never data).
+    # Integer fixed-point end to end, so the oracle replays assignments
+    # bit-for-bit. operators/clustering.py holds both sides.
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_assign(emb, k=4, iterations=2).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )

@@ -16,6 +16,7 @@ Contracts under test:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from eve_graph_spark.operators.graph_analytics import (
     articulation_points,
@@ -208,3 +209,79 @@ def test_exclusion_bfs_superstep_bound(choke):
         ).collect()
         assert m.called
     assert calls["n"] <= 14
+
+
+# --- k-means --------------------------------------------------------------------
+
+def test_kmeans_assignment_is_argmin_and_lloyd_monotone(spark, sf_dir):
+    """Independent numpy replay: (a) every point's cluster is the true
+    argmin distance to the iteration-2 centroids (ties to lowest index);
+    (b) Lloyd's SSE is non-increasing from the 1-iteration to the
+    2-iteration assignment."""
+    import numpy as np
+
+    from eve_graph_spark.operators.clustering import KM_FP, kmeans_assign
+    from eve_graph_spark.sources.tables import load_table, spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        (F.size("embedding") == 64)
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * KM_FP + 0.5
+    ).astype(np.int64)
+
+    def replay(iters):
+        order = np.argsort(ids)
+        init_idx = order[:4]
+        cents = {c: X[i].copy() for c, i in enumerate(init_idx)}
+        assign = None
+        for it in range(iters):
+            ks = sorted(cents)
+            D = np.stack([((X - cents[c]) ** 2).sum(axis=1) for c in ks], axis=1)
+            enc = D * 4 + np.array(ks)
+            assign = np.array(ks)[enc.argmin(axis=1)]
+            if it == iters - 1:
+                break
+            new = {}
+            for c in ks:
+                m = assign == c
+                if m.any():
+                    n = m.sum()
+                    new[c] = np.floor((2.0 * X[m].sum(axis=0) + n) / (2.0 * n)).astype(
+                        np.int64
+                    )
+            cents = new
+        return assign, cents
+
+    got = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=4, iterations=2).collect()
+    }
+    a2, cents2 = replay(2)
+    assert got == {int(i): int(c) for i, c in zip(ids, a2)}
+    assert len(set(got.values())) == 4  # no cluster collapsed on the fixture
+
+    def sse(assign, cents):
+        return sum(
+            float(((X[i] - cents[c]) ** 2).sum()) for i, c in enumerate(assign) if c in cents
+        )
+
+    a1, cents1 = replay(1)
+    # SSE against each run's own final centroids: Lloyd's never increases it
+    assert sse(a2, cents2) <= sse(a1, cents1) + 1e-6
+
+
+def test_kmeans_drops_null_and_short_vectors(spark):
+    from eve_graph_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] * 64), (3, None), (4, [1.0] * 8),
+         (5, [0.5] * 64), (6, [0.9] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_assign(df, k=2, iterations=2).collect()
+    assert {r["id"] for r in out} == {1, 2, 5, 6}
+    by_id = {r["id"]: r["cluster"] for r in out}
+    assert by_id[1] == by_id[5] != by_id[2] == by_id[6]
