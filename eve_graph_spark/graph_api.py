@@ -137,3 +137,34 @@ class PropertyGraph:
             self.edges, src_col="src", dst_col="dst", landmarks=landmarks,
             weight_col=weightCol,
         ).select(F.col("node").alias("id"), "harmonic", "eccentricity")
+
+    def articulationPoints(self, candidates: DataFrame | None = None) -> DataFrame:  # noqa: N802
+        """(id, reached, is_articulation) — chokepoint vertices whose
+        removal disconnects the (symmetrized) graph. All remove-one
+        scenarios run as one keyed exclusion-BFS frontier loop; pass
+        `candidates` (an id DataFrame) to restrict the scenario set at
+        scale (graph_analytics.articulation_points)."""
+        from eve_graph_spark.operators.graph_analytics import articulation_points
+
+        return articulation_points(
+            self.edges, src_col="src", dst_col="dst", candidates=candidates
+        ).select(F.col("node").alias("id"), "reached", "is_articulation")
+
+    def bridges(self) -> DataFrame:
+        """(src, dst, reached, is_bridge) per undirected edge — gates whose
+        loss disconnects the graph (graph_analytics.bridges)."""
+        from eve_graph_spark.operators.graph_analytics import bridges
+
+        return bridges(self.edges, src_col="src", dst_col="dst")
+
+    def randomWalks(self, walksPerNode: int = 2, steps: int = 4) -> DataFrame:  # noqa: N802,N803
+        """(walk_id, step, node) — deterministic node2vec-style walk corpus
+        seeded from every vertex (graph_analytics.random_walks; the
+        "random" next hop is a seeded portable hash, so corpora are
+        reproducible across runs and engines)."""
+        from eve_graph_spark.operators.graph_analytics import random_walks
+
+        return random_walks(
+            self.edges, walks_per_node=walksPerNode, steps=steps,
+            nodes=self.vertices.select("id"), src_col="src", dst_col="dst",
+        )

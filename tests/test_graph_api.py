@@ -53,3 +53,27 @@ def test_centralities(graph):
     # sampled estimator returns the same node universe
     samp = graph.betweennessCentrality(sampleSources=3)
     assert {r["id"] for r in samp.collect()} == set(range(5))
+
+
+def test_chokepoints_and_walks(graph):
+    # path 0-1-2-3 + triangle 0-1-4: articulation = {1 (cuts 2,3 side), 2
+    # (cuts 3)}; bridges = the path edges (1,2),(2,3); triangle edges are
+    # on a cycle
+    ap = {r["id"]: r["is_articulation"] for r in graph.articulationPoints().collect()}
+    assert {i for i, a in ap.items() if a == 1} == {1, 2}
+    br = {(r["src"], r["dst"]): r["is_bridge"] for r in graph.bridges().collect()}
+    assert {p for p, b in br.items() if b == 1} == {(1, 2), (2, 3)}
+    # candidate restriction narrows the scenario set, same verdicts
+    cand = graph.vertices.selectExpr("id").where("id in (1, 3)")
+    sub = {r["id"]: r["is_articulation"] for r in graph.articulationPoints(cand).collect()}
+    assert sub == {1: 1, 3: 0}
+
+    walks = graph.randomWalks(walksPerNode=1, steps=3).collect()
+    by_walk = {}
+    for r in walks:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(by_walk) == 5  # one walk per vertex
+    edge_set = {(r["src"], r["dst"]) for r in graph.edges.collect()}
+    for steps in by_walk.values():
+        for i in range(len(steps) - 1):
+            assert (steps[i], steps[i + 1]) in edge_set
