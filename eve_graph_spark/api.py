@@ -98,6 +98,21 @@ class GraphEngine:
             self.build_risk_projection()
         return self._route(JUMP_RISK, from_name, to_name, heuristic)
 
+    def chokepoints(self) -> DataFrame:
+        """(system_id, name, reached, is_articulation) on the CURRENT jump
+        graph — the systems whose loss disconnects the route network (the
+        wormhole-ops question behind the reference's live graph: today's
+        map is 2-connected only until the right signature expires). Rides
+        graph_analytics.articulation_points' exclusion-BFS; the systems
+        dim is broadcast onto the verdicts."""
+        from eve_graph_spark.operators.graph_analytics import articulation_points
+
+        ap = articulation_points(self.jumps)
+        return ap.join(
+            F.broadcast(self.systems.select(F.col("system_id").alias("node"), "name")),
+            "node",
+        ).select(F.col("node").alias("system_id"), "name", "reached", "is_articulation")
+
     def route_alternatives(self, from_name: str, to_name: str, k: int = 3) -> list[tuple[float, list[str]]]:
         """k best loop-free routes ranked by total cost (SURVEY §2.8 route
         ranking) — beyond the reference's single-route API."""

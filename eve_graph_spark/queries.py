@@ -6163,3 +6163,24 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=4, iterations=2).select(
         F.col("id").alias("vec_id"), "cluster"
     )
+
+
+from eve_graph_spark.operators.quantization import (  # noqa: E402
+    quantization_oracle_sql,
+    quantization_report,
+)
+
+
+@register("embedding_quantization", quantization_oracle_sql(dim=64))
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 scalar quantization of the embedding corpus (the 4x vector-
+    # storage rung below PQ): stats pass = one 64-cell min/max shuffle;
+    # quantize pass = one scan-side codegen expression against broadcast
+    # per-dim (min, scale) literals — codes, a position-weighted code
+    # checksum (pins the exact int8 codes), and exact fixed-point
+    # reconstruction MSE, zero further shuffle. operators/quantization.py
+    # holds both sides.
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return quantization_report(emb).select(
+        F.col("id").alias("vec_id"), "code_checksum", "mse"
+    )

@@ -346,3 +346,21 @@ def test_multi_source_sssp_dedups_repeated_sources(spark, fixture_edges):
     twice = multi_source_sssp(jumps, [0, 0], weight_col="risk",
                               src_col="src_system_id", dst_col="dst_system_id").collect()
     assert sorted(map(tuple, twice)) == sorted(map(tuple, once))
+
+
+def test_graph_engine_chokepoints(spark, sf_dir):
+    from eve_graph_spark.sources.graph_fixture import build_choke_edges
+
+    # full fixture graph: the ring keeps it 2-connected -> no chokepoints
+    eng = GraphEngine(build_systems(spark, sf_dir), build_jumps(spark, sf_dir))
+    rows = eng.chokepoints().collect()
+    assert len(rows) == 25 and all(r["is_articulation"] == 0 for r in rows)
+    assert all(r["name"] for r in rows)  # systems dim joined on
+
+    # hub-tree subgraph as the live jump table: the 5 hubs articulate
+    choke = build_choke_edges(spark, sf_dir).select(
+        F.col("src").alias("src_system_id"), F.col("dst").alias("dst_system_id"),
+    )
+    eng2 = GraphEngine(build_systems(spark, sf_dir), choke)
+    arts = {r["system_id"] for r in eng2.chokepoints().collect() if r["is_articulation"]}
+    assert arts == {0, 1, 2, 3, 4}

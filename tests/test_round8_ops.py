@@ -285,3 +285,49 @@ def test_kmeans_drops_null_and_short_vectors(spark):
     assert {r["id"] for r in out} == {1, 2, 5, 6}
     by_id = {r["id"]: r["cluster"] for r in out}
     assert by_id[1] == by_id[5] != by_id[2] == by_id[6]
+
+
+# --- scalar quantization ---------------------------------------------------------
+
+def test_quantization_codes_and_error_bound(spark, sf_dir):
+    """numpy replay of the affine code formula + the analytic error bound:
+    per-dim |err| <= scale/2 (+ float slack), so MSE <= mean(scale^2)/4."""
+    import numpy as np
+
+    from eve_graph_spark.operators.quantization import (
+        Q_LEVELS,
+        dim_stats,
+        quantization_report,
+    )
+    from eve_graph_spark.sources.tables import load_table, spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == 64
+    )
+    stats = dim_stats(emb)
+    mn = np.array([s[0] for s in stats])
+    scale = np.array([(s[1] - s[0]) / Q_LEVELS for s in stats])
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor((X - mn) / scale + 0.5)
+    q = np.where(scale == 0, 0, np.clip(q, 0, Q_LEVELS)).astype(np.int64)
+    want_checksum = {
+        int(r["vec_id"]): int((q[i] * np.arange(1, 65)).sum()) for i, r in enumerate(rows)
+    }
+
+    got = {r["id"]: r for r in quantization_report(emb).collect()}
+    assert {k: v["code_checksum"] for k, v in got.items()} == want_checksum
+    bound = float((scale ** 2).mean()) / 4 + 1e-9
+    assert all(0.0 <= v["mse"] <= bound for v in got.values())
+
+
+def test_quantization_constant_dim_guard(spark):
+    from eve_graph_spark.operators.quantization import quantization_report
+
+    df = spark.createDataFrame(
+        [(1, [2.5] * 64), (2, [2.5] * 64)], "vec_id long, embedding array<double>"
+    )
+    out = quantization_report(df).collect()
+    # every dimension constant: scale 0 -> all codes 0, zero error
+    assert all(r["code_checksum"] == 0 and r["mse"] == 0.0 for r in out)
