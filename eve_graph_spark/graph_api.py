@@ -168,3 +168,16 @@ class PropertyGraph:
             self.edges, walks_per_node=walksPerNode, steps=steps,
             nodes=self.vertices.select("id"), src_col="src", dst_col="dst",
         )
+
+    def node2vecWalks(self, walksPerNode: int = 2, steps: int = 4,  # noqa: N802,N803
+                      returnMult: int = 4, inoutMult: int = 2) -> DataFrame:  # noqa: N803
+        """(walk_id, step, node) — second-order p/q-biased walk corpus
+        (graph_analytics.node2vec_walks): return candidates penalized
+        returnMult x, out-of-neighborhood inoutMult x, distance-1 free."""
+        from eve_graph_spark.operators.graph_analytics import node2vec_walks
+
+        return node2vec_walks(
+            self.edges, walks_per_node=walksPerNode, steps=steps,
+            return_mult=returnMult, inout_mult=inoutMult,
+            nodes=self.vertices.select("id"), src_col="src", dst_col="dst",
+        )

@@ -1830,3 +1830,107 @@ def bridges(edges: DataFrame, src_col: str = "src_system_id",
             (F.col("reached") < F.lit(n)).cast("int").alias("is_bridge"),
         )
     )
+
+
+def node2vec_walks(edges: DataFrame, walks_per_node: int = 2, steps: int = 4,
+                   return_mult: int = 4, inout_mult: int = 2,
+                   nodes: DataFrame | None = None,
+                   src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+                   driver_threshold: int = DRIVER_MAX_EDGES,
+                   checkpoint_every: int = 4) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016):
+    the next hop depends on the PREVIOUS node — candidates are penalized
+    by an integer multiplier m: return_mult when v == prev (the 1/p
+    return bias), 1 when v is adjacent to prev (distance 1), inout_mult
+    otherwise (the 1/q in-out bias); the walker picks argmin(score·m, v).
+    Larger multiplier = proportionally less likely under the uniform
+    portable score — the deterministic analogue of the α-weighted draw,
+    replayable by the SQL oracle. Step 1 has no prev and is unbiased
+    (identical to random_walks).
+
+    Scale: the frontier is (walk_id, prev, node); each step is TWO keyed
+    joins against the edge table — candidate fan-out on node==src, then a
+    left probe on (prev, dst) for the distance-1 test (co-located under
+    the same src bucketing). Still nothing walk-length-quadratic.
+    """
+    e = _edge_frame(edges, src_col, dst_col).distinct()
+    spark = e.sparkSession
+    if nodes is None:
+        nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct().select(
+            F.col("src").alias("node")
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+
+    if _fits_driver(e, driver_threshold):
+        adj: dict[int, list[int]] = {}
+        eset: set[tuple[int, int]] = set()
+        for r in e.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+            eset.add((r["src"], r["dst"]))
+        rows: list[tuple[int, int, int]] = []
+        for n in sorted(r["node"] for r in nodes.collect()):
+            for rep in range(walks_per_node):
+                wid = n * walks_per_node + rep
+                prev, cur = None, n
+                rows.append((wid, 0, cur))
+                for i in range(1, steps + 1):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+
+                    def biased(v):
+                        s = ((wid * RW_WALK_MIX + i * RW_STEP_MIX + v + 1) % RW_MOD) * RW_KNUTH % RW_MOD
+                        if prev is None:
+                            m = 1
+                        elif v == prev:
+                            m = return_mult
+                        elif (prev, v) in eset:
+                            m = 1
+                        else:
+                            m = inout_mult
+                        return (s * m, v)
+
+                    nxt = min(nbrs, key=biased)
+                    prev, cur = cur, nxt
+                    rows.append((wid, i, cur))
+        return spark.createDataFrame(rows, "walk_id long, step int, node long")
+
+    reps = spark.range(walks_per_node).select(F.col("id").alias("rep"))
+    cur = nodes.crossJoin(F.broadcast(reps)).select(
+        (F.col("node") * walks_per_node + F.col("rep")).alias("walk_id"),
+        F.lit(None).cast("long").alias("prev"),
+        "node",
+    )
+    outs = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")]
+    e2 = e.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
+    for i in range(1, steps + 1):
+        cand = cur.join(e, cur.node == e.src).select(
+            "walk_id", "prev", F.col("node").alias("cur"), F.col("dst"),
+            _rw_score_expr(F.col("walk_id"), i, F.col("dst")).alias("score"),
+        )
+        cand = cand.join(
+            e2,
+            (cand.prev == e2.p_src) & (cand.dst == e2.p_dst),
+            "left",
+        ).select(
+            "walk_id", "prev", "cur", "dst", "score",
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .when(F.col("dst") == F.col("prev"), F.lit(return_mult))
+            .when(F.col("p_src").isNotNull(), F.lit(1))
+            .otherwise(F.lit(inout_mult))
+            .cast("long")
+            .alias("m"),
+        )
+        cur = (
+            cand.groupBy("walk_id")
+            .agg(F.min(F.struct((F.col("score") * F.col("m")).alias("b"), "dst", "cur")).alias("best"))
+            .select("walk_id", F.col("best.cur").alias("prev"), F.col("best.dst").alias("node"))
+        )
+        if i % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        outs.append(cur.select("walk_id", F.lit(i).cast("int").alias("step"), "node"))
+    result = outs[0]
+    for df in outs[1:]:
+        result = result.unionByName(df)
+    return result

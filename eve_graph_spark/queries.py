@@ -6184,3 +6184,70 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_report(emb).select(
         F.col("id").alias("vec_id"), "code_checksum", "mse"
     )
+
+
+def _node2vec_oracle_sql(steps: int, walks_per_node: int,
+                         return_mult: int, inout_mult: int) -> str:
+    """Unrolled node2vec replay: same shape as _random_walk_oracle_sql plus
+    the prev column and the CASE bias multiplier; the distance-1 test is a
+    left probe on (prev, dst). fix_jumps carries the (2,17) pair twice
+    (gate + wormhole rows) — harmless here because every pick is a MIN."""
+    from eve_graph_spark.operators.graph_analytics import rw_score_sql
+
+    reps = " UNION ALL ".join(f"SELECT {r} AS r" for r in range(walks_per_node))
+    parts = [
+        f"""nv_s0 AS (
+            SELECT CAST(system_id * {walks_per_node} + r.r AS BIGINT) AS walk_id,
+                   CAST(NULL AS BIGINT) AS prev, system_id AS node
+            FROM fix_systems CROSS JOIN ({reps}) r
+        )"""
+    ]
+    for i in range(1, steps + 1):
+        score = rw_score_sql("w.walk_id", i, "e.dst_system_id")
+        parts.append(
+            f"""nv_c{i} AS (
+            SELECT w.walk_id, w.node AS cur,
+                   CAST(e.dst_system_id AS BIGINT) AS dst,
+                   ({score}) * (CASE WHEN w.prev IS NULL THEN 1
+                                     WHEN e.dst_system_id = w.prev THEN {return_mult}
+                                     WHEN e2.src_system_id IS NOT NULL THEN 1
+                                     ELSE {inout_mult} END) AS b
+            FROM nv_s{i - 1} w
+            JOIN fix_jumps e ON e.src_system_id = w.node
+            LEFT JOIN (SELECT DISTINCT src_system_id, dst_system_id FROM fix_jumps) e2
+              ON e2.src_system_id = w.prev AND e2.dst_system_id = e.dst_system_id
+        )"""
+        )
+        parts.append(
+            f"nv_m{i} AS (SELECT walk_id, MIN(b) AS mb FROM nv_c{i} GROUP BY walk_id)"
+        )
+        parts.append(
+            f"""nv_s{i} AS (
+            SELECT c.walk_id, MIN(c.cur) AS prev, MIN(c.dst) AS node
+            FROM nv_c{i} c JOIN nv_m{i} m ON m.walk_id = c.walk_id AND c.b = m.mb
+            GROUP BY c.walk_id
+        )"""
+        )
+    final = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({i} AS INTEGER) AS step, node FROM nv_s{i}"
+        for i in range(steps + 1)
+    )
+    return ", " + ",\n".join(parts) + "\n" + final
+
+
+@register(
+    "node2vec_walks",
+    _graph_cte(_node2vec_oracle_sql(steps=4, walks_per_node=2, return_mult=4, inout_mult=2)),
+)
+def node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Second-order biased walk corpus (node2vec p/q semantics): return
+    # candidates penalized 4x, out-of-neighborhood 2x, distance-1 free —
+    # the deterministic analogue of the alpha-weighted draw, replayed
+    # exactly by the oracle. Two keyed edge joins per step (candidate
+    # fan-out + the (prev, dst) distance-1 probe).
+    from eve_graph_spark.operators.graph_analytics import node2vec_walks as nv
+
+    jumps = build_jumps(spark, sf_dir)
+    systems = build_systems(spark, sf_dir)
+    return nv(jumps, walks_per_node=2, steps=4, return_mult=4, inout_mult=2,
+              nodes=systems.select("system_id"))

@@ -77,3 +77,16 @@ def test_chokepoints_and_walks(graph):
     for steps in by_walk.values():
         for i in range(len(steps) - 1):
             assert (steps[i], steps[i + 1]) in edge_set
+
+
+def test_node2vec_walks_api(graph):
+    walks = graph.node2vecWalks(walksPerNode=1, steps=3, returnMult=100).collect()
+    by_walk = {}
+    for r in walks:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(by_walk) == 5
+    edge_set = {(r["src"], r["dst"]) for r in graph.edges.collect()}
+    for steps in by_walk.values():
+        seq = [steps[i] for i in sorted(steps)]
+        for i in range(len(seq) - 1):
+            assert (seq[i], seq[i + 1]) in edge_set

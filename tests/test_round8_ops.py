@@ -331,3 +331,61 @@ def test_quantization_constant_dim_guard(spark):
     out = quantization_report(df).collect()
     # every dimension constant: scale 0 -> all codes 0, zero error
     assert all(r["code_checksum"] == 0 and r["mse"] == 0.0 for r in out)
+
+
+# --- node2vec (second-order) walks ------------------------------------------------
+
+def test_node2vec_distributed_matches_driver(jumps, spark, sf_dir):
+    from eve_graph_spark.operators.graph_analytics import node2vec_walks
+
+    nodes = build_systems(spark, sf_dir).select("system_id")
+    kw = dict(walks_per_node=2, steps=4, return_mult=4, inout_mult=2, nodes=nodes)
+    drv = node2vec_walks(jumps, **kw)
+    dist = node2vec_walks(jumps, **kw, driver_threshold=0)
+    assert _sorted_rows(drv) == _sorted_rows(dist)
+
+
+def test_node2vec_return_bias_suppresses_backtracking(jumps, spark, sf_dir):
+    """With a huge return multiplier, a walker never immediately backtracks
+    when any alternative exists (fixture: every node has degree >= 2)."""
+    from eve_graph_spark.operators.graph_analytics import node2vec_walks
+
+    nodes = build_systems(spark, sf_dir).select("system_id")
+    rows = node2vec_walks(
+        jumps, walks_per_node=2, steps=4, return_mult=10**6, inout_mult=1,
+        nodes=nodes,
+    ).collect()
+    by_walk: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for wid, steps in by_walk.items():
+        seq = [steps[i] for i in sorted(steps)]
+        for i in range(2, len(seq)):
+            assert seq[i] != seq[i - 2], (wid, seq)
+
+
+def test_node2vec_unit_multipliers_equal_random_walks(jumps, spark, sf_dir):
+    """p = q = 1 collapses the second-order walk to the first-order one."""
+    from eve_graph_spark.operators.graph_analytics import node2vec_walks, random_walks
+
+    nodes = build_systems(spark, sf_dir).select("system_id")
+    nv = node2vec_walks(jumps, walks_per_node=2, steps=4, return_mult=1,
+                        inout_mult=1, nodes=nodes)
+    rw = random_walks(jumps, walks_per_node=2, steps=4, nodes=nodes)
+    assert _sorted_rows(nv) == _sorted_rows(rw)
+
+
+def test_node2vec_walks_are_valid(jumps, spark, sf_dir):
+    from eve_graph_spark.operators.graph_analytics import node2vec_walks
+
+    nodes = build_systems(spark, sf_dir).select("system_id")
+    rows = node2vec_walks(jumps, walks_per_node=2, steps=4, nodes=nodes).collect()
+    edge_set = {(r["src_system_id"], r["dst_system_id"]) for r in jumps.collect()}
+    by_walk: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert len(by_walk) == 50
+    for wid, steps in by_walk.items():
+        assert sorted(steps) == [0, 1, 2, 3, 4]
+        for i in range(4):
+            assert (steps[i], steps[i + 1]) in edge_set, (wid, i)
