@@ -29,6 +29,9 @@ EMBEDDING_QUERIES = [
     "label_centroids",
     "semantic_bucket_dedup",
     "hard_negatives_topk",
+    # r8: clustering + quantization drop NULL/short vectors symmetrically
+    "kmeans_embeddings",
+    "embedding_quantization",
 ]
 
 
