@@ -1934,3 +1934,65 @@ def node2vec_walks(edges: DataFrame, walks_per_node: int = 2, steps: int = 4,
     for df in outs[1:]:
         result = result.unionByName(df)
     return result
+
+
+def set_exclusion_reach(edges: DataFrame, seeds: DataFrame, excluded: DataFrame,
+                        src_col: str = "src_system_id",
+                        dst_col: str = "dst_system_id",
+                        max_iterations: int = 60,
+                        driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """(k, reachable): per scenario k, the size of the component containing
+    seed(k) after removing the node SET excluded(k) — the percolation /
+    robustness-curve kernel (articulation_points generalizes to "what if
+    the j worst systems all fall at once"). `seeds` is (k, node), `excluded`
+    is (k, node); scenarios share ONE keyed frontier loop like
+    _exclusion_reach, with the removal test an anti-join against the
+    per-scenario exclusion set instead of a column predicate."""
+    e = _star_symmetrize(_edge_frame(edges, src_col, dst_col))
+    spark = e.sparkSession
+    seeds = seeds.select(F.col(seeds.columns[0]).cast("long").alias("k"),
+                         F.col(seeds.columns[1]).cast("long").alias("node"))
+    excluded = excluded.select(F.col(excluded.columns[0]).cast("long").alias("k"),
+                               F.col(excluded.columns[1]).cast("long").alias("node"))
+
+    if _fits_driver(e, driver_threshold):
+        adj: dict[int, set[int]] = {}
+        for r in e.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+            adj.setdefault(r["dst"], set()).add(r["src"])
+        excl: dict[int, set[int]] = {}
+        for r in excluded.collect():
+            excl.setdefault(r["k"], set()).add(r["node"])
+        rows = []
+        for r in seeds.collect():
+            k, seed = r["k"], r["node"]
+            banned = excl.get(k, set())
+            if seed in banned:
+                rows.append((k, 0))
+                continue
+            seen = {seed}
+            stack = [seed]
+            while stack:
+                u = stack.pop()
+                for v in adj.get(u, ()):
+                    if v not in banned and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            rows.append((k, len(seen)))
+        return spark.createDataFrame(rows, "k long, reachable long")
+
+    reached = seeds
+    prev = -1
+    for _ in range(max_iterations):
+        new = (
+            reached.join(e, reached.node == e.src)
+            .select("k", F.col("dst").alias("node"))
+            .join(excluded, ["k", "node"], "left_anti")
+        )
+        merged = reached.union(new).distinct().localCheckpoint(eager=True)
+        cnt = merged.count()
+        if cnt == prev:
+            break
+        prev = cnt
+        reached = merged
+    return reached.groupBy("k").agg(F.count(F.lit(1)).alias("reachable"))

@@ -6251,3 +6251,128 @@ def node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     systems = build_systems(spark, sf_dir)
     return nv(jumps, walks_per_node=2, steps=4, return_mult=4, inout_mult=2,
               nodes=systems.select("system_id"))
+
+
+@register(
+    "graph_diameter_estimate",
+    _graph_cte(
+        f"""
+        , {CHOKE_SQL_CTE}
+        , dd1(node, dist) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM dd1 w JOIN fix_choke e ON e.src = w.node
+            WHERE w.dist < 30
+        ),
+        dd1m AS (SELECT node, MIN(dist) AS d FROM dd1 GROUP BY node),
+        dd1peak AS (SELECT node, d FROM dd1m ORDER BY d DESC, node ASC LIMIT 1),
+        dd2(node, dist) AS (
+            SELECT (SELECT node FROM dd1peak), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM dd2 w JOIN fix_choke e ON e.src = w.node
+            WHERE w.dist < 30
+        ),
+        dd2m AS (SELECT node, MIN(dist) AS d FROM dd2 GROUP BY node)
+        SELECT CAST(0 AS BIGINT) AS sweep_start,
+               (SELECT node FROM dd1peak) AS sweep_peak,
+               (SELECT d FROM dd1peak) AS ecc_start,
+               (SELECT MAX(d) FROM dd2m) AS diameter_lb
+        """
+    ),
+)
+def graph_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Double-sweep diameter lower bound (Magnien et al.): BFS from a fixed
+    # start, re-BFS from the farthest node (ties to min id) — exact on
+    # trees, near-exact in practice, TWO O(diameter) frontier loops instead
+    # of |V| sweeps. The composition scalars (peak node, two maxima) are
+    # O(1) driver values; the sweeps themselves are the engine's sssp.
+    # Runs on the chokepoint subgraph: the full fixture's hub ring keeps
+    # its diameter at a signal-free 3.
+    from eve_graph_spark.operators.graph import sssp
+    from eve_graph_spark.sources.graph_fixture import build_choke_edges
+
+    choke = build_choke_edges(spark, sf_dir).withColumn("cost", F.lit(1).cast("long"))
+    d1 = sssp(choke, [0], weight_col="cost", src_col="src", dst_col="dst")
+    peak = (
+        d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
+    )
+    d2 = sssp(choke, [int(peak["node"])], weight_col="cost",
+              src_col="src", dst_col="dst")
+    lb = d2.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    return spark.createDataFrame(
+        [(0, int(peak["node"]), int(peak["dist"]), int(lb))],
+        "sweep_start long, sweep_peak long, ecc_start long, diameter_lb long",
+    )
+
+
+@register(
+    "risk_robustness",
+    _graph_cte(
+        f"""
+        , {CHOKE_SQL_CTE}
+        , rr_rank AS (
+            SELECT dst_system_id AS node,
+                   ROW_NUMBER() OVER (ORDER BY risk DESC, dst_system_id) AS rn
+            FROM fix_sys_risk
+        ),
+        rr_k AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8)) t(k)),
+        rr_seed AS (
+            SELECT k.k, MIN(rk.node) AS seed
+            FROM rr_k k JOIN rr_rank rk ON rk.rn > k.k
+            GROUP BY k.k
+        ),
+        rr_reach(k, node) AS (
+            SELECT k, seed FROM rr_seed
+            UNION
+            SELECT r.k, e.dst
+            FROM rr_reach r
+            JOIN fix_choke e ON e.src = r.node
+            JOIN rr_rank rk ON rk.node = e.dst
+            WHERE rk.rn > r.k
+        )
+        SELECT k AS removed, COUNT(*) AS reachable FROM rr_reach GROUP BY k
+        """
+    ),
+)
+def risk_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Percolation curve: remove the k most dangerous systems (risk DESC,
+    # id tiebreak) for k = 0..8 and measure the component around the
+    # lowest-id survivor — "how much of the map stays navigable as the
+    # riskiest systems fall". The fixture curve is linear (25-k) until the
+    # first hub enters the removal set at k=6, where the navigable set
+    # collapses 20 -> 6 (hub 1 strands its region; only wormhole-linked 21
+    # survives) — the percolation cliff the analysis exists to find.
+    # All 9 scenarios ride ONE keyed frontier loop
+    # (set_exclusion_reach); the exclusion test is a per-scenario
+    # anti-join, so the shuffle carries (k, node) pairs only. Runs on the
+    # chokepoint subgraph — the full fixture's ring absorbs any 4 removals
+    # (curve would be a signal-free 25-k); here falling hubs strand whole
+    # regions.
+    from eve_graph_spark.operators.graph_analytics import set_exclusion_reach
+    from eve_graph_spark.sources.graph_fixture import build_choke_edges
+
+    systems = build_systems(spark, sf_dir)
+    choke = build_choke_edges(spark, sf_dir)
+    totals = systems.agg(F.sum("kills").alias("tk"), F.sum("jumps").alias("tj")).select(
+        F.when(F.col("tj") > 0, F.col("tk") / F.col("tj")).otherwise(F.lit(0.01)).alias("baseline")
+    )
+    risk = systems.crossJoin(F.broadcast(totals)).select(
+        "system_id", risk_expr(F.col("kills"), F.col("jumps"), F.col("baseline")).alias("risk")
+    )
+    rn = risk.select(
+        "system_id",
+        F.row_number().over(Window.orderBy(F.desc("risk"), F.asc("system_id"))).alias("rn"),
+    )
+    ks = spark.range(0, 9).select(F.col("id").alias("k"))
+    excl = ks.join(rn, rn.rn <= F.col("k")).select("k", F.col("system_id").alias("node"))
+    seeds = (
+        ks.join(systems.select("system_id"))
+        .join(excl.withColumnRenamed("node", "system_id"), ["k", "system_id"], "left_anti")
+        .groupBy("k")
+        .agg(F.min("system_id").alias("node"))
+    )
+    return set_exclusion_reach(choke, seeds, excl, src_col="src", dst_col="dst").select(
+        F.col("k").alias("removed"), "reachable"
+    )

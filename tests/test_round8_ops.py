@@ -389,3 +389,59 @@ def test_node2vec_walks_are_valid(jumps, spark, sf_dir):
         assert sorted(steps) == [0, 1, 2, 3, 4]
         for i in range(4):
             assert (steps[i], steps[i + 1]) in edge_set, (wid, i)
+
+
+# --- robustness curve + diameter ---------------------------------------------------
+
+def test_set_exclusion_reach_distributed_matches_driver(choke, spark):
+    from eve_graph_spark.operators.graph_analytics import set_exclusion_reach
+
+    # scenarios: remove {} / {0} / {0,1}
+    excl = spark.createDataFrame([(1, 0), (2, 0), (2, 1)], "k long, node long")
+    seeds = spark.createDataFrame([(0, 0), (1, 5), (2, 5)], "k long, node long")
+    kw = dict(src_col="src", dst_col="dst")
+    drv = set_exclusion_reach(choke, seeds, excl, **kw)
+    dist = set_exclusion_reach(choke, seeds, excl, **kw, driver_threshold=0)
+    assert _sorted_rows(drv) == _sorted_rows(dist)
+    got = {r["k"]: r["reachable"] for r in drv.collect()}
+    assert got[0] == 25  # nothing removed: the whole graph
+    # removing hub 0 from seed 5's viewpoint: 5 keeps only the 5-21
+    # wormhole into region 1 and onward through the hub chain
+    assert got[1] < 25 and got[2] < got[1]
+
+
+def test_risk_robustness_percolation_cliff(spark, sf_dir):
+    from eve_graph_spark.queries import queries as registry
+
+    rows = {r["removed"]: r["reachable"]
+            for r in registry()["risk_robustness"](spark, sf_dir).collect()}
+    assert rows[0] == 25
+    for k in range(6):
+        assert rows[k] == 25 - k  # leaves fall one by one
+    assert rows[6] == 6  # hub 1 falls: region stranded, wormhole saves 21
+
+
+def test_diameter_estimate_is_tight_here(spark, sf_dir):
+    """Double sweep is a lower bound by construction; on this fixture it
+    equals the true diameter (python all-pairs BFS check)."""
+    from eve_graph_spark.queries import queries as registry
+    from eve_graph_spark.sources.graph_fixture import build_choke_edges
+
+    est = registry()["graph_diameter_estimate"](spark, sf_dir).collect()[0]
+    adj: dict[int, set[int]] = {}
+    for r in build_choke_edges(spark, sf_dir).collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    def ecc(s):
+        d = {s: 0}
+        q = [s]
+        while q:
+            u = q.pop(0)
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        return max(d.values())
+    true_diam = max(ecc(s) for s in adj)
+    assert est["diameter_lb"] <= true_diam
+    assert est["diameter_lb"] == true_diam == 6
+    assert est["ecc_start"] == ecc(0) == 5
