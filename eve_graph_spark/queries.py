@@ -6376,3 +6376,67 @@ def risk_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_exclusion_reach(choke, seeds, excl, src_col="src", dst_col="dst").select(
         F.col("k").alias("removed"), "reachable"
     )
+
+
+@register(
+    "bigram_logprob_quality",
+    """
+    WITH bs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS s
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT doc_id, s[i] AS w1, s[i + 1] AS w2
+        FROM bs, unnest(range(1, len(s))) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bg FROM b GROUP BY w1, w2),
+    lc AS (SELECT w1, CAST(SUM(n_bg) AS BIGINT) AS n_left FROM bc GROUP BY w1),
+    lp AS (
+        SELECT c.w1, c.w2,
+               CAST(floor(ln(CAST(c.n_bg AS DOUBLE) / CAST(l.n_left AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lp
+        FROM bc c JOIN lc l USING (w1)
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logprob
+    FROM b JOIN lp USING (w1, w2)
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Second-order LM quality (the perplexity proxy one rung above
+    # unigram_logprob_quality): per-doc mean log p(w_i | w_{i-1}), MLE
+    # conditional = bigram count / left-token continuation count. Bigrams
+    # are extracted SCAN-SIDE by zipping the token array with its own
+    # shift (arrays_zip of two slices) — no positional self-join, no
+    # second tokenize pass. Counts ride the one-pass windowed-sum shape
+    # the unigram query established: per-(doc, bigram) counts carry both
+    # the corpus LM (window over the bigram / left-token partitions) and
+    # the per-doc aggregation (multiplicity c), so the corpus shuffles
+    # once. ln() fixed-pointed at 1e-6 as usual; one-word/NULL docs have
+    # no bigrams and drop symmetrically on both engines.
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    s = F.split(F.lower("text"), " ")
+    pairs = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(s, F.lit(1), F.size(s) - 1).alias("w1"),
+                F.slice(s, F.lit(2), F.size(s) - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cw = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    n_bg = F.sum("c").over(Window.partitionBy("w1", "w2"))
+    n_left = F.sum("c").over(Window.partitionBy("w1"))
+    lp = F.floor(
+        F.log(n_bg.cast("double") / n_left.cast("double")) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    return (
+        cw.withColumn("lp", lp)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            (F.sum(F.col("c") * F.col("lp")).cast("double") / F.sum("c") / 1000000.0).alias("avg_logprob"),
+        )
+    )
