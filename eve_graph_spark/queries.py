@@ -6440,3 +6440,139 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("c") * F.col("lp")).cast("double") / F.sum("c") / 1000000.0).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "winsorize_events",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = GREATEST(1, (n * 5 + 99) // 100) THEN value END) AS lo,
+               MAX(CASE WHEN rn = GREATEST(1, (n * 95 + 99) // 100) THEN value END) AS hi,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type, b.n, b.lo, b.hi,
+           CAST(SUM(CASE WHEN r.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN r.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+    FROM ranked r JOIN bounds b USING (event_type)
+    GROUP BY r.event_type, b.n, b.lo, b.hi
+    """,
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Outlier clipping report (the winsorization pass a feature/reward
+    # pipeline runs before normalization): exact p05/p95 per group by
+    # DISCRETE rank — the bound is an input datum, never an interpolated
+    # float, so it is engine-portable like the median queries. Rank index
+    # is pure integer arithmetic (ceil(p*n) as (n*p+99)//100). One shuffle
+    # keyed by event_type; the clip counts ride the same partition.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    rn05 = F.greatest(F.lit(1).cast("long"), ((F.col("n") * 5 + 99) / 100).cast("long"))
+    rn95 = F.greatest(F.lit(1).cast("long"), ((F.col("n") * 95 + 99) / 100).cast("long"))
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == rn05, F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rn") == rn95, F.col("value"))).alias("hi"),
+        F.max("n").cast("long").alias("grp_n"),
+    )
+    return (
+        ranked.select("event_type", "value").join(bounds, "event_type")
+        .groupBy("event_type", "grp_n", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).cast("long").alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).cast("long").alias("n_clipped_high"),
+        )
+        .select("event_type", F.col("grp_n").alias("n"), "lo", "hi",
+                "n_clipped_low", "n_clipped_high")
+    )
+
+
+@register(
+    "robust_anomaly_mad",
+    """
+    WITH med AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    gmed AS (
+        SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median
+        FROM med GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, ABS(e.value - g.median) AS adev, g.median
+        FROM events e JOIN gmed g USING (event_type)
+    ),
+    devranked AS (
+        SELECT event_type, adev, median,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    gmad AS (
+        SELECT event_type, MAX(median) AS median,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+        FROM devranked GROUP BY event_type
+    )
+    SELECT d.event_type, g.median, g.mad,
+           CAST(SUM(CASE WHEN g.mad > 0 AND d.adev > 3 * g.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev d JOIN gmad g USING (event_type)
+    GROUP BY d.event_type, g.median, g.mad
+    """,
+)
+def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Median/MAD anomaly detection — the robust twin of the mean/stddev
+    # z-score query (event_anomaly_zscore): outliers cannot poison their
+    # own detection threshold. Both medians are exact lower-medians by
+    # rank (input data, no interpolation — portable); the 3-sigma-
+    # equivalent test is |v - median| > 3*MAD with exact float products
+    # of identical operands. Two rank passes = two event_type-keyed
+    # window shuffles; counts ride the second.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    med = (
+        ev.select("event_type", "value",
+                  F.row_number().over(w).alias("rn"),
+                  F.count(F.lit(1)).over(wc).alias("n"))
+        .groupBy("event_type")
+        .agg(F.max(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"), F.col("value"))
+                   ).alias("median"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id",
+        F.abs(F.col("value") - F.col("median")).alias("adev"), "median",
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    gmad = (
+        dev.select("event_type", "adev", "median",
+                   F.row_number().over(wd).alias("rn"),
+                   F.count(F.lit(1)).over(wc).alias("n"))
+        .groupBy("event_type")
+        .agg(F.max("median").alias("median"),
+             F.max(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"), F.col("adev"))
+                   ).alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(gmad.select("event_type", F.col("median").alias("m2"), "mad")), "event_type")
+        .groupBy("event_type", F.col("m2").alias("median"), "mad")
+        .agg(
+            F.sum(
+                F.when((F.col("mad") > 0) & (F.col("adev") > 3 * F.col("mad")), 1).otherwise(0)
+            ).cast("long").alias("n_anomalies")
+        )
+        .select("event_type", "median", "mad", "n_anomalies")
+    )
