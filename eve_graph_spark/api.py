@@ -55,9 +55,20 @@ class GraphEngine:
         return row[0]["system_id"]
 
     def _route(self, projection: str, from_name: str, to_name: str,
-               heuristic: bool = False) -> list[str]:
+               heuristic: bool = False,
+               avoid: list[str] | None = None) -> list[str]:
         src, dst = self._resolve(from_name), self._resolve(to_name)
         edges = self.registry.get(projection)
+        if avoid:
+            # avoid-list routing: drop edges touching the avoided systems
+            # BEFORE the search — a scan-stage predicate over the cached
+            # projection, so the SSSP/A* kernels run unchanged on the
+            # subgraph. Avoiding an endpoint of the trip itself makes the
+            # route unreachable -> the normal 404 path.
+            ids = [self._resolve(n) for n in avoid]
+            edges = edges.filter(
+                ~F.col("src").isin(ids) & ~F.col("dst").isin(ids)
+            )
         if heuristic:
             # coordinate-pruned A* (driver-sized graphs): h = euclidean
             # distance scaled by the graph's best distance-per-cost ratio,
@@ -85,18 +96,20 @@ class GraphEngine:
 
     # --- A1: GET /shortest-route/{from}/to/{to} (main.rs:153-171) ----------
     def shortest_route(self, from_name: str, to_name: str,
-                       heuristic: bool = False) -> list[str]:
+                       heuristic: bool = False,
+                       avoid: list[str] | None = None) -> list[str]:
         if not self.registry.exists(SYSTEM_MAP):
             self.build_cost_projection()
-        return self._route(SYSTEM_MAP, from_name, to_name, heuristic)
+        return self._route(SYSTEM_MAP, from_name, to_name, heuristic, avoid)
 
     # --- A2: GET /safest-route/{from}/to/{to} (main.rs:173-199) ------------
     # Lazily (re)builds the risk projection if missing (main.rs:178-185).
     def safest_route(self, from_name: str, to_name: str,
-                     heuristic: bool = False) -> list[str]:
+                     heuristic: bool = False,
+                     avoid: list[str] | None = None) -> list[str]:
         if not self.registry.exists(JUMP_RISK):
             self.build_risk_projection()
-        return self._route(JUMP_RISK, from_name, to_name, heuristic)
+        return self._route(JUMP_RISK, from_name, to_name, heuristic, avoid)
 
     def chokepoints(self) -> DataFrame:
         """(system_id, name, reached, is_articulation) on the CURRENT jump

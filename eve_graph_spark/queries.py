@@ -6576,3 +6576,92 @@ def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "median", "mad", "n_anomalies")
     )
+
+
+@register(
+    "route_avoiding_risky",
+    _graph_cte(
+        """
+        , av_excl AS (
+            SELECT dst_system_id AS node FROM fix_sys_risk
+            ORDER BY risk DESC, dst_system_id LIMIT 2
+        ),
+        av_edges AS (
+            SELECT src_system_id AS src, dst_system_id AS dst FROM fix_jumps
+            WHERE src_system_id NOT IN (SELECT node FROM av_excl)
+              AND dst_system_id NOT IN (SELECT node FROM av_excl)
+        ),
+        av_d(node, dist) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM av_d w JOIN av_edges e ON e.src = w.node WHERE w.dist < 30
+        ),
+        av_m AS (SELECT node, MIN(dist) AS d FROM av_d GROUP BY node),
+        av_pred AS (
+            SELECT m.node, MIN(e.src) AS pred
+            FROM av_m m
+            JOIN av_edges e ON e.dst = m.node
+            JOIN av_m u ON u.node = e.src
+            WHERE u.d + 1 = m.d AND m.node <> 0
+            GROUP BY m.node
+        ),
+        av_back(hop, node) AS (
+            SELECT 0, CAST(13 AS BIGINT)
+            UNION ALL
+            SELECT b.hop + 1, p.pred FROM av_back b JOIN av_pred p ON p.node = b.node
+            WHERE b.hop < 30
+        ),
+        av_len AS (SELECT MAX(hop) AS mx FROM av_back)
+        SELECT CAST(l.mx - b.hop AS BIGINT) AS pos, b.node AS system_id, s.name,
+               m.d AS dist
+        FROM av_back b CROSS JOIN av_len l
+        JOIN fix_systems s ON s.system_id = b.node
+        JOIN av_m m ON m.node = b.node
+        """
+    ),
+)
+def route_avoiding_risky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Avoid-list routing (the EVE navigation staple the reference's API
+    # lacks): shortest 0 -> 13 route over the graph MINUS the 2 riskiest
+    # systems — edges touching the avoid set are filtered in the scan
+    # (pushdown-friendly predicate), then the normal target-pruned SSSP +
+    # dist-table path reconstruction run unchanged. pred(v) := MIN(src)
+    # among dist(src)+1 = dist(v) — unit costs make every optimal pred
+    # settle in the same BFS layer, so the loop's (dist, pred) struct-min
+    # tie-break IS the oracle's MIN(src) (cf. safest_route_path's float
+    # argument). GraphEngine.shortest_route(avoid=[...]) ships the same
+    # semantics as an API flag.
+    from eve_graph_spark.operators.graph import reconstruct_path
+
+    jumps = build_jumps(spark, sf_dir)
+    systems = build_systems(spark, sf_dir)
+    avoid = [
+        r["system_id"]
+        for r in jumps.select(
+            F.col("dst_system_id").alias("system_id"), "risk"
+        ).distinct().orderBy(F.desc("risk"), F.asc("system_id")).limit(2).collect()
+    ]
+    e = jumps.filter(
+        ~F.col("src_system_id").isin(avoid) & ~F.col("dst_system_id").isin(avoid)
+    ).select(F.col("src_system_id").alias("src"), F.col("dst_system_id").alias("dst"))
+    dist = sssp(
+        e.withColumn("cost", F.lit(1).cast("long")), [0], weight_col="cost"
+    ).select("node", "dist")
+    u = dist.select(F.col("node").alias("u_node"), F.col("dist").alias("u_dist"))
+    preds = (
+        dist.join(e, e.dst == dist.node)
+        .join(u, u.u_node == e.src)
+        .filter((F.col("u_dist") + 1) == F.col("dist"))
+        .filter(F.col("node") != 0)
+        .groupBy("node")
+        .agg(F.min("src").alias("pred"))
+    )
+    path = reconstruct_path(dist.join(preds, "node", "left"), 13)
+    order = spark.createDataFrame(list(enumerate(path)), "pos long, system_id long")
+    return (
+        dist.withColumnRenamed("node", "system_id")
+        .join(F.broadcast(order), "system_id")
+        .join(F.broadcast(systems.select("system_id", "name")), "system_id")
+        .select("pos", "system_id", "name", F.col("dist").cast("long").alias("dist"))
+    )

@@ -364,3 +364,22 @@ def test_graph_engine_chokepoints(spark, sf_dir):
     eng2 = GraphEngine(build_systems(spark, sf_dir), choke)
     arts = {r["system_id"] for r in eng2.chokepoints().collect() if r["is_articulation"]}
     assert arts == {0, 1, 2, 3, 4}
+
+
+def test_graph_engine_route_avoid_list(spark, sf_dir):
+    systems = build_systems(spark, sf_dir)
+    eng = GraphEngine(systems, build_jumps(spark, sf_dir))
+    names = {r["system_id"]: r["name"] for r in systems.collect()}
+    base = eng.shortest_route(names[0], names[13])
+    # avoiding a system ON the base route forces a different path
+    mid = base[len(base) // 2]
+    detour = eng.shortest_route(names[0], names[13], avoid=[mid])
+    assert mid not in detour
+    assert detour[0] == names[0] and detour[-1] == names[13]
+    assert len(detour) >= len(base)  # a detour is never shorter
+    # avoiding the destination itself -> 404 semantics
+    with pytest.raises(RouteNotFound):
+        eng.shortest_route(names[0], names[13], avoid=[names[13]])
+    # avoid list also applies to the risk projection
+    safe = eng.safest_route(names[0], names[13], avoid=[mid])
+    assert mid not in safe and safe[-1] == names[13]
