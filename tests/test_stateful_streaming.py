@@ -26,6 +26,8 @@ def _stream_dir(tmp_path, name, batches):
 
 
 def _run(stream_df, qname, tmp_path, mode="update"):
+    import time
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(qname)
@@ -34,7 +36,32 @@ def _run(stream_df, qname, tmp_path, mode="update"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow queries whose stateful operator uses a PROCESSING-TIME
+    # timeout (the near-dup roster's idle TTL) never self-terminate: after
+    # the file backlog drains, Spark keeps scheduling wall-clock timeout
+    # batches forever (each processes 0 input rows), so a blind
+    # awaitTermination(120) always burns the full 2 minutes. Wait for
+    # termination in 2 s slices; once the query HAS processed data and the
+    # last two completed batches were 0-input (pure timeout batches), the
+    # backlog is drained — stop it.
+    deadline = time.time() + 120
+    zero_input = 0
+    seen_data = False
+    while time.time() < deadline:
+        if q.awaitTermination(2):
+            return q
+        prog = q.lastProgress
+        if prog is None:
+            continue
+        if prog["numInputRows"] > 0:
+            seen_data = True
+            zero_input = 0
+        elif seen_data:
+            zero_input += 1
+            if zero_input >= 2:
+                break
+    q.stop()
+    q.awaitTermination(30)
     return q
 
 
