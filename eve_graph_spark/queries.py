@@ -6544,31 +6544,24 @@ def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wc = Window.partitionBy("event_type")
-    med = (
-        ev.select("event_type", "value",
-                  F.row_number().over(w).alias("rn"),
-                  F.count(F.lit(1)).over(wc).alias("n"))
-        .groupBy("event_type")
-        .agg(F.max(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"), F.col("value"))
-                   ).alias("median"))
-    )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "event_id",
-        F.abs(F.col("value") - F.col("median")).alias("adev"), "median",
+    # ONE scan, one exchange: every window below shares the event_type
+    # partition key, so Catalyst plans a single shuffle and chains the
+    # sorts — the join-back formulation re-planned the events scan 3x
+    # (test_plan_scan_budget pins this at 1).
+    mid = F.floor((F.count(F.lit(1)).over(wc) + 1) / 2).cast("long")
+    staged = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("median",
+                    F.max(F.when(F.col("rn") == mid, F.col("value"))).over(wc))
+        .withColumn("adev", F.abs(F.col("value") - F.col("median")))
     )
     wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
-    gmad = (
-        dev.select("event_type", "adev", "median",
-                   F.row_number().over(wd).alias("rn"),
-                   F.count(F.lit(1)).over(wc).alias("n"))
-        .groupBy("event_type")
-        .agg(F.max("median").alias("median"),
-             F.max(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"), F.col("adev"))
-                   ).alias("mad"))
+    staged = staged.withColumn("rn2", F.row_number().over(wd)).withColumn(
+        "mad", F.max(F.when(F.col("rn2") == mid, F.col("adev"))).over(wc)
     )
     return (
-        dev.join(F.broadcast(gmad.select("event_type", F.col("median").alias("m2"), "mad")), "event_type")
-        .groupBy("event_type", F.col("m2").alias("median"), "mad")
+        staged.groupBy("event_type", "median", "mad")
         .agg(
             F.sum(
                 F.when((F.col("mad") > 0) & (F.col("adev") > 3 * F.col("mad")), 1).otherwise(0)
