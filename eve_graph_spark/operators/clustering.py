@@ -57,31 +57,32 @@ def _assign_expr(fixed_col: Column, centroids: dict[int, list[int]], k: int) -> 
     return (F.least(*scores) % F.lit(k)).cast("int")
 
 
-def kmeans_assign(embeddings: DataFrame, k: int = 4, iterations: int = 2,
-                  id_col: str = "vec_id", vec_col: str = "embedding",
-                  dim: int = 64) -> DataFrame:
-    """(id, cluster) after `iterations` Lloyd rounds from a deterministic
-    init (the k smallest ids' vectors; cluster index = id rank). Fixed
-    iteration count, not convergence-tested: the oracle must replay the
-    exact schedule, and production corpus-clustering runs are budgeted in
-    rounds anyway. Rows with NULL/wrong-arity vectors are dropped (same
-    guard as label_centroids)."""
-    emb = embeddings.filter(
+def _clean(embeddings: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    return embeddings.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     ).select(
         F.col(id_col).cast("long").alias("id"), _fixed_vec(F.col(vec_col)).alias("fv")
     )
 
+
+def kmeans_fit(embeddings: DataFrame, k: int = 4, iterations: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64) -> dict[int, list[int]]:
+    """The trained model: fixed-point centroids after `iterations` Lloyd
+    rounds from a deterministic init (the k smallest ids' vectors; cluster
+    index = id rank) — i.e. the centroids the FINAL assignment of
+    `iterations` rounds is made against (iterations - 1 update steps).
+    Fixed schedule, not convergence-tested: the oracle must replay it, and
+    production corpus-clustering runs are budgeted in rounds anyway."""
+    emb = _clean(embeddings, id_col, vec_col, dim)
     init_rows = emb.orderBy("id").limit(k).collect()
     centroids: dict[int, list[int]] = {
         c: list(r["fv"]) for c, r in enumerate(init_rows)
     }
-
-    assigned = None
-    for it in range(iterations):
-        assigned = emb.select("id", "fv", _assign_expr(F.col("fv"), centroids, k).alias("cluster"))
-        if it == iterations - 1:
-            break  # the last round's update would be dead work
+    for _ in range(iterations - 1):
+        assigned = emb.select(
+            "fv", _assign_expr(F.col("fv"), centroids, k).alias("cluster")
+        )
         # update: one (cluster, idx) shuffle of partial sums; the division
         # and floor run engine-side so the collected longs are the same
         # IEEE results the oracle computes
@@ -100,7 +101,29 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, iterations: int = 2,
         for r in cent_rows:
             new_cents.setdefault(r["cluster"], [0] * dim)[r["idx"]] = r["cv"]
         centroids = new_cents  # empty clusters drop out; argmin skips them
-    return assigned.select("id", "cluster")
+    return centroids
+
+
+def assign_with_centroids(embeddings: DataFrame, centroids: dict[int, list[int]],
+                          k: int, id_col: str = "vec_id",
+                          vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """(id, cluster) against a FIXED model — a pure scan-side projection
+    (no shuffle, no state), which makes it directly usable on a STREAMING
+    DataFrame too: the model-apply half of the pipeline (train batch-side
+    with kmeans_fit, score the firehose with this)."""
+    return _clean(embeddings, id_col, vec_col, dim).select(
+        "id", _assign_expr(F.col("fv"), centroids, k).alias("cluster")
+    )
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 4, iterations: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int = 64) -> DataFrame:
+    """(id, cluster) after `iterations` Lloyd rounds: fit + final assign.
+    Rows with NULL/wrong-arity vectors are dropped (same guard as
+    label_centroids)."""
+    centroids = kmeans_fit(embeddings, k, iterations, id_col, vec_col, dim)
+    return assign_with_centroids(embeddings, centroids, k, id_col, vec_col, dim)
 
 
 def kmeans_oracle_sql(k: int = 4, iterations: int = 2, dim: int = 64,

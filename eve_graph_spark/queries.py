@@ -6013,11 +6013,15 @@ def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-for-bit.
 # =========================================================================
 
-def _random_walk_oracle_sql(steps: int, walks_per_node: int) -> str:
+def _random_walk_oracle_sql(steps: int, walks_per_node: int,
+                            as_cte: str | None = None) -> str:
     """Unrolled walk replay: one (candidates, min-score, pick) CTE triple per
     step — recursive CTEs can't host the per-step argmin aggregate, and with
     4 steps unrolling is smaller than the workaround. Scoring is
-    graph_analytics.rw_score_sql, the committed twin of _rw_score_expr."""
+    graph_analytics.rw_score_sql, the committed twin of _rw_score_expr.
+    With `as_cte`, the final (walk_id, step, node) union is emitted as one
+    more named CTE instead of the terminal SELECT, so downstream oracles
+    (skipgram_pairs) can build on the identical replayed corpus."""
     from eve_graph_spark.operators.graph_analytics import rw_score_sql
 
     reps = " UNION ALL ".join(f"SELECT {r} AS r" for r in range(walks_per_node))
@@ -6050,6 +6054,9 @@ def _random_walk_oracle_sql(steps: int, walks_per_node: int) -> str:
         f"SELECT walk_id, CAST({i} AS INTEGER) AS step, node FROM rw_s{i}"
         for i in range(steps + 1)
     )
+    if as_cte is not None:
+        parts.append(f"{as_cte} AS (\n{final}\n)")
+        return ", " + ",\n".join(parts)
     return ", " + ",\n".join(parts) + "\n" + final
 
 
@@ -6657,4 +6664,42 @@ def route_avoiding_risky(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(order), "system_id")
         .join(F.broadcast(systems.select("system_id", "name")), "system_id")
         .select("pos", "system_id", "name", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+@register(
+    "skipgram_pairs",
+    _graph_cte(
+        _random_walk_oracle_sql(steps=4, walks_per_node=2, as_cte="rw_all")
+        + """
+        SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM rw_all a JOIN rw_all b
+          ON a.walk_id = b.walk_id
+         AND a.step <> b.step
+         AND ABS(a.step - b.step) <= 2
+        GROUP BY a.node, b.node
+        """
+    ),
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The consumer of the walk corpus: (center, context) skip-gram pairs
+    # within a +-2 window, aggregated with multiplicity — what a word2vec-
+    # style embedding trainer actually ingests (walks -> pairs is the
+    # node2vec paper's next stage). One self-join keyed on walk_id: walks
+    # are short, so the per-key group is tiny and the join co-partitions
+    # on the walk's hash — no corpus-sized blowup (pairs = walks x
+    # window x steps). The oracle replays the identical walk corpus via
+    # the shared generator (as_cte form) and the same window logic.
+    from eve_graph_spark.operators.graph_analytics import random_walks as rw
+
+    jumps = build_jumps(spark, sf_dir)
+    systems = build_systems(spark, sf_dir)
+    walks = rw(jumps, walks_per_node=2, steps=4, nodes=systems.select("system_id"))
+    a = walks.select("walk_id", F.col("step").alias("sa"), F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("sb"), F.col("node").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter((F.col("sa") != F.col("sb")) & (F.abs(F.col("sa") - F.col("sb")) <= 2))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

@@ -171,3 +171,17 @@ def curate_document_stream(docs: DataFrame, benchmark_digests: DataFrame,
         .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
         .drop("__digest")
     )
+
+
+def assign_embedding_stream(stream: DataFrame, centroids: dict[int, list[int]],
+                            k: int, id_col: str = "vec_id",
+                            vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Online cluster assignment: score a streaming embedding firehose
+    against a batch-trained k-means model (clustering.kmeans_fit). The
+    model is k*dim literals baked into one stateless scan-side projection
+    — no shuffle, no state store, works at any micro-batch rate; the
+    streaming half of the train-batch / score-stream pattern (SemDeDup
+    routing, online corpus bucketing)."""
+    from eve_graph_spark.operators.clustering import assign_with_centroids
+
+    return assign_with_centroids(stream, centroids, k, id_col, vec_col, dim)

@@ -357,3 +357,30 @@ def test_events_with_ts_both_disk_encodings(spark, tmp_path):
     assert got_us[0][1] == base_us * 1000  # ts_ns in nanos
     assert got_us[0][2] == base_us // 1_000_000  # ts_sec in seconds
     assert got_us[2][2] == base_us // 1_000_000 + 59
+
+
+def test_streaming_cluster_assignment_matches_batch(spark, tmp_path):
+    """Train k-means batch-side, score the same vectors as a STREAM: the
+    stateless scan-side assignment must agree with the batch path row for
+    row (the train-batch / score-stream pattern)."""
+    from eve_graph_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from eve_graph_spark.sources.tables import load_table, spread
+    from eve_graph_spark.streaming.windows import assign_embedding_stream
+
+    sf = "/root/testdata/sf0.001"
+    emb = spread(load_table(spark, sf, "embeddings"))
+    model = kmeans_fit(emb, k=4, iterations=2)
+    batch = {r["id"]: r["cluster"] for r in kmeans_assign(emb, k=4, iterations=2).collect()}
+
+    # the parquet file-stream source wants a DIRECTORY
+    import shutil
+
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    shutil.copy(f"{sf}/embeddings.parquet", d / "part-0.parquet")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(d))
+    _run_to_memory(assign_embedding_stream(stream, model, k=4), "clu", "append")
+    got = {r["id"]: r["cluster"] for r in spark.sql("SELECT * FROM clu").collect()}
+    assert got == batch
