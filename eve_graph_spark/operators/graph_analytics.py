@@ -1622,7 +1622,11 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2, steps: int = 4,
             F.col("src").alias("node")
         )
     else:
-        nodes = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+        # defensive distinct: duplicate seed ids would collide walk_ids and
+        # emit every row of those walks twice
+        nodes = nodes.select(
+            F.col(nodes.columns[0]).cast("long").alias("node")
+        ).distinct()
 
     if _fits_driver(e, driver_threshold):
         adj: dict[int, list[int]] = {}
@@ -1679,13 +1683,14 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2, steps: int = 4,
 # --- articulation points / bridges (chokepoint analysis) ---------------------
 
 def _exclusion_reach(e: DataFrame, seeds: DataFrame, key_cols: list[str],
-                     edge_filter, max_iterations: int,
-                     checkpoint_every: int = 3) -> DataFrame:
+                     edge_filter, max_iterations: int) -> DataFrame:
     """Shared kernel: per exclusion key, the set of nodes reachable from the
     seed when `edge_filter(reached, e)` prunes forbidden edges. One frontier
     DataFrame keyed by the exclusion key runs ALL exclusion scenarios as one
     superstep loop (the multi_source_sssp trick) instead of |keys| serial
-    BFS jobs. Returns (key_cols..., node) distinct rows."""
+    BFS jobs. Returns (key_cols..., node) distinct rows. The fixpoint probe
+    (count) materializes the merged set every round, so lineage is
+    checkpointed per iteration as a side effect — no separate cadence knob."""
     reached = seeds
     prev = -1
     for it in range(max_iterations):
@@ -1860,7 +1865,11 @@ def node2vec_walks(edges: DataFrame, walks_per_node: int = 2, steps: int = 4,
             F.col("src").alias("node")
         )
     else:
-        nodes = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+        # defensive distinct: duplicate seed ids would collide walk_ids and
+        # emit every row of those walks twice
+        nodes = nodes.select(
+            F.col(nodes.columns[0]).cast("long").alias("node")
+        ).distinct()
 
     if _fits_driver(e, driver_threshold):
         adj: dict[int, list[int]] = {}

@@ -45,10 +45,10 @@ def dim_stats(embeddings: DataFrame, vec_col: str = "embedding",
     return out
 
 
-def _code_expr(x: Column, mn: Column, scale: Column) -> Column:
-    """floor((x - mn)/scale + 0.5), clamped to [0, Q_LEVELS]; 0 when the
-    dimension is constant (scale == 0)."""
-    raw = F.floor((x - mn) / scale + F.lit(0.5))
+def _code_expr(xm: Column, scale: Column) -> Column:
+    """floor(xm/scale + 0.5) for xm = (x - min), clamped to [0, Q_LEVELS];
+    0 when the dimension is constant (scale == 0)."""
+    raw = F.floor(xm / scale + F.lit(0.5))
     return F.when(scale == 0.0, F.lit(0).cast("long")).otherwise(
         F.greatest(F.lit(0).cast("long"),
                    F.least(F.lit(Q_LEVELS).cast("long"), raw.cast("long")))
@@ -75,9 +75,8 @@ def quantization_report(embeddings: DataFrame, id_col: str = "vec_id",
     codes = F.zip_with(
         F.zip_with(F.col("x"), mins, lambda x, mn: x - mn),
         scales,
-        lambda xm, s: _code_expr(xm + F.lit(0.0), F.lit(0.0), s),
+        _code_expr,
     )
-    # NOTE: _code_expr above receives (x - mn) pre-subtracted, mn=0
     checksum = F.aggregate(
         F.zip_with(codes, F.sequence(F.lit(1), F.lit(dim)),
                    lambda q, i: q * i.cast("long")),

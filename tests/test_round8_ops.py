@@ -186,7 +186,7 @@ def test_exclusion_bfs_superstep_bound(choke):
     calls = {"n": 0}
     orig = ga._exclusion_reach
 
-    def counting(e, seeds, key_cols, edge_filter, max_iterations, checkpoint_every=3):
+    def counting(e, seeds, key_cols, edge_filter, max_iterations):
         reached = seeds
         prev = -1
         for it in range(max_iterations):
