@@ -323,7 +323,11 @@ def main() -> None:
                 "retried": retried,
                 "regressions": regressions,
                 "shuffle_regressions": shuffle_regressions,
-                "queries": timings,
+                # sorted FASTEST-first so the slowest (most informative)
+                # queries land inside the driver's stdout TAIL window —
+                # r8's alphabetical order truncated exactly the expensive
+                # dedup/ANN half of the registry (r8 verdict item 2)
+                "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
             }
         )
     )

@@ -54,6 +54,15 @@ def _assign_expr(fixed_col: Column, centroids: dict[int, list[int]], k: int) -> 
         (_dist_expr(fixed_col, vec) * F.lit(k) + F.lit(c)).cast("long")
         for c, vec in sorted(centroids.items())
     ]
+    if not scores:
+        # no surviving centroid (zero valid vectors at fit time): no row can
+        # be assigned — NULL keeps the schema without inventing a cluster
+        return F.lit(None).cast("int")
+    if len(scores) == 1:
+        # F.least requires >= 2 columns; with one surviving centroid the
+        # argmin is that centroid for every row (all-identical-vector
+        # corpora collapse to this, matching the oracle's MIN over one c)
+        return (scores[0] % F.lit(k)).cast("int")
     return (F.least(*scores) % F.lit(k)).cast("int")
 
 
@@ -67,14 +76,33 @@ def _clean(embeddings: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFr
 
 def kmeans_fit(embeddings: DataFrame, k: int = 4, iterations: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               dim: int = 64) -> dict[int, list[int]]:
+               dim: int = 64, check_unique_ids: bool = True) -> dict[int, list[int]]:
     """The trained model: fixed-point centroids after `iterations` Lloyd
     rounds from a deterministic init (the k smallest ids' vectors; cluster
     index = id rank) — i.e. the centroids the FINAL assignment of
     `iterations` rounds is made against (iterations - 1 update steps).
     Fixed schedule, not convergence-tested: the oracle must replay it, and
-    production corpus-clustering runs are budgeted in rounds anyway."""
+    production corpus-clustering runs are budgeted in rounds anyway.
+
+    Contract: ids must be unique. With duplicates the deterministic init is
+    ill-defined (the engine would pick an arbitrary duplicate's vector while
+    the SQL oracle joins ALL duplicate rows per (c, idx) — silent
+    divergence), so by default we spend one id-keyed agg at fit time to
+    fail loudly instead (`check_unique_ids=False` opts out when the caller
+    has already deduped; fit is a multi-pass job anyway, so the extra
+    groupBy is in budget even at corpus scale)."""
     emb = _clean(embeddings, id_col, vec_col, dim)
+    if check_unique_ids:
+        dup = (
+            emb.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"kmeans_fit requires unique {id_col!r} values; id {dup[0]['id']} "
+                "appears more than once (dedup the input or pass "
+                "check_unique_ids=False after deduping upstream)"
+            )
     init_rows = emb.orderBy("id").limit(k).collect()
     centroids: dict[int, list[int]] = {
         c: list(r["fv"]) for c, r in enumerate(init_rows)

@@ -99,12 +99,11 @@ def _correctness_tiers(root=None) -> dict[str, int]:
 # into the driver window right after the never-checked tier, so changed code
 # is always externally re-verified in the round it changes (ADVICE r2).
 _MODIFIED_THIS_ROUND = {
-    # r8: registered plan changed — safest_route_path now walks the guarded
-    # reconstruct_path; ann_ivf_pq_topk materializes its narrow PQ index
-    # once (scan-budget fix). Results should be identical; forced back into
+    # r9: kmeans_assign now guards degenerate centroid collapse and enforces
+    # the unique-id contract at fit time (ADVICE r8) — plan gains one
+    # id-keyed agg; results on the fixtures are identical. Forced back into
     # the driver window for external re-verification.
-    "safest_route_path",
-    "ann_ivf_pq_topk",
+    "kmeans_embeddings",
 }
 
 

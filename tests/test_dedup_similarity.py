@@ -225,31 +225,45 @@ def test_multimodal_pipeline(spark):
     assert all(r["frame_no"] == 0 for r in frames)  # blobs < 1KB → 1 frame
 
 
-def test_real_pil_decoder_contract(spark):
-    """Real-codec contract (gated): where Pillow exists, extract_features
-    with pil_image_decoder() must decode an actual PNG and produce the
-    pinned [w, h, channels, mean] vector. Skips cleanly in containers
-    without codecs — the injectable-decoder plumbing is tested above."""
-    pytest.importorskip("PIL")
-    import io
+def test_real_decoder_contract(spark):
+    """Real-codec contract, ungated (r8 verdict item 3 — this was the
+    suite's only skip): the default decode router must decode an actual
+    uncompressed 24-bit BMP via the pure-stdlib kernel and produce the
+    pinned [w, h, channels, mean] vector — real image bytes through the
+    real mapInPandas path, no codec library needed. Where Pillow happens
+    to exist, the PNG arm cross-checks the same pixels through PIL."""
+    from eve_graph_spark.operators.multimodal import (
+        default_image_decoder,
+        encode_bmp_rgb,
+        pil_image_decoder,
+        stdlib_bmp_decoder,
+    )
 
-    from PIL import Image
-
-    from eve_graph_spark.operators.multimodal import pil_image_decoder
-
-    decoder = pil_image_decoder()
-    assert decoder is not None
-    img = Image.new("RGB", (2, 2))
-    img.putdata([(0, 0, 0), (255, 255, 255), (10, 20, 30), (40, 50, 60)])
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    png = buf.getvalue()
+    pixels = [[(0, 0, 0), (255, 255, 255)], [(10, 20, 30), (40, 50, 60)]]
+    bmp = encode_bmp_rgb(2, 2, pixels)
+    # pinned: mean over all 12 channel values = 975/12
+    want = [2.0, 2.0, 3.0, pytest.approx(975 / 12)]
+    assert stdlib_bmp_decoder(bmp) == want
 
     media = spark.createDataFrame(
-        [(1, "image", png, {"n_bytes": len(png), "source": "t"})], MEDIA_SCHEMA
+        [(1, "image", bmp, {"n_bytes": len(bmp), "source": "t"})], MEDIA_SCHEMA
     )
-    [row] = extract_features(media, decoder=decoder).collect()
-    assert row["feat"] == [2.0, 2.0, 3.0, pytest.approx(975 / 12)]
+    [row] = extract_features(media, decoder=default_image_decoder()).collect()
+    assert row["feat"] == want
+    # router rejects non-BMP bytes loudly when no PIL fallback exists
+    if pil_image_decoder() is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            default_image_decoder()(b"\x89PNG\r\n\x1a\n")
+    else:  # PIL present: PNG of the same pixels must agree
+        import io
+
+        from PIL import Image
+
+        img = Image.new("RGB", (2, 2))
+        img.putdata([p for r in pixels for p in r])
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        assert default_image_decoder()(buf.getvalue()) == want
 
 
 def test_ivf_local_and_distributed_paths_agree(spark):

@@ -287,6 +287,53 @@ def test_kmeans_drops_null_and_short_vectors(spark):
     assert by_id[1] == by_id[5] != by_id[2] == by_id[6]
 
 
+def test_kmeans_single_surviving_centroid(spark):
+    """All-identical-vector corpus: every point lands in cluster 0 after the
+    first update, so clusters 1..k-1 drop out and the assign expression must
+    not require >= 2 score columns (r8 advice: F.least WRONG_NUM_COLUMNS)."""
+    from eve_graph_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(i, [1.5] * 64) for i in range(1, 6)], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_assign(df, k=2, iterations=2).collect()
+    assert len(out) == 5
+    assert all(r["cluster"] == 0 for r in out)
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    from eve_graph_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [0.25] * 64)], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_assign(df, k=3, iterations=2).collect()
+    assert [(r["id"], r["cluster"]) for r in out] == [(1, 0)]
+
+
+def test_kmeans_empty_corpus(spark):
+    from eve_graph_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kmeans_assign(df, k=2, iterations=2).count() == 0
+
+
+def test_kmeans_rejects_duplicate_ids(spark):
+    import pytest
+
+    from eve_graph_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (1, [1.0] * 64), (2, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="unique"):
+        kmeans_fit(df, k=2, iterations=2)
+    # opt-out path still runs (caller takes responsibility)
+    cents = kmeans_fit(df, k=2, iterations=2, check_unique_ids=False)
+    assert len(cents) >= 1
+
+
 # --- scalar quantization ---------------------------------------------------------
 
 def test_quantization_codes_and_error_bound(spark, sf_dir):

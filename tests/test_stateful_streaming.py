@@ -47,12 +47,16 @@ def _run(stream_df, qname, tmp_path, mode="update"):
     deadline = time.time() + 120
     zero_input = 0
     seen_data = False
+    last_batch = None
     while time.time() < deadline:
         if q.awaitTermination(2):
             return q
         prog = q.lastProgress
-        if prog is None:
+        if prog is None or prog["batchId"] == last_batch:
+            # same completed batch observed across two polls — counting it
+            # twice would stop the query prematurely (ADVICE r8)
             continue
+        last_batch = prog["batchId"]
         if prog["numInputRows"] > 0:
             seen_data = True
             zero_input = 0
