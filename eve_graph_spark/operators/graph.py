@@ -584,6 +584,244 @@ def k_shortest_paths(edges: DataFrame, source: int, target: int, k: int = 3,
     return found
 
 
+_JSSSP_SCHEMA = T.StructType(
+    [
+        T.StructField("jid", T.LongType(), False),
+        T.StructField("node", T.LongType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+        T.StructField("pred", T.LongType(), True),
+    ]
+)
+
+
+def _banned_multi_sweep(
+    e: DataFrame,
+    jobs: list[tuple[int, int, set[int], set[tuple[int, int]]]],
+    target: int,
+    max_iterations: int,
+    checkpoint_every: int,
+    stats_out: dict | None = None,
+) -> dict[int, tuple[float, list[int]]]:
+    """One (jid, node)-keyed frontier loop answering MANY banned-graph
+    single-pair queries at once: `jobs` is [(jid, start, banned_nodes,
+    banned_edges)], the per-jid ban sets are path-sized (Yen's roots /
+    shared prefixes), and every iteration relaxes ALL jobs' frontiers in a
+    single frontier×edges join. Bans are broadcast anti-joins on the
+    candidate stream — (jid, node) kills re-entry into a root, (jid, src,
+    dst) kills the one prefix edge a found path already used — so the
+    superstep count is max-diameter-bound, not Σ per-job diameters, and
+    the data never moves per job.
+
+    Returns {jid: (dist, [start..target])} for jobs that reach `target`.
+    Path extraction walks pred pointers for ALL jids together: one
+    path-sized pushed-down fetch per hop, ≤ path-length hops, never a
+    vertex-sized collect (same discipline as reconstruct_path's iterative
+    mode). Tie-break is min (dist, pred) struct — bit-identical float
+    accumulation to `sssp`/`multi_source_sssp`.
+    """
+    spark = e.sparkSession
+    seeds = spark.createDataFrame(
+        [(int(j), int(s), 0.0, None) for j, s, _, _ in jobs], _JSSSP_SCHEMA
+    )
+    bn = [(int(j), int(n)) for j, _, bns, _ in jobs for n in sorted(bns)]
+    be = [(int(j), int(u), int(v)) for j, _, _, bes in jobs for u, v in sorted(bes)]
+    bn_df = (
+        F.broadcast(spark.createDataFrame(bn, "jid long, bnode long")) if bn else None
+    )
+    be_df = (
+        F.broadcast(spark.createDataFrame(be, "jid long, bsrc long, bdst long"))
+        if be
+        else None
+    )
+    dist = seeds
+    frontier = seeds
+    frontier_rows = len(jobs)
+    n_iters = 0
+    for it in range(max_iterations):
+        fr = F.broadcast(frontier) if frontier_rows <= BROADCAST_FRONTIER_MAX else frontier
+        cand = fr.join(e, fr.node == e.src).select(
+            F.col("jid"),
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("weight")).alias("dist"),
+            F.col("src").alias("pred"),
+        )
+        # bans BEFORE the min-agg so banned candidates never hit the shuffle
+        if be_df is not None:
+            cand = cand.join(
+                be_df,
+                (cand["jid"] == be_df["jid"])
+                & (cand["pred"] == be_df["bsrc"])
+                & (cand["node"] == be_df["bdst"]),
+                "left_anti",
+            )
+        if bn_df is not None:
+            cand = cand.join(
+                bn_df,
+                (cand["jid"] == bn_df["jid"]) & (cand["node"] == bn_df["bnode"]),
+                "left_anti",
+            )
+        cand = (
+            cand.groupBy("jid", "node")
+            .agg(F.min(F.struct("dist", "pred")).alias("best"))
+            .select(
+                "jid", "node",
+                F.col("best.dist").alias("dist"), F.col("best.pred").alias("pred"),
+            )
+        )
+        old = dist.select("jid", "node", F.col("dist").alias("old_dist"))
+        improved = (
+            cand.join(old, ["jid", "node"], "left")
+            .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
+            .select("jid", "node", "dist", "pred")
+        )
+        improved = improved.localCheckpoint(eager=True)
+        frontier_rows = improved.count()
+        n_iters = it + 1
+        if frontier_rows == 0:
+            break
+        frontier = improved
+        imp_keys = improved.select(F.col("jid").alias("__j"), F.col("node").alias("__n"))
+        dist = dist.join(
+            imp_keys,
+            (dist["jid"] == F.col("__j")) & (dist["node"] == F.col("__n")),
+            "left_anti",
+        ).unionByName(improved)
+        if (it + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    if stats_out is not None:
+        stats_out["sweep_iterations"] = stats_out.get("sweep_iterations", 0) + n_iters
+        stats_out["sweeps"] = stats_out.get("sweeps", 0) + 1
+    dist = dist.persist()
+    try:
+        tgt = {
+            r["jid"]: (r["dist"], r["pred"])
+            for r in dist.filter(F.col("node") == F.lit(int(target))).collect()
+        }
+        paths: dict[int, list[int]] = {j: [int(target)] for j in tgt}
+        cur = {j: p for j, (_, p) in tgt.items() if p is not None}
+        while cur:
+            conds = None
+            for j, n in cur.items():
+                c = (F.col("jid") == int(j)) & (F.col("node") == int(n))
+                conds = c if conds is None else (conds | c)
+            got = {
+                r["jid"]: r["pred"]
+                for r in dist.filter(conds).select("jid", "node", "pred").collect()
+            }
+            nxt: dict[int, int] = {}
+            for j, n in cur.items():
+                paths[j].append(int(n))
+                p = got.get(j)
+                if p is not None:
+                    nxt[j] = p
+            cur = nxt
+        return {j: (tgt[j][0], list(reversed(paths[j]))) for j in tgt}
+    finally:
+        dist.unpersist()
+
+
+def k_shortest_paths_distributed(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    k: int = 3,
+    weight_col: str = "weight",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 200,
+    checkpoint_every: int = 5,
+    driver_threshold: int = DRIVER_SSSP_MAX_EDGES,
+    stats_out: dict | None = None,
+) -> list[tuple[float, list[int]]]:
+    """Yen's k best loop-free routes with BATCHED spur sweeps — the
+    distributed twin of `k_shortest_paths` (GDS `gds.shortestPath.yens`
+    parity, the step past database.rs:484-544's single Dijkstra).
+
+    Below `driver_threshold` it delegates to the driver implementation
+    (identical results; a reference-scale graph must not launch Spark jobs
+    per route query). Above it, each Yen round runs ONE `_banned_multi_sweep`
+    over all |prev_path| spur jobs instead of |spurs| serial SSSPs, so a
+    round costs O(max diameter) supersteps regardless of path length.
+    Candidate bookkeeping (path-sized) stays on the driver; edge weights
+    for root costs are prefetched per found path via pushed-down filters
+    (path-sized rows, never the edge table).
+
+    Output is implementation-independent whenever the top-(k+1) simple-path
+    costs are distinct (ties are broken by min-(dist, pred) here vs heap
+    order in the driver twin — both return SOME optimal path under exact
+    cost ties, the same guarantee GDS gives).
+
+    Returns [(total_cost, [node, ...])], best first; ties by path nodes.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+    if fits_driver(e, driver_threshold):
+        return k_shortest_paths(
+            edges, source, target, k, weight_col, src_col, dst_col, driver_threshold
+        )
+    e = e.persist()
+    wcache: dict[tuple[int, int], float] = {}
+
+    def prefetch(path: list[int]) -> None:
+        missing = [p for p in zip(path, path[1:]) if p not in wcache]
+        if not missing:
+            return
+        conds = None
+        for u, v in missing:
+            c = (F.col("src") == int(u)) & (F.col("dst") == int(v))
+            conds = c if conds is None else (conds | c)
+        for r in e.filter(conds).select("src", "dst", "weight").collect():
+            wcache.setdefault((r["src"], r["dst"]), r["weight"])
+
+    try:
+        first = _banned_multi_sweep(
+            e, [(0, source, set(), set())], target,
+            max_iterations, checkpoint_every, stats_out,
+        )
+        if 0 not in first:
+            return []
+        found = [first[0]]
+        prefetch(found[0][1])
+        candidates: list[tuple[float, list[int]]] = []
+        while len(found) < k:
+            _, prev_path = found[-1]
+            jobs: list[tuple[int, int, set[int], set[tuple[int, int]]]] = []
+            roots: dict[int, list[int]] = {}
+            for i in range(len(prev_path) - 1):
+                spur, root = prev_path[i], prev_path[: i + 1]
+                banned_e = {
+                    (p[len(root) - 1], p[len(root)])
+                    for _, p in found
+                    if len(p) > len(root) and p[: len(root)] == root
+                }
+                banned_n = set(root[:-1])
+                jobs.append((i, spur, banned_n, banned_e))
+                roots[i] = root
+            res = _banned_multi_sweep(
+                e, jobs, target, max_iterations, checkpoint_every, stats_out
+            )
+            for i, root in roots.items():
+                if i not in res:
+                    continue
+                spur_cost, spur_path = res[i]
+                root_cost = sum(wcache[(a, b)] for a, b in zip(root, root[1:]))
+                cand = (root_cost + spur_cost, root[:-1] + spur_path)
+                if cand not in candidates and cand not in found:
+                    candidates.append(cand)
+            if not candidates:
+                break
+            candidates.sort(key=lambda c: (c[0], c[1]))
+            nxt = candidates.pop(0)
+            found.append(nxt)
+            prefetch(nxt[1])
+        return found
+    finally:
+        e.unpersist()
+
+
 def a_star(
     edges: DataFrame,
     coords: DataFrame,

