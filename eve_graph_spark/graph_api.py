@@ -181,3 +181,158 @@ class PropertyGraph:
             return_mult=returnMult, inout_mult=inoutMult,
             nodes=self.vertices.select("id"), src_col="src", dst_col="dst",
         )
+
+    def find(self, pattern: str) -> DataFrame:
+        """GraphFrames motif finding: `find("(a)-[e]->(b); (b)-[e2]->(c)")`
+        returns one row per match with a STRUCT column per named element
+        (full vertex/edge attributes), columns in first-appearance order.
+
+        Supported, matching GraphFrames semantics:
+        - positive edge terms `(a)-[e]->(b)`; any name may be empty
+          (anonymous: matched but not returned, not unified);
+        - repeated vertex names unify (same vertex), and DIFFERENT names
+          may still bind the same vertex — no implicit distinctness;
+        - standalone vertex terms `(a)`;
+        - negated terms `!(a)-[]->(b)`: no edge a->b exists; compiled to a
+          broadcast-friendly left_anti join. Named edges are not allowed
+          inside negations and both endpoints must be bound positively.
+
+        Plan shape: each positive term is ONE equi-join keyed on the
+        shared vertex id (never a cartesian for connected patterns — a
+        term sharing no vertex with what's bound so far raises, unlike
+        GraphFrames' implicit cross join, because at 100 TB that cross
+        join is a mistake you want loudly); vertex attributes attach at
+        the END via one id-keyed join per named vertex, so motif joins
+        carry only ids + named edge structs.
+        """
+        import re
+
+        term_re = re.compile(
+            r"^(!?)\s*\((\w*)\)\s*(?:-\s*\[(\w*)\]\s*->\s*\((\w*)\))?$"
+        )
+        terms = []
+        for raw in pattern.split(";"):
+            raw = raw.strip()
+            if not raw:
+                continue
+            m = term_re.match(raw)
+            if not m:
+                raise ValueError(f"unparseable motif term: {raw!r}")
+            neg, a, en, b = m.group(1) == "!", m.group(2), m.group(3), m.group(4)
+            if b is None:  # standalone vertex
+                if neg:
+                    raise ValueError("negated standalone vertex is not supported")
+                if not a:
+                    raise ValueError("standalone vertex term must be named")
+                terms.append(("vertex", a))
+            else:
+                if neg and en:
+                    raise ValueError(
+                        f"named edge {en!r} not allowed in negated term"
+                    )
+                terms.append(("edge", neg, a, en, b))
+
+        edge_attrs = self.edges.columns
+        vcol: dict[str, str] = {}  # vertex name -> flat id column in res
+        appearance: list[tuple[str, str]] = []  # (kind, name) first-appearance
+        edge_structs: dict[str, str] = {}  # edge name -> struct column
+        res: DataFrame | None = None
+        n_pos = 0
+
+        def note(kind: str, name: str) -> None:
+            if name and (kind, name) not in appearance:
+                appearance.append((kind, name))
+
+        for t in terms:
+            if t[0] == "vertex":
+                name = t[1]
+                note("v", name)
+                if name in vcol:
+                    continue
+                if res is not None:
+                    raise ValueError(
+                        f"vertex term ({name}) shares no vertex with the "
+                        "pattern so far — disconnected motifs are refused "
+                        "(they compile to cross joins)"
+                    )
+                res = self.vertices.select(F.col("id").alias(f"__v_{name}"))
+                vcol[name] = f"__v_{name}"
+                continue
+            _, neg, a, en, b = t
+            if neg:
+                if a not in vcol or b not in vcol:
+                    raise ValueError(
+                        f"negated term endpoints ({a})->({b}) must be bound "
+                        "by positive terms first"
+                    )
+                ne = self.edges.select(
+                    F.col("src").alias("__ns"), F.col("dst").alias("__nd")
+                )
+                res = res.join(
+                    ne,
+                    (F.col(vcol[a]) == F.col("__ns"))
+                    & (F.col(vcol[b]) == F.col("__nd")),
+                    "left_anti",
+                )
+                continue
+            if en and en in edge_structs:
+                raise ValueError(f"edge name {en!r} used more than once")
+            i = n_pos
+            n_pos += 1
+            sel = [
+                F.col("src").alias(f"__s{i}"),
+                F.col("dst").alias(f"__d{i}"),
+            ]
+            if en:
+                sel.append(
+                    F.struct(*[F.col(c) for c in edge_attrs]).alias(f"__e_{en}")
+                )
+                edge_structs[en] = f"__e_{en}"
+            ei = self.edges.select(*sel)
+            note("v", a)
+            if en:
+                note("e", en)
+            note("v", b)
+            if res is None:
+                res = ei
+                if a == b and a:
+                    res = res.filter(F.col(f"__s{i}") == F.col(f"__d{i}"))
+            else:
+                conds = []
+                if a and a in vcol:
+                    conds.append(F.col(vcol[a]) == ei[f"__s{i}"])
+                if b and b in vcol:
+                    conds.append(F.col(vcol[b]) == ei[f"__d{i}"])
+                if a and a == b and a not in vcol:
+                    conds.append(ei[f"__s{i}"] == ei[f"__d{i}"])
+                if not conds:
+                    raise ValueError(
+                        f"term ({a})-[{en}]->({b}) shares no vertex with the "
+                        "pattern so far — disconnected motifs are refused "
+                        "(they compile to cross joins)"
+                    )
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                res = res.join(ei, cond)
+            if a and a not in vcol:
+                vcol[a] = f"__s{i}"
+            if b and b not in vcol:
+                vcol[b] = f"__d{i}"
+
+        if res is None:
+            raise ValueError("empty motif pattern")
+
+        vattrs = self.vertices.columns
+        out_cols = []
+        for kind, name in appearance:
+            if kind == "e":
+                out_cols.append(F.col(f"__e_{name}").alias(name))
+                continue
+            vd = self.vertices.select(
+                F.col("id").alias(f"__vid_{name}"),
+                F.struct(*[F.col(c) for c in vattrs]).alias(f"__vs_{name}"),
+            )
+            res = res.join(vd, F.col(vcol[name]) == F.col(f"__vid_{name}"))
+            out_cols.append(F.col(f"__vs_{name}").alias(name))
+        return res.select(*out_cols)

@@ -6769,3 +6769,56 @@ def route_alternatives_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank long, pos long, system_id long, total_cost_fp long"
     )
+
+
+@register(
+    "motif_two_hop_risky",
+    _graph_cte(
+        """
+        , mt_edges AS (
+            SELECT src_system_id AS src, dst_system_id AS dst,
+                   CAST(FLOOR(risk * 1000000 + 0.5) AS BIGINT) AS risk_fp
+            FROM fix_jumps
+        )
+        SELECT e1.src AS a_id, e1.dst AS b_id, e2.dst AS c_id,
+               e1.risk_fp + e2.risk_fp AS total_risk_fp
+        FROM mt_edges e1 JOIN mt_edges e2 ON e2.src = e1.dst
+        WHERE e1.risk_fp > 2000000 AND e2.risk_fp > 2000000
+          AND e1.src <> e2.dst
+          AND NOT EXISTS (
+              SELECT 1 FROM mt_edges d WHERE d.src = e1.src AND d.dst = e2.dst
+          )
+        """
+    ),
+)
+def motif_two_hop_risky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GraphFrames' flagship surface on the engine: motif finding
+    # (PropertyGraph.find, graph_api.py) compiled to aliased equi-self-joins
+    # + anti-join negation. Pattern: risky two-hop detours a->b->c (both
+    # edges risk > 2.0 in 1e-6 fixed point) where NO direct edge a->c
+    # exists and a != c — i.e. pairs you can only reach through a risky
+    # middle system. Plan shape pinned in test_graph_api
+    # (no CartesianProduct / BroadcastNestedLoopJoin); risk is fixed-point
+    # so sums are exact and order-free.
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = build_systems(spark, sf_dir).select(F.col("system_id").alias("id"), "name")
+    e = build_jumps(spark, sf_dir).select(
+        F.col("src_system_id").alias("src"),
+        F.col("dst_system_id").alias("dst"),
+        F.floor(F.col("risk") * 1_000_000 + F.lit(0.5)).cast("long").alias("risk_fp"),
+    )
+    m = PropertyGraph(v, e).find("(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)")
+    return (
+        m.filter(
+            (F.col("e1.risk_fp") > 2_000_000)
+            & (F.col("e2.risk_fp") > 2_000_000)
+            & (F.col("a.id") != F.col("c.id"))
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("c.id").alias("c_id"),
+            (F.col("e1.risk_fp") + F.col("e2.risk_fp")).alias("total_risk_fp"),
+        )
+    )

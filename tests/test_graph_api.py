@@ -90,3 +90,78 @@ def test_node2vec_walks_api(graph):
         seq = [steps[i] for i in sorted(steps)]
         for i in range(len(seq) - 1):
             assert (seq[i], seq[i + 1]) in edge_set
+
+
+@pytest.fixture()
+def motif_graph(spark):
+    v = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(4)], "id long, name string"
+    )
+    # directed: 0->1, 1->2, 0->2 (shortcut), 2->3, 3->3 (self-loop)
+    e = spark.createDataFrame(
+        [(0, 1, 10.0), (1, 2, 20.0), (0, 2, 5.0), (2, 3, 1.0), (3, 3, 7.0)],
+        "src long, dst long, w double",
+    )
+    return PropertyGraph(v, e)
+
+
+def test_motif_two_hop(motif_graph):
+    rows = motif_graph.find("(a)-[e1]->(b); (b)-[e2]->(c)").collect()
+    triples = {(r["a"]["id"], r["b"]["id"], r["c"]["id"]) for r in rows}
+    assert triples == {(0, 1, 2), (1, 2, 3), (0, 2, 3), (2, 3, 3), (3, 3, 3)}
+    # struct columns carry full attributes, columns in appearance order
+    r = next(x for x in rows if (x["a"]["id"], x["b"]["id"], x["c"]["id"]) == (0, 1, 2))
+    assert [f for f in rows[0].asDict()] == ["a", "e1", "b", "e2", "c"]
+    assert r["e1"]["w"] == 10.0 and r["e2"]["w"] == 20.0
+    assert r["b"]["name"] == "n1"
+
+
+def test_motif_negation(motif_graph):
+    # two-hop pairs with NO direct shortcut edge a->c
+    rows = motif_graph.find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)").collect()
+    triples = {(r["a"]["id"], r["b"]["id"], r["c"]["id"]) for r in rows}
+    # (0,1,2) killed by 0->2; self-loop triples killed by their own edge
+    assert triples == {(1, 2, 3), (0, 2, 3)}
+    assert [f for f in rows[0].asDict()] == ["a", "b", "c"]
+
+
+def test_motif_self_loop_unification(motif_graph):
+    rows = motif_graph.find("(x)-[e]->(x)").collect()
+    assert [(r["x"]["id"], r["e"]["w"]) for r in rows] == [(3, 7.0)]
+
+
+def test_motif_anonymous_and_standalone(motif_graph):
+    # anonymous middle vertex: not returned, not unified
+    rows = motif_graph.find("(a)-[]->(); (a)-[e]->(b)").collect()
+    assert all(list(r.asDict()) == ["a", "e", "b"] for r in rows)
+    # every a with any out-edge pairs with each of its out-edges
+    pairs = {(r["a"]["id"], r["b"]["id"]) for r in rows}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    # standalone vertex term after binding is a no-op
+    n = motif_graph.find("(a)-[e]->(b); (a)").count()
+    assert n == motif_graph.find("(a)-[e]->(b)").count() == 5
+
+
+def test_motif_rejects_bad_patterns(motif_graph):
+    with pytest.raises(ValueError, match="disconnected"):
+        motif_graph.find("(a)-[]->(b); (c)-[]->(d)")
+    assert motif_graph.find("(a)").count() == 4  # lone vertex term: all vertices
+    with pytest.raises(ValueError, match="disconnected"):
+        motif_graph.find("(a)-[]->(b); (z)")  # unbound standalone after edges
+    with pytest.raises(ValueError, match="unparseable"):
+        motif_graph.find("(a)-->(b)")
+    with pytest.raises(ValueError, match="negated"):
+        motif_graph.find("(a)-[]->(b); !(a)-[e]->(b)")
+    with pytest.raises(ValueError, match="bound"):
+        motif_graph.find("(a)-[]->(b); !(a)-[]->(z)")
+    with pytest.raises(ValueError, match="more than once"):
+        motif_graph.find("(a)-[e]->(b); (b)-[e]->(c)")
+
+
+def test_motif_plan_has_no_cartesian(motif_graph):
+    plan = (
+        motif_graph.find("(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
