@@ -2005,3 +2005,40 @@ def set_exclusion_reach(edges: DataFrame, seeds: DataFrame, excluded: DataFrame,
         prev = cnt
         reached = merged
     return reached.groupBy("k").agg(F.count(F.lit(1)).alias("reachable"))
+
+
+def diameter_estimate(
+    edges: DataFrame,
+    start: int = 0,
+    weight_col: str | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien et al.), hop-distance by
+    default, WEIGHTED when `weight_col` is given — GDS parity with weighted
+    eccentricity (relationshipWeightProperty semantics). One row:
+    (sweep_start, sweep_peak, ecc_start, diameter_lb).
+
+    Two O(diameter) SSSP sweeps instead of |V|: sweep 1 from `start` finds
+    the farthest node (ties to min id), sweep 2 from that peak; its
+    eccentricity lower-bounds the diameter (exact on trees, near-exact in
+    practice). The scalars collected are O(1) driver values; everything
+    else is the engine's `sssp` (driver fast path below threshold,
+    frontier loop above). With `weight_col`, distances are min-plus
+    fixpoints over float weights — deterministic per path (left-to-right
+    accumulation), so an unrolled Bellman-Ford oracle replays them
+    bit-for-bit (same property safest_route_path relies on).
+    """
+    from eve_graph_spark.operators.graph import sssp
+
+    spark = edges.sparkSession
+    e = edges if weight_col else edges.withColumn("__hop", F.lit(1.0))
+    w = weight_col or "__hop"
+    d1 = sssp(e, [int(start)], weight_col=w, src_col=src_col, dst_col=dst_col)
+    peak = d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
+    d2 = sssp(e, [int(peak["node"])], weight_col=w, src_col=src_col, dst_col=dst_col)
+    lb = d2.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    return spark.createDataFrame(
+        [(int(start), int(peak["node"]), float(peak["dist"]), float(lb))],
+        "sweep_start long, sweep_peak long, ecc_start double, diameter_lb double",
+    )

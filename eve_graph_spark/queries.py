@@ -478,7 +478,8 @@ def landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "node", "dist")
 
 
-def _bellman_ford_unrolled_sql(source: int, rounds: int, prefix: str = "srp") -> str:
+def _bellman_ford_unrolled_sql(source: int, rounds: int, prefix: str = "srp",
+                               source_sql: str | None = None) -> str:
     """Unrolled Bellman-Ford rounds over fix_jumps risk weights, as chained
     CTEs (DuckDB-safe: float dists make a recursive-CTE enumeration
     explode — cycles generate unbounded distinct float sums that UNION
@@ -492,7 +493,8 @@ def _bellman_ford_unrolled_sql(source: int, rounds: int, prefix: str = "srp") ->
     parts = [
         f"{prefix}_edges AS MATERIALIZED "
         f"(SELECT src_system_id, dst_system_id, risk FROM fix_jumps)",
-        f"{prefix}_d0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist)",
+        f"{prefix}_d0 AS (SELECT CAST({source_sql or source} AS BIGINT) AS node, "
+        f"CAST(0.0 AS DOUBLE) AS dist)",
     ]
     for r in range(1, rounds + 1):
         parts.append(
@@ -6821,4 +6823,41 @@ def motif_two_hop_risky(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.id").alias("c_id"),
             (F.col("e1.risk_fp") + F.col("e2.risk_fp")).alias("total_risk_fp"),
         )
+    )
+
+
+@register(
+    "diameter_weighted",
+    _graph_cte(
+        f"""
+        , {_bellman_ford_unrolled_sql(0, 24, "dw1")},
+        dw_peak AS MATERIALIZED (
+            SELECT node, dist FROM dw1_mindist ORDER BY dist DESC, node ASC LIMIT 1
+        ),
+        {_bellman_ford_unrolled_sql(0, 24, "dw2", source_sql="(SELECT node FROM dw_peak)")}
+        SELECT CAST(0 AS BIGINT) AS sweep_start,
+               (SELECT node FROM dw_peak) AS sweep_peak,
+               (SELECT dist FROM dw_peak) AS ecc_start,
+               (SELECT MAX(dist) FROM dw2_mindist) AS diameter_lb
+        """
+    ),
+)
+def diameter_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted double-sweep diameter lower bound over float risk weights —
+    # the weight_col= generalization of graph_diameter_estimate (r8 verdict
+    # item 8; GDS weighted-eccentricity parity). Runs on the full fixture
+    # jumps graph: under NON-uniform weights the hub ring no longer pins
+    # the diameter at 3, so the weighted sweep carries real signal where
+    # the hop sweep is flat. Distances are min-plus fixpoints over
+    # left-to-right float path sums — deterministic per path — so the
+    # unrolled-Bellman-Ford oracle (24 rounds >= longest simple path on the
+    # 25-node fixture) replays them bit-for-bit, second sweep seeded by the
+    # computed peak via source_sql. Unit-weight == hop cross-check lives in
+    # test_graph_analytics.
+    from eve_graph_spark.operators.graph_analytics import diameter_estimate
+
+    jumps = build_jumps(spark, sf_dir)
+    return diameter_estimate(
+        jumps, start=0, weight_col="risk",
+        src_col="src_system_id", dst_col="dst_system_id",
     )

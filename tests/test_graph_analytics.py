@@ -345,3 +345,42 @@ def test_cc_rejects_unknown_algorithm(spark):
     e = _edges(spark, [(1, 2)])
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(e, algorithm="Star")
+
+
+def test_diameter_estimate_unit_weight_equals_hop(spark, sf_dir):
+    """The weighted double-sweep with a constant weight of 1 must agree
+    with the hop-only sweep (the graph_diameter_estimate registered query)
+    on the chokepoint subgraph — same peak, same eccentricity, same bound."""
+    from pyspark.sql import functions as F
+
+    from eve_graph_spark.operators.graph_analytics import diameter_estimate
+    from eve_graph_spark.queries import graph_diameter_estimate
+    from eve_graph_spark.sources.graph_fixture import build_choke_edges
+
+    choke = build_choke_edges(spark, sf_dir).withColumn("unit", F.lit(1.0))
+    [w] = diameter_estimate(choke, start=0, weight_col="unit").collect()
+    [hop] = diameter_estimate(choke, start=0).collect()
+    [q] = graph_diameter_estimate(spark, sf_dir).collect()
+    assert (w["sweep_peak"], w["ecc_start"], w["diameter_lb"]) == (
+        hop["sweep_peak"], hop["ecc_start"], hop["diameter_lb"],
+    )
+    assert (w["sweep_peak"], int(w["ecc_start"]), int(w["diameter_lb"])) == (
+        q["sweep_peak"], q["ecc_start"], q["diameter_lb"],
+    )
+
+
+def test_diameter_estimate_weighted_on_weighted_path(spark):
+    """Hand graph where hop and weighted sweeps disagree: 0-1-2 heavy path
+    vs 0-3 light spur. Hop diameter peak differs from weighted peak."""
+    from eve_graph_spark.operators.graph_analytics import diameter_estimate
+
+    rows = [(0, 1, 10.0), (1, 2, 10.0), (0, 3, 1.0)]
+    e = spark.createDataFrame(
+        rows + [(b, a, w) for a, b, w in rows], "src long, dst long, w double"
+    )
+    [got] = diameter_estimate(e, start=3, weight_col="w").collect()
+    # farthest from 3 by weight is 2 (cost 21); sweep back gives 21 again
+    assert got["sweep_peak"] == 2 and got["ecc_start"] == 21.0
+    assert got["diameter_lb"] == 21.0
+    [hop] = diameter_estimate(e, start=3).collect()
+    assert hop["ecc_start"] == 3.0 and hop["diameter_lb"] == 3.0
