@@ -312,3 +312,32 @@ class GraphEngine:
         self.refresh_stargates(stargates)
         self.refresh_risk(kills, jumps_activity)
         self.refresh_wormholes(signatures)
+
+
+def wormhole_stream_handler(engine: GraphEngine, stats_out: dict | None = None):
+    """foreachBatch handler wiring the eve_scout STREAMING source
+    (sources/custom_datasource.STREAM_DDL) to
+    `GraphEngine.refresh_wormholes_incremental` — the end-to-end streaming
+    analogue of POST /wormholes/refresh (A6): each micro-batch patches the
+    persisted cost projection with a delta, never a full rebuild.
+
+    The feed is FULL-STATE per poll, so a catch-up micro-batch spanning
+    several polls applies only the LATEST poll in the batch (older polls
+    are superseded state, and applying them would transiently resurrect
+    expired wormholes). `stats_out["polls"]` accumulates the poll_ids
+    actually applied — tests use it to pin offset-resume behavior.
+    """
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if "poll_id" in batch_df.columns:
+            last = batch_df.agg(F.max("poll_id")).collect()[0][0]
+            if last is None:
+                return  # empty batch
+            batch_df = batch_df.filter(F.col("poll_id") == last).drop("poll_id")
+            if stats_out is not None:
+                stats_out.setdefault("polls", []).append(int(last))
+        elif batch_df.isEmpty():
+            return
+        engine.refresh_wormholes_incremental(batch_df)
+
+    return handle

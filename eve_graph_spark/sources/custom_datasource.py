@@ -22,6 +22,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -119,9 +120,86 @@ class EveScoutDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _EveScoutReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType):  # noqa: N802 - API name
+        return _EveScoutStreamReader(schema, self.options)
+
 
 def register_eve_scout(spark) -> None:
     # the reader implements pushFilters(); Spark refuses to instantiate it
     # unless Python-source pushdown is switched on (runtime-settable)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EveScoutDataSource)
+
+
+# --- Spark-4 streaming reader (simple stream API) ---------------------------
+
+STREAM_DDL = SIGNATURE_DDL + ", poll_id long"
+
+
+class _EveScoutStreamReader(SimpleDataSourceStreamReader):
+    """`SimpleDataSourceStreamReader` for the EVE-Scout poll loop: `path`
+    is a landing DIRECTORY where a poller (sources/http_fetcher in
+    production, the test harness here) drops one FULL feed snapshot per
+    poll as a `*.json` file. Offsets are `{"index": n}` = number of poll
+    files consumed in filename order, which makes the source exactly
+    replayable: `readBetweenOffsets` re-reads the same files, so recovery
+    after a crash reprocesses identical micro-batches and a restarted
+    query resumes from the committed index instead of poll #0.
+
+    Each row carries `poll_id` (the poll file's global index) when the
+    user schema asks for it — a micro-batch that catches up over several
+    polls contains ALL of them, and the feed is full-state per poll, so
+    downstream refresh logic keeps only the latest poll in the batch
+    (see api.wormhole_stream_handler).
+
+    Polls are read driver-side by design (the simple-reader contract):
+    a signature feed is hundreds of rows per poll — prefetching to a
+    landing dir and letting executors scan would only add latency.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError(
+                "eve_scout stream requires .option('path', <poll snapshot dir>)"
+            )
+        self._cols = [f.name for f in schema.fields if f.name != "poll_id"]
+        self._with_poll = any(f.name == "poll_id" for f in schema.fields)
+
+    def initialOffset(self) -> dict:  # noqa: N802 - API name
+        return {"index": 0}
+
+    def _files(self) -> list[str]:
+        import os
+
+        return sorted(f for f in os.listdir(self._dir) if f.endswith(".json"))
+
+    def _rows(self, files: list[str], base: int) -> list[tuple]:
+        # a LIST, not a generator: Spark's simple-reader prefetch cache
+        # copy.copy()s the returned iterator for replay, which generators
+        # don't support — and polls are feed-sized, so materializing is free
+        import os
+
+        out: list[tuple] = []
+        for j, fn in enumerate(files):
+            with open(os.path.join(self._dir, fn)) as fh:
+                records = json.load(fh)
+            for rec in records:
+                row = tuple(rec.get(c) for c in self._cols)
+                out.append(row + (base + j,) if self._with_poll else row)
+        return out
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        files = self._files()
+        i0 = int(start["index"])
+        return self._rows(files[i0:], i0), {"index": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:  # noqa: N802
+        files = self._files()
+        return self._rows(files[int(start["index"]):int(end["index"])],
+                          int(start["index"]))
+
+    def commit(self, end: dict) -> None:
+        # snapshots are the poller's to retain/expire; nothing to ack
+        pass

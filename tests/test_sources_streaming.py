@@ -384,3 +384,146 @@ def test_streaming_cluster_assignment_matches_batch(spark, tmp_path):
     _run_to_memory(assign_embedding_stream(stream, model, k=4), "clu", "append")
     got = {r["id"]: r["cluster"] for r in spark.sql("SELECT * FROM clu").collect()}
     assert got == batch
+
+
+# --- eve_scout streaming source (Spark-4 simpleStreamReader) -----------------
+
+def _sig(sid, a, b):
+    return {"id": sid, "signature_type": "wormhole",
+            "in_system_id": a, "out_system_id": b,
+            "created_at": "2026-01-01T00:00:00Z",
+            "expires_at": "2099-01-01T00:00:00Z", "completed": True}
+
+
+def _proj_rows(engine):
+    from eve_graph_spark.api import SYSTEM_MAP
+
+    return sorted(
+        (r["src"], r["dst"], r["weight"])
+        for r in engine.registry.get(SYSTEM_MAP).collect()
+    )
+
+
+def _fixture_engine(spark, sf_dir):
+    from eve_graph_spark.api import GraphEngine
+    from eve_graph_spark.sources.graph_fixture import build_jumps, build_systems
+
+    eng = GraphEngine(build_systems(spark, sf_dir), build_jumps(spark, sf_dir))
+    eng.build_cost_projection()
+    return eng
+
+
+def _run_wormhole_stream(spark, poll_dir, ckpt, handler):
+    from eve_graph_spark.sources.custom_datasource import (
+        STREAM_DDL,
+        register_eve_scout,
+    )
+
+    register_eve_scout(spark)
+    raw = (
+        spark.readStream.format("eve_scout")
+        .schema(STREAM_DDL)
+        .option("path", str(poll_dir))
+        .load()
+    )
+    q = (
+        raw.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+
+def test_eve_scout_stream_incremental_refresh_and_offset_resume(
+    spark, sf_dir, tmp_path
+):
+    """r8 verdict item 7 end-to-end: two polls through the eve_scout
+    STREAMING source drive refresh_wormholes_incremental per micro-batch;
+    the incrementally-patched cost projection matches a full rebuild after
+    each poll, and the second streaming run resumes from the committed
+    offset (only the new poll is processed)."""
+    import json as _json
+
+    from eve_graph_spark.api import wormhole_stream_handler
+    from eve_graph_spark.sources.eve_scout import parse_signatures
+
+    polls = tmp_path / "polls"
+    polls.mkdir()
+    ckpt = tmp_path / "ckpt_scout"
+    (polls / "poll-000.json").write_text(
+        _json.dumps([_sig("w1", 4, 9), _sig("w2", 6, 11)])
+    )
+
+    eng = _fixture_engine(spark, sf_dir)
+    stats: dict = {}
+    _run_wormhole_stream(
+        spark, polls, ckpt, wormhole_stream_handler(eng, stats)
+    )
+    assert stats["polls"] == [0]
+
+    # parity vs full rebuild after poll 0
+    def full_rebuild(poll_files):
+        ref = _fixture_engine(spark, sf_dir)
+        for pf in poll_files:
+            sig_df = parse_signatures(
+                spark.read.json(
+                    spark.sparkContext.parallelize([
+                        _json.dumps(r) for r in _json.loads(pf.read_text())
+                    ])
+                )
+            )
+            ref.refresh_wormholes(sig_df)
+        return ref
+
+    assert _proj_rows(eng) == _proj_rows(full_rebuild([polls / "poll-000.json"]))
+
+    # poll 1 arrives; a NEW streaming run on the SAME checkpoint resumes
+    # from the committed offset — only poll_id 1 is applied
+    (polls / "poll-001.json").write_text(
+        _json.dumps([_sig("w2", 6, 11), _sig("w3", 8, 19)])
+    )
+    stats2: dict = {}
+    _run_wormhole_stream(
+        spark, polls, ckpt, wormhole_stream_handler(eng, stats2)
+    )
+    assert stats2["polls"] == [1]
+    assert _proj_rows(eng) == _proj_rows(
+        full_rebuild([polls / "poll-000.json", polls / "poll-001.json"])
+    )
+
+
+def test_eve_scout_stream_reader_offsets_replay(spark, tmp_path):
+    """Unit contract of the simple stream reader: initialOffset, read()
+    advancing the offset, exact readBetweenOffsets replay, and catch-up
+    batches tagging rows with their poll_id."""
+    import json as _json
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from eve_graph_spark.sources.custom_datasource import (
+        STREAM_DDL,
+        _EveScoutStreamReader,
+    )
+
+    polls = tmp_path / "polls_u"
+    polls.mkdir()
+    (polls / "a.json").write_text(_json.dumps([_sig("s1", 1, 2)]))
+    (polls / "b.json").write_text(_json.dumps([_sig("s2", 3, 4), _sig("s3", 5, 6)]))
+
+    rdr = _EveScoutStreamReader(
+        _parse_datatype_string(STREAM_DDL), {"path": str(polls)}
+    )
+    assert rdr.initialOffset() == {"index": 0}
+    rows, end = rdr.read({"index": 0})
+    rows = list(rows)
+    assert end == {"index": 2} and len(rows) == 3
+    # poll_id is the LAST field; catch-up batch carries both polls
+    assert [r[-1] for r in rows] == [0, 1, 1]
+    # replay window [1, 2) returns exactly poll b's rows with the same ids
+    replay = list(rdr.readBetweenOffsets({"index": 1}, {"index": 2}))
+    assert [r[0] for r in replay] == ["s2", "s3"]
+    assert all(r[-1] == 1 for r in replay)
+    # nothing new: empty batch, offset unchanged
+    rows2, end2 = rdr.read(end)
+    assert list(rows2) == [] and end2 == {"index": 2}
