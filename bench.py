@@ -12,6 +12,15 @@ Prints ONE JSON line on stdout:
 Each query is materialized with the noop sink (full compute, no driver
 collect), which is what a cluster run would look like; per-query numbers
 are query-plan signal, not JVM warmup (a warmup job runs first).
+
+BASELINE RULE (r8 verdict item 1): any commit that changes a registered
+query's PLAN — new query, changed operator internals, added guard jobs —
+regenerates and commits the baselines in the same round, BEFORE the round
+closes: re-run `python bench.py` (refreshes BENCH_SHUFFLE_ROWS.json) and,
+when wall-clock baselines moved materially, `scripts/refresh_baseline.py`
+(re-promotes BENCH_BASELINE.json). A stale committed baseline makes every
+future regression flag compare against a plan that no longer exists —
+worse than no flag at all.
 """
 
 from __future__ import annotations

@@ -275,6 +275,153 @@ def multi_source_stress(spark: SparkSession, layers: int, width: int, k: int,
     return 1 if errs else 0
 
 
+def build_family_corpus(spark: SparkSession, out_dir: str, rep: int) -> None:
+    """Corpus for the pair-LINEARITY stress (r8 verdict item 6): same
+    hostile shapes as build_skewed_corpus, but replica space splits into
+    independent GROUPS of 100 with per-group text salting, so growing
+    `rep` multiplies the number of dup families while family sizes stay
+    constant (50 exact dups + 50 near-dup satellites per (base doc,
+    group)). That is the realistic crawl regime — more pages, not
+    proportionally bigger dup clusters — and the regime where candidate
+    pairs/doc must stay FLAT under the exact-dup pre-collapse. (The plain
+    skewed corpus can't measure this: its family sizes grow with rep, so
+    pair counts are super-linear by construction.) The one deliberate
+    exception stays: the unsalted mega text forms a single
+    linearly-growing identical cluster (10x members at rep=1000), which
+    the digest collapse must still reduce to ONE representative node.
+    """
+    base = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    reps = spark.range(rep).select(F.col("id").cast("int").alias("rep"))
+    grp = F.floor(F.col("rep") / 100).cast("int")
+    salted = F.concat(F.lit("g"), grp.cast("string"), F.lit(" "), F.col("text"))
+    inflated = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * rep + F.col("rep")).alias("doc_id"),
+            F.when(F.col("doc_id") % 500 == 0, F.lit("mega cluster body " * 12))
+            .when(F.col("rep") % 100 < 50, salted)
+            .otherwise(
+                F.concat(salted, F.lit(" tail"), (F.col("rep") % 100).cast("string"))
+            )
+            .alias("text"),
+            F.when(F.abs(F.xxhash64("doc_id", "rep")) % 10 < 4, F.lit("en"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            F.when(F.abs(F.xxhash64("rep", "doc_id")) % 10 < 4, F.lit("mega.example"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            F.col("n_chars"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    inflated.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+PAIRS_BUDGETS_SEC = {100: 1200, 500: 2400, 1000: 3600}
+
+
+def pairs_stress(spark: SparkSession, reps_list: list[int]) -> int:
+    """Pair-generation linearity proof (r8 verdict item 6): run the FULL
+    near_dup_clusters -> survivors pipeline on family corpora at 500k and
+    ~5M docs, record candidate/verified pair counts and shuffle rows per
+    run, and assert pairs-per-doc stays flat (within 2x) as the corpus
+    grows 10x. A quadratic pair stage shows up as a ~10x jump in
+    pairs/doc — impossible to miss at this delta.
+    """
+    from eve_graph_spark.operators.dedup import (
+        portable_lsh_candidates,
+        portable_minhash_near_dups,
+    )
+
+    results = []
+    failures: list[str] = []
+    for rep in reps_list:
+        tmp = tempfile.mkdtemp(prefix=f"pairs_stress_{rep}_")
+        for name in TABLE_NAMES:
+            if name != "documents":
+                (Path(tmp) / f"{name}.parquet").symlink_to(f"{SRC_DIR}/{name}.parquet")
+        t0 = time.time()
+        build_family_corpus(spark, tmp, rep)
+        docs = spark.read.parquet(f"{tmp}/documents.parquet")
+        n_docs = docs.count()
+        gen_sec = round(time.time() - t0, 1)
+
+        # the pre-collapse + candidate stages, counted explicitly (the
+        # registered query runs them fused; counts here are the evidence)
+        digest = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+        rep_docs = (
+            docs.select(F.col("doc_id"), F.col("text"), digest.alias("__dg"))
+            .groupBy("__dg")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("text", F.col("doc_id")).alias("text"))
+            .select("doc_id", "text")
+        ).persist()
+        n_reps = rep_docs.count()
+        t0 = time.time()
+        n_cand = portable_lsh_candidates(rep_docs).count()
+        cand_sec = round(time.time() - t0, 1)
+        t0 = time.time()
+        n_ver = portable_minhash_near_dups(rep_docs).count()
+        ver_sec = round(time.time() - t0, 1)
+        rep_docs.unpersist()
+
+        # the full registered pipeline, noop-sunk like the bench harness
+        qs = registry.queries()
+        budget = PAIRS_BUDGETS_SEC.get(rep, 3600)
+        before = set(completed_stage_metrics(spark))
+        t0 = time.time()
+        err = None
+        try:
+            qs["dedup_survivors_quality"](spark, tmp).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001 - report and keep stressing
+            err = f"{type(e).__name__}: {e}"[:300]
+        surv_sec = round(time.time() - t0, 1)
+        stages = completed_stage_metrics(spark)
+        new = [s for sid, s in stages.items() if sid not in before]
+        rec = {
+            "rep": rep,
+            "n_docs": n_docs,
+            "n_reps": n_reps,
+            "gen_sec": gen_sec,
+            "candidate_pairs": n_cand,
+            "verified_pairs": n_ver,
+            "cand_per_doc": round(n_cand / n_docs, 4),
+            "ver_per_doc": round(n_ver / n_docs, 4),
+            "cand_sec": cand_sec,
+            "ver_sec": ver_sec,
+            "survivors_sec": surv_sec,
+            "survivors_budget_sec": budget,
+            "survivors_shuffle_rows": sum(
+                s.get("shuffleWriteRecords", 0) for s in new
+            ),
+            "survivors_shuffle_mb": round(
+                sum(s.get("shuffleWriteBytes", 0) for s in new) / 1e6, 1
+            ),
+            "err": err,
+        }
+        print(json.dumps(rec))
+        results.append(rec)
+        if err:
+            failures.append(f"rep={rep}: {err}")
+        elif surv_sec > budget:
+            failures.append(f"rep={rep}: survivors {surv_sec}s over budget {budget}s")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if len(results) >= 2 and not failures:
+        base_r, big = results[0], results[-1]
+        for key in ("cand_per_doc", "ver_per_doc"):
+            if big[key] > base_r[key] * 2 + 0.01:
+                failures.append(
+                    f"{key} grew {base_r[key]} -> {big[key]} over a "
+                    f"{big['n_docs'] / base_r['n_docs']:.0f}x corpus — "
+                    "pair generation is not linear"
+                )
+    print(json.dumps({"result": "FAIL" if failures else "PASS", "failures": failures}))
+    return 1 if failures else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=100)
@@ -285,6 +432,9 @@ def main() -> int:
                     help="run the long-diameter Pregel stress instead of the corpus stress")
     ap.add_argument("--multi-source", action="store_true",
                     help="run the k-source one-loop frontier stress (landmark fix, r6)")
+    ap.add_argument("--pairs", nargs="*", type=int, default=None, metavar="REP",
+                    help="pair-linearity stress: near_dup pipeline at each REP "
+                         "x5000 docs (default 100 1000 = 500k and 5M)")
     ap.add_argument("--graph-layers", type=int, default=1000)
     ap.add_argument("--graph-width", type=int, default=32)
     ap.add_argument("--graph-sources", type=int, default=16)
@@ -302,6 +452,8 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.pairs is not None:
+        return pairs_stress(spark, args.pairs or [100, 1000])
     if args.graph:
         return graph_stress(spark, args.graph_layers, args.graph_width,
                             args.graph_checkpoint_every, GRAPH_BUDGET_SEC)
