@@ -129,17 +129,25 @@ class GraphEngine:
     def route_alternatives(self, from_name: str, to_name: str, k: int = 3) -> list[tuple[float, list[str]]]:
         """k best loop-free routes ranked by total cost (SURVEY §2.8 route
         ranking) — beyond the reference's single-route API."""
-        from eve_graph_spark.operators.graph import k_shortest_paths
+        from eve_graph_spark.operators.graph import k_shortest_paths_distributed
 
         src, dst = self._resolve(from_name), self._resolve(to_name)
         if not self.registry.exists(SYSTEM_MAP):
             self.build_cost_projection()
         edges = self.registry.get(SYSTEM_MAP)
-        routes = k_shortest_paths(edges, src, dst, k)
+        # the shipping router: driver twin below the SSSP threshold, batched
+        # spur sweeps above it (graph.k_shortest_paths_distributed)
+        routes = k_shortest_paths_distributed(edges, src, dst, k)
         if not routes:
             raise RouteNotFound("route not found")
-        names = {r["system_id"]: r["name"]
-                 for r in self.systems.select("system_id", "name").collect()}
+        # path-sized name fetch (pushed-down isin), never the full dim
+        node_ids = sorted({n for _, p in routes for n in p})
+        names = {
+            r["system_id"]: r["name"]
+            for r in self.systems.filter(F.col("system_id").isin(node_ids))
+            .select("system_id", "name")
+            .collect()
+        }
         return [(cost, [names[n] for n in path]) for cost, path in routes]
 
     # --- A3: POST /systems/refresh (sync.rs:121-170) ------------------------

@@ -55,12 +55,29 @@ def _make_handler(engine: GraphEngine, providers: EngineProviders):
             parts = [unquote(p) for p in self.path.strip("/").split("/")]
             # GET /shortest-route/{from}/to/{to}   (main.rs:37-40)
             # GET /safest-route/{from}/to/{to}     (main.rs:42-45)
+            parts0, _, query = parts[-1].partition("?") if parts else ("", "", "")
+            if parts and "?" in parts[-1]:
+                parts = parts[:-1] + [parts0]
             if len(parts) == 4 and parts[2] == "to" and parts[0] in (
                 "shortest-route", "safest-route"
             ):
                 fn = (engine.shortest_route if parts[0] == "shortest-route"
                       else engine.safest_route)
                 return self._run(lambda: {"route": fn(parts[1], parts[3])})
+            # GET /route-alternatives/{from}/to/{to}[?k=N] — beyond the
+            # reference's single-route surface: GDS gds.shortestPath.yens
+            # parity over the engine's k_shortest_paths_distributed
+            if len(parts) == 4 and parts[2] == "to" and parts[0] == "route-alternatives":
+                try:
+                    k = int(dict(
+                        kv.split("=", 1) for kv in query.split("&") if "=" in kv
+                    ).get("k", "3")) if query else 3
+                except ValueError:
+                    return self._json(400, {"error": "k must be an integer"})
+                return self._run(lambda: {"routes": [
+                    {"cost": cost, "route": path}
+                    for cost, path in engine.route_alternatives(parts[1], parts[3], k)
+                ]})
             self._json(404, {"error": "route not found"})
 
         def do_POST(self):  # noqa: N802

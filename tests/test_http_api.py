@@ -108,3 +108,27 @@ def test_refresh_endpoints_post_only(api):
 def test_routes_still_work_after_http_refreshes(api):
     status, body = _get(api + "/shortest-route/Sys1/to/Sys4")
     assert status == 200 and body["route"] == ["Sys1", "Sys4"]
+
+
+def test_route_alternatives_endpoint(api):
+    status, body = _get(api + "/route-alternatives/Sys1/to/Sys4?k=2")
+    assert status == 200
+    routes = body["routes"]
+    assert 1 <= len(routes) <= 2
+    # best first: the wormhole shortcut, then the 3-gate chain
+    assert routes[0]["route"] == ["Sys1", "Sys4"]
+    costs = [r["cost"] for r in routes]
+    assert costs == sorted(costs)
+    if len(routes) == 2:
+        assert routes[1]["route"] == ["Sys1", "Sys2", "Sys3", "Sys4"]
+    # default k, no query string
+    status, body = _get(api + "/route-alternatives/Sys1/to/Sys4")
+    assert status == 200 and body["routes"][0]["route"] == ["Sys1", "Sys4"]
+    # unknown system maps to the reference 404 body
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(api + "/route-alternatives/Sys1/to/NOPE")
+    assert ei.value.code == 404
+    # malformed k is a 400, not a 500
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(api + "/route-alternatives/Sys1/to/Sys4?k=abc")
+    assert ei.value.code == 400
