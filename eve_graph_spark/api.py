@@ -332,16 +332,25 @@ def wormhole_stream_handler(engine: GraphEngine, stats_out: dict | None = None):
     The feed is FULL-STATE per poll, so a catch-up micro-batch spanning
     several polls applies only the LATEST poll in the batch (older polls
     are superseded state, and applying them would transiently resurrect
-    expired wormholes). `stats_out["polls"]` accumulates the poll_ids
-    actually applied — tests use it to pin offset-resume behavior.
+    expired wormholes). The source emits one all-NULL SENTINEL row per
+    poll, so an EMPTY poll (every wormhole expired) is still visible here
+    and gets applied — sentinels are dropped before the refresh, leaving
+    an empty signature set, which runs the reference reset semantics
+    instead of silently preserving stale state. `stats_out["polls"]`
+    accumulates the poll_ids actually applied — tests use it to pin
+    offset-resume behavior.
     """
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         if "poll_id" in batch_df.columns:
             last = batch_df.agg(F.max("poll_id")).collect()[0][0]
             if last is None:
-                return  # empty batch
-            batch_df = batch_df.filter(F.col("poll_id") == last).drop("poll_id")
+                return  # no polls in this batch
+            batch_df = (
+                batch_df.filter(F.col("poll_id") == last)
+                .drop("poll_id")
+                .filter(F.col("id").isNotNull())  # drop the poll sentinel
+            )
             if stats_out is not None:
                 stats_out.setdefault("polls", []).append(int(last))
         elif batch_df.isEmpty():

@@ -298,21 +298,26 @@ class PropertyGraph:
                 if a == b and a:
                     res = res.filter(F.col(f"__s{i}") == F.col(f"__d{i}"))
             else:
-                conds = []
+                # only conditions that LINK to an already-bound vertex count
+                # toward connectivity — a self-loop equality on a brand-new
+                # vertex constrains the new side alone, and treating it as
+                # a link would let "(a)-[]->(b); (c)-[]->(c)" silently plan
+                # the cross join this method exists to refuse
+                link_conds = []
                 if a and a in vcol:
-                    conds.append(F.col(vcol[a]) == ei[f"__s{i}"])
+                    link_conds.append(F.col(vcol[a]) == ei[f"__s{i}"])
                 if b and b in vcol:
-                    conds.append(F.col(vcol[b]) == ei[f"__d{i}"])
-                if a and a == b and a not in vcol:
-                    conds.append(ei[f"__s{i}"] == ei[f"__d{i}"])
-                if not conds:
+                    link_conds.append(F.col(vcol[b]) == ei[f"__d{i}"])
+                if not link_conds:
+                    # covers the new-vertex self-loop too: (c)-[]->(c) with
+                    # c unbound links to nothing
                     raise ValueError(
                         f"term ({a})-[{en}]->({b}) shares no vertex with the "
                         "pattern so far — disconnected motifs are refused "
                         "(they compile to cross joins)"
                     )
-                cond = conds[0]
-                for c in conds[1:]:
+                cond = link_conds[0]
+                for c in link_conds[1:]:
                     cond = cond & c
                 res = res.join(ei, cond)
             if a and a not in vcol:

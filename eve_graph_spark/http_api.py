@@ -25,7 +25,7 @@ import json
 import threading
 from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, HTTPServer
-from urllib.parse import unquote
+from urllib.parse import parse_qs, unquote
 
 from pyspark.sql import DataFrame
 
@@ -52,12 +52,13 @@ class EngineProviders:
 def _make_handler(engine: GraphEngine, providers: EngineProviders):
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (http.server API)
-            parts = [unquote(p) for p in self.path.strip("/").split("/")]
+            # split the query string off the RAW path BEFORE percent-
+            # decoding segments — decoding first would let an encoded '?'
+            # inside a system name (".../to/What%3F") truncate the name
+            path, _, raw_query = self.path.partition("?")
+            parts = [unquote(p) for p in path.strip("/").split("/")]
             # GET /shortest-route/{from}/to/{to}   (main.rs:37-40)
             # GET /safest-route/{from}/to/{to}     (main.rs:42-45)
-            parts0, _, query = parts[-1].partition("?") if parts else ("", "", "")
-            if parts and "?" in parts[-1]:
-                parts = parts[:-1] + [parts0]
             if len(parts) == 4 and parts[2] == "to" and parts[0] in (
                 "shortest-route", "safest-route"
             ):
@@ -69,11 +70,11 @@ def _make_handler(engine: GraphEngine, providers: EngineProviders):
             # parity over the engine's k_shortest_paths_distributed
             if len(parts) == 4 and parts[2] == "to" and parts[0] == "route-alternatives":
                 try:
-                    k = int(dict(
-                        kv.split("=", 1) for kv in query.split("&") if "=" in kv
-                    ).get("k", "3")) if query else 3
+                    k = int(parse_qs(raw_query).get("k", ["3"])[0])
+                    if k < 1:
+                        raise ValueError
                 except ValueError:
-                    return self._json(400, {"error": "k must be an integer"})
+                    return self._json(400, {"error": "k must be a positive integer"})
                 return self._run(lambda: {"routes": [
                     {"cost": cost, "route": path}
                     for cost, path in engine.route_alternatives(parts[1], parts[3], k)

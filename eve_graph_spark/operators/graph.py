@@ -514,6 +514,8 @@ def k_shortest_paths(edges: DataFrame, source: int, target: int, k: int = 3,
 
     Returns [(total_cost, [node, ...])], best first; ties by path nodes.
     """
+    if k < 1:
+        return []
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -570,8 +572,11 @@ def k_shortest_paths(edges: DataFrame, source: int, target: int, k: int = 3,
             if spur_res is None:
                 continue
             spur_cost, spur_path = spur_res
+            # min over parallel edges — the weight the relaxation itself
+            # would ride (matches the distributed twin's min-aggregated
+            # weight cache)
             root_cost = sum(
-                next(w for v, w in adj[a] if v == b)
+                min(w for v, w in adj[a] if v == b)
                 for a, b in zip(root, root[1:])
             )
             cand = (root_cost + spur_cost, root[:-1] + spur_path)
@@ -675,11 +680,10 @@ def _banned_multi_sweep(
             .select("jid", "node", "dist", "pred")
         )
         improved = improved.localCheckpoint(eager=True)
-        frontier_rows = improved.count()
         n_iters = it + 1
-        if frontier_rows == 0:
+        if improved.isEmpty():
+            frontier_rows = 0
             break
-        frontier = improved
         imp_keys = improved.select(F.col("jid").alias("__j"), F.col("node").alias("__n"))
         dist = dist.join(
             imp_keys,
@@ -688,6 +692,26 @@ def _banned_multi_sweep(
         ).unionByName(improved)
         if (it + 1) % checkpoint_every == 0:
             dist = dist.localCheckpoint(eager=True)
+        # per-jid TARGET early-exit (the single-pair cut sssp() carries,
+        # r6): every sweep here is a single-target query — once a jid's
+        # target has settled at dist T, frontier rows with dist >= T can
+        # never lie on a better path to it (positive weights), so they are
+        # pruned before the next superstep. Relaxations along any improving
+        # path all carry dist < final T <= current T, so the kept set is
+        # exact for the target AND for every node on its shortest path.
+        tgt_d = dist.filter(F.col("node") == F.lit(int(target))).select(
+            F.col("jid").alias("__tj"), F.col("dist").alias("__td")
+        )
+        frontier = (
+            improved.join(
+                F.broadcast(tgt_d), improved["jid"] == F.col("__tj"), "left"
+            )
+            .filter(F.col("__td").isNull() | (F.col("dist") < F.col("__td")))
+            .select("jid", "node", "dist", "pred")
+        ).localCheckpoint(eager=True)
+        frontier_rows = frontier.count()
+        if frontier_rows == 0:
+            break
     if stats_out is not None:
         stats_out["sweep_iterations"] = stats_out.get("sweep_iterations", 0) + n_iters
         stats_out["sweeps"] = stats_out.get("sweeps", 0) + 1
@@ -753,6 +777,8 @@ def k_shortest_paths_distributed(
 
     Returns [(total_cost, [node, ...])], best first; ties by path nodes.
     """
+    if k < 1:
+        return []
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -774,7 +800,11 @@ def k_shortest_paths_distributed(
             c = (F.col("src") == int(u)) & (F.col("dst") == int(v))
             conds = c if conds is None else (conds | c)
         for r in e.filter(conds).select("src", "dst", "weight").collect():
-            wcache.setdefault((r["src"], r["dst"]), r["weight"])
+            # MIN over parallel edges — the weight the relaxation rode
+            # (an arbitrary duplicate's weight would inflate root costs)
+            key = (r["src"], r["dst"])
+            if key not in wcache or r["weight"] < wcache[key]:
+                wcache[key] = r["weight"]
 
     try:
         first = _banned_multi_sweep(

@@ -156,10 +156,18 @@ def default_image_decoder() -> Callable[[bytes], list[float]]:
     return decode
 
 
+_routed_decoder: Callable[[bytes], list[float]] | None = None
+
+
 def real_decoder(blob: bytes) -> list[float]:
     """Back-compat alias for the routed production decoder (r8 verdict
-    item 3: previously an unconditional NotImplementedError stub)."""
-    return default_image_decoder()(blob)
+    item 3: previously an unconditional NotImplementedError stub). The
+    router (and its PIL probe) is built once per process, not per blob —
+    rebuilding per call would defeat the factory design."""
+    global _routed_decoder
+    if _routed_decoder is None:
+        _routed_decoder = default_image_decoder()
+    return _routed_decoder(blob)
 
 
 def pil_image_decoder() -> Callable[[bytes], list[float]] | None:

@@ -140,16 +140,26 @@ class _EveScoutStreamReader(SimpleDataSourceStreamReader):
     """`SimpleDataSourceStreamReader` for the EVE-Scout poll loop: `path`
     is a landing DIRECTORY where a poller (sources/http_fetcher in
     production, the test harness here) drops one FULL feed snapshot per
-    poll as a `*.json` file. Offsets are `{"index": n}` = number of poll
-    files consumed in filename order, which makes the source exactly
-    replayable: `readBetweenOffsets` re-reads the same files, so recovery
-    after a crash reprocesses identical micro-batches and a restarted
-    query resumes from the committed index instead of poll #0.
+    poll as a `*.json` file. Offsets are `{"last": <filename>}` — the last
+    poll file consumed in filename order ('' initially). Filename offsets
+    survive the poller EXPIRING old snapshots (a count-based index would
+    silently shift backward when consumed files disappear); the poller's
+    one contract is that snapshot names are monotonically increasing
+    (timestamps or zero-padded counters). `readBetweenOffsets` re-reads
+    the same (start, end] window, so crash recovery reprocesses identical
+    micro-batches as long as uncommitted snapshots are retained, and a
+    restarted query resumes from the committed name instead of poll #0.
 
-    Each row carries `poll_id` (the poll file's global index) when the
-    user schema asks for it — a micro-batch that catches up over several
-    polls contains ALL of them, and the feed is full-state per poll, so
-    downstream refresh logic keeps only the latest poll in the batch
+    Each poll contributes ONE SENTINEL row (all signature fields NULL)
+    in addition to its records, so an EMPTY poll — every wormhole
+    expired — still produces a row and downstream refresh logic can see
+    and apply it; without the sentinel an all-expired poll would be an
+    empty micro-batch and the stale state would persist forever. Rows
+    carry `poll_id` (the poll's rank within the batch's file window —
+    an ordering key, comparable only WITHIN one read) when the user
+    schema asks for it; `poll_id` must then be the LAST schema field.
+    A catch-up micro-batch contains ALL pending polls, and the feed is
+    full-state per poll, so downstream keeps only the latest poll
     (see api.wormhole_stream_handler).
 
     Polls are read driver-side by design (the simple-reader contract):
@@ -166,16 +176,22 @@ class _EveScoutStreamReader(SimpleDataSourceStreamReader):
             )
         self._cols = [f.name for f in schema.fields if f.name != "poll_id"]
         self._with_poll = any(f.name == "poll_id" for f in schema.fields)
+        if self._with_poll and schema.fields[-1].name != "poll_id":
+            raise ValueError(
+                "poll_id must be the LAST field of the stream schema (rows "
+                "append the poll ordinal at the end; any other position "
+                "would silently misalign columns)"
+            )
 
     def initialOffset(self) -> dict:  # noqa: N802 - API name
-        return {"index": 0}
+        return {"last": ""}
 
     def _files(self) -> list[str]:
         import os
 
         return sorted(f for f in os.listdir(self._dir) if f.endswith(".json"))
 
-    def _rows(self, files: list[str], base: int) -> list[tuple]:
+    def _rows(self, files: list[str]) -> list[tuple]:
         # a LIST, not a generator: Spark's simple-reader prefetch cache
         # copy.copy()s the returned iterator for replay, which generators
         # don't support — and polls are feed-sized, so materializing is free
@@ -185,20 +201,24 @@ class _EveScoutStreamReader(SimpleDataSourceStreamReader):
         for j, fn in enumerate(files):
             with open(os.path.join(self._dir, fn)) as fh:
                 records = json.load(fh)
-            for rec in records:
-                row = tuple(rec.get(c) for c in self._cols)
-                out.append(row + (base + j,) if self._with_poll else row)
+            for rec in records + [None]:  # None = the per-poll sentinel
+                row = (
+                    tuple(None for _ in self._cols)
+                    if rec is None
+                    else tuple(rec.get(c) for c in self._cols)
+                )
+                out.append(row + (j,) if self._with_poll else row)
         return out
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
-        files = self._files()
-        i0 = int(start["index"])
-        return self._rows(files[i0:], i0), {"index": len(files)}
+        files = [f for f in self._files() if f > start["last"]]
+        if not files:
+            return [], dict(start)
+        return self._rows(files), {"last": files[-1]}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:  # noqa: N802
-        files = self._files()
-        return self._rows(files[int(start["index"]):int(end["index"])],
-                          int(start["index"]))
+        files = [f for f in self._files() if start["last"] < f <= end["last"]]
+        return self._rows(files)
 
     def commit(self, end: dict) -> None:
         # snapshots are the poller's to retain/expire; nothing to ack

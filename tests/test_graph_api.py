@@ -156,6 +156,10 @@ def test_motif_rejects_bad_patterns(motif_graph):
         motif_graph.find("(a)-[]->(b); !(a)-[]->(z)")
     with pytest.raises(ValueError, match="more than once"):
         motif_graph.find("(a)-[e]->(b); (b)-[e]->(c)")
+    # a self-loop on a NEW vertex links to nothing — refused, not
+    # silently cross-joined (code-review finding r9)
+    with pytest.raises(ValueError, match="disconnected"):
+        motif_graph.find("(a)-[]->(b); (c)-[]->(c)")
 
 
 def test_motif_plan_has_no_cartesian(motif_graph):

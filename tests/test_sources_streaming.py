@@ -487,7 +487,24 @@ def test_eve_scout_stream_incremental_refresh_and_offset_resume(
     _run_wormhole_stream(
         spark, polls, ckpt, wormhole_stream_handler(eng, stats2)
     )
-    assert stats2["polls"] == [1]
+    # poll_id is batch-relative rank: exactly ONE poll applied in run 2
+    # (had run 2 re-read poll-000 too, latest-wins would report rank 1)
+    assert stats2["polls"] == [0]
+    assert _proj_rows(eng) == _proj_rows(
+        full_rebuild([polls / "poll-000.json", polls / "poll-001.json"])
+    )
+
+    # an EMPTY poll (all wormholes expired) still applies: the sentinel row
+    # makes the batch non-empty, the handler passes an empty signature set
+    # through the reference reset semantics (Thera/Turnur-only removal —
+    # no fixture system carries those names, so the projection is stable,
+    # but the poll must be SEEN and counted, not skipped)
+    (polls / "poll-002.json").write_text("[]")
+    stats3: dict = {}
+    _run_wormhole_stream(
+        spark, polls, ckpt, wormhole_stream_handler(eng, stats3)
+    )
+    assert stats3["polls"] == [0]
     assert _proj_rows(eng) == _proj_rows(
         full_rebuild([polls / "poll-000.json", polls / "poll-001.json"])
     )
@@ -514,16 +531,35 @@ def test_eve_scout_stream_reader_offsets_replay(spark, tmp_path):
     rdr = _EveScoutStreamReader(
         _parse_datatype_string(STREAM_DDL), {"path": str(polls)}
     )
-    assert rdr.initialOffset() == {"index": 0}
-    rows, end = rdr.read({"index": 0})
+    assert rdr.initialOffset() == {"last": ""}
+    rows, end = rdr.read({"last": ""})
     rows = list(rows)
-    assert end == {"index": 2} and len(rows) == 3
-    # poll_id is the LAST field; catch-up batch carries both polls
-    assert [r[-1] for r in rows] == [0, 1, 1]
-    # replay window [1, 2) returns exactly poll b's rows with the same ids
-    replay = list(rdr.readBetweenOffsets({"index": 1}, {"index": 2}))
-    assert [r[0] for r in replay] == ["s2", "s3"]
-    assert all(r[-1] == 1 for r in replay)
+    # 1 record + sentinel from a.json, 2 records + sentinel from b.json
+    assert end == {"last": "b.json"} and len(rows) == 5
+    # poll_id is the LAST field: batch-relative rank; one all-NULL
+    # sentinel closes each poll
+    assert [r[-1] for r in rows] == [0, 0, 1, 1, 1]
+    assert [r[0] for r in rows] == ["s1", None, "s2", "s3", None]
+    # replay of a window returns exactly that window's rows (same ranks
+    # as the original read of the same window)
+    replay = list(rdr.readBetweenOffsets({"last": "a.json"}, {"last": "b.json"}))
+    assert [r[0] for r in replay] == ["s2", "s3", None]
+    assert all(r[-1] == 0 for r in replay)
     # nothing new: empty batch, offset unchanged
     rows2, end2 = rdr.read(end)
-    assert list(rows2) == [] and end2 == {"index": 2}
+    assert list(rows2) == [] and end2 == {"last": "b.json"}
+    # filename offsets survive the poller EXPIRING consumed snapshots —
+    # a count-based index would slide backward here and re-read b.json
+    (polls / "a.json").unlink()
+    rows3, end3 = rdr.read(end)
+    assert list(rows3) == [] and end3 == {"last": "b.json"}
+    (polls / "c.json").write_text(_json.dumps([_sig("s4", 7, 8)]))
+    rows4, end4 = rdr.read(end3)
+    assert [r[0] for r in rows4] == ["s4", None] and end4 == {"last": "c.json"}
+    # poll_id demanded anywhere but last is refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="LAST field"):
+        _EveScoutStreamReader(
+            _parse_datatype_string("poll_id long, id string"), {"path": str(polls)}
+        )
