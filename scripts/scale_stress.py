@@ -356,14 +356,27 @@ def pairs_stress(spark: SparkSession, reps_list: list[int]) -> int:
                  F.min_by("text", F.col("doc_id")).alias("text"))
             .select("doc_id", "text")
         ).persist()
+        def _reclaim_shuffles() -> None:
+            # shuffle files outlive their query until the driver GC lets
+            # ContextCleaner reap them; at 5M docs the three phases'
+            # accumulated spill exceeds the test box's disk (the first
+            # r9 attempt died ENOSPC in phase 3) — nudge between phases
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(3)
+
         n_reps = rep_docs.count()
         t0 = time.time()
         n_cand = portable_lsh_candidates(rep_docs).count()
         cand_sec = round(time.time() - t0, 1)
+        _reclaim_shuffles()
         t0 = time.time()
         n_ver = portable_minhash_near_dups(rep_docs).count()
         ver_sec = round(time.time() - t0, 1)
         rep_docs.unpersist()
+        _reclaim_shuffles()
 
         # the full registered pipeline, noop-sunk like the bench harness
         qs = registry.queries()

@@ -191,6 +191,27 @@ def test_k_shortest_distributed_matches_driver(spark, sf_dir):
     assert stats["sweeps"] == 3
 
 
+def test_k_shortest_distributed_target_early_exit(spark):
+    """The banned multi-sweep carries sssp()'s single-pair cut: on a long
+    chain with the target near the source, the sweep must stop a few
+    supersteps after the target settles instead of walking the whole
+    chain (frontier rows at/past the settled target dist are pruned)."""
+    from eve_graph_spark.operators.graph import k_shortest_paths_distributed
+
+    n = 30
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n)], "src long, dst long, weight double"
+    )
+    stats: dict = {}
+    routes = k_shortest_paths_distributed(
+        e, 0, 3, k=1, driver_threshold=0, stats_out=stats
+    )
+    assert routes == [(3.0, [0, 1, 2, 3])]
+    assert stats["sweeps"] == 1
+    # unpruned, the single sweep would run ~n supersteps
+    assert stats["sweep_iterations"] <= 6
+
+
 def test_k_shortest_distributed_no_route(spark):
     from eve_graph_spark.operators.graph import k_shortest_paths_distributed
 
