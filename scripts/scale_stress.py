@@ -320,6 +320,28 @@ def build_family_corpus(spark: SparkSession, out_dir: str, rep: int) -> None:
 PAIRS_BUDGETS_SEC = {100: 1200, 500: 2400, 1000: 3600}
 
 
+def _fresh_session(spark: SparkSession) -> SparkSession:
+    """Stop the active session and build a new one — the one reliable way
+    to RECLAIM SHUFFLE DISK between heavy phases: shuffle files live until
+    ContextCleaner reaps them on a driver GC (best-effort, and System.gc()
+    nudges proved insufficient), while the app's temp dirs are deleted
+    synchronously on stop. The first two r9 attempts at the 5M corpus died
+    ENOSPC from ACCUMULATED multi-phase spill; with a session per phase,
+    peak disk is one phase's footprint."""
+    spark.stop()
+    time.sleep(2)
+    s = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale-stress")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
 def pairs_stress(spark: SparkSession, reps_list: list[int]) -> int:
     """Pair-generation linearity proof (r8 verdict item 6): run the FULL
     near_dup_clusters -> survivors pipeline on family corpora at 500k and
@@ -342,41 +364,35 @@ def pairs_stress(spark: SparkSession, reps_list: list[int]) -> int:
                 (Path(tmp) / f"{name}.parquet").symlink_to(f"{SRC_DIR}/{name}.parquet")
         t0 = time.time()
         build_family_corpus(spark, tmp, rep)
-        docs = spark.read.parquet(f"{tmp}/documents.parquet")
-        n_docs = docs.count()
+        n_docs = spark.read.parquet(f"{tmp}/documents.parquet").count()
         gen_sec = round(time.time() - t0, 1)
 
         # the pre-collapse + candidate stages, counted explicitly (the
-        # registered query runs them fused; counts here are the evidence)
-        digest = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
-        rep_docs = (
-            docs.select(F.col("doc_id"), F.col("text"), digest.alias("__dg"))
-            .groupBy("__dg")
-            .agg(F.min("doc_id").alias("doc_id"),
-                 F.min_by("text", F.col("doc_id")).alias("text"))
-            .select("doc_id", "text")
-        ).persist()
-        def _reclaim_shuffles() -> None:
-            # shuffle files outlive their query until the driver GC lets
-            # ContextCleaner reap them; at 5M docs the three phases'
-            # accumulated spill exceeds the test box's disk (the first
-            # r9 attempt died ENOSPC in phase 3) — nudge between phases
-            import gc
+        # registered query runs them fused; counts here are the evidence).
+        # Each heavy phase gets its OWN session (see _fresh_session);
+        # rep_docs is re-derived per phase — one cheap digest groupBy,
+        # a fraction of any phase's cost.
+        def rep_docs_df():
+            docs = spark.read.parquet(f"{tmp}/documents.parquet")
+            digest = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+            return (
+                docs.select(F.col("doc_id"), F.col("text"), digest.alias("__dg"))
+                .groupBy("__dg")
+                .agg(F.min("doc_id").alias("doc_id"),
+                     F.min_by("text", F.col("doc_id")).alias("text"))
+                .select("doc_id", "text")
+            )
 
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(3)
-
-        n_reps = rep_docs.count()
+        n_reps = rep_docs_df().count()
+        spark = _fresh_session(spark)
         t0 = time.time()
-        n_cand = portable_lsh_candidates(rep_docs).count()
+        n_cand = portable_lsh_candidates(rep_docs_df()).count()
         cand_sec = round(time.time() - t0, 1)
-        _reclaim_shuffles()
+        spark = _fresh_session(spark)
         t0 = time.time()
-        n_ver = portable_minhash_near_dups(rep_docs).count()
+        n_ver = portable_minhash_near_dups(rep_docs_df()).count()
         ver_sec = round(time.time() - t0, 1)
-        rep_docs.unpersist()
-        _reclaim_shuffles()
+        spark = _fresh_session(spark)
 
         # the full registered pipeline, noop-sunk like the bench harness
         qs = registry.queries()
@@ -421,6 +437,7 @@ def pairs_stress(spark: SparkSession, reps_list: list[int]) -> int:
         elif surv_sec > budget:
             failures.append(f"rep={rep}: survivors {surv_sec}s over budget {budget}s")
         shutil.rmtree(tmp, ignore_errors=True)
+        spark = _fresh_session(spark)  # drop this rep's survivors spill
 
     if len(results) >= 2 and not failures:
         base_r, big = results[0], results[-1]
