@@ -452,6 +452,43 @@ def pairs_stress(spark: SparkSession, reps_list: list[int]) -> int:
     return 1 if failures else 0
 
 
+def pairs_cand_only(spark: SparkSession, rep: int) -> int:
+    """Candidate-generation probe for corpora whose VERIFY phase
+    out-shuffles this single box (the 5M verify join carries full texts
+    for ~170M pairs — linear bytes, ~10x the 500k run, but one phase
+    alone exceeds the local disk; on a cluster that shuffle is spread
+    across nodes). Candidate banding shuffles only digests/bucket ids,
+    so the LSH-stage linearity evidence extends to 5M here even though
+    the full pipeline tops out at 2.5M locally."""
+    from eve_graph_spark.operators.dedup import portable_lsh_candidates
+
+    tmp = tempfile.mkdtemp(prefix=f"pairs_cand_{rep}_")
+    t0 = time.time()
+    build_family_corpus(spark, tmp, rep)
+    docs = spark.read.parquet(f"{tmp}/documents.parquet")
+    n_docs = docs.count()
+    gen_sec = round(time.time() - t0, 1)
+    digest = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+    rep_docs = (
+        docs.select(F.col("doc_id"), F.col("text"), digest.alias("__dg"))
+        .groupBy("__dg")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.min_by("text", F.col("doc_id")).alias("text"))
+        .select("doc_id", "text")
+    )
+    n_reps = rep_docs.count()
+    t0 = time.time()
+    n_cand = portable_lsh_candidates(rep_docs).count()
+    rec = {
+        "rep": rep, "n_docs": n_docs, "n_reps": n_reps, "gen_sec": gen_sec,
+        "candidate_pairs": n_cand, "cand_per_doc": round(n_cand / n_docs, 4),
+        "cand_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps(rec))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=100)
@@ -464,7 +501,12 @@ def main() -> int:
                     help="run the k-source one-loop frontier stress (landmark fix, r6)")
     ap.add_argument("--pairs", nargs="*", type=int, default=None, metavar="REP",
                     help="pair-linearity stress: near_dup pipeline at each REP "
-                         "x5000 docs (default 100 1000 = 500k and 5M)")
+                         "x5000 docs (default 100 500 = 500k and 2.5M; the "
+                         "5M verify phase alone out-shuffles this box's disk)")
+    ap.add_argument("--pairs-cand-only", type=int, default=None, metavar="REP",
+                    help="candidates-only probe at REP x5000 docs: digest/"
+                         "bucket shuffles only, so it fits the box at 5M "
+                         "where the full verify phase cannot")
     ap.add_argument("--graph-layers", type=int, default=1000)
     ap.add_argument("--graph-width", type=int, default=32)
     ap.add_argument("--graph-sources", type=int, default=16)
@@ -482,8 +524,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.pairs_cand_only is not None:
+        return pairs_cand_only(spark, args.pairs_cand_only)
     if args.pairs is not None:
-        return pairs_stress(spark, args.pairs or [100, 1000])
+        return pairs_stress(spark, args.pairs or [100, 500])
     if args.graph:
         return graph_stress(spark, args.graph_layers, args.graph_width,
                             args.graph_checkpoint_every, GRAPH_BUDGET_SEC)
