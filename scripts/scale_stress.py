@@ -289,11 +289,31 @@ def build_family_corpus(spark: SparkSession, out_dir: str, rep: int) -> None:
     exception stays: the unsalted mega text forms a single
     linearly-growing identical cluster (10x members at rep=1000), which
     the digest collapse must still reduce to ONE representative node.
+
+    Group separation is a per-group CAESAR ROTATION of the letters, not a
+    salt token: the first r9 attempt prefixed "g<n> " and measured
+    cand/doc growing 33.5 -> 336 at 10x — a one-token salt leaves
+    cross-group Jaccard far above the 0.5 threshold, so same-base
+    variants in different groups are GENUINE near-dups and family sizes
+    still grew with rep. Rotating every letter changes every shingle,
+    pushing cross-group Jaccard to ~0 while keeping within-group
+    structure byte-identical (group 0 is the identity rotation, so the
+    rep=100 corpus is unchanged). Shifts collide past 26 groups — fine
+    below rep=2600.
     """
+    import string
+
     base = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
     reps = spark.range(rep).select(F.col("id").cast("int").alias("rep"))
     grp = F.floor(F.col("rep") / 100).cast("int")
-    salted = F.concat(F.lit("g"), grp.cast("string"), F.lit(" "), F.col("text"))
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    n_groups = (rep + 99) // 100
+    salted = None
+    for g in range(n_groups):
+        r = g % 26
+        t = F.translate(F.col("text"), lo + up, lo[r:] + lo[:r] + up[r:] + up[:r])
+        salted = F.when(grp == g, t) if salted is None else salted.when(grp == g, t)
+    salted = salted.otherwise(F.col("text"))
     inflated = (
         base.crossJoin(reps)
         .select(
