@@ -182,6 +182,15 @@ class PropertyGraph:
             nodes=self.vertices.select("id"), src_col="src", dst_col="dst",
         )
 
+    def nodeSimilarity(self, topK: int | None = None) -> DataFrame:  # noqa: N802,N803
+        """(node, other, inter, union, jaccard_fp[, rank]) — GDS
+        gds.nodeSimilarity parity: Jaccard over out-neighbor sets for
+        pairs sharing a neighbor, optionally top-K per node
+        (graph_analytics.node_similarity; fixed-point similarity)."""
+        from eve_graph_spark.operators.graph_analytics import node_similarity
+
+        return node_similarity(self.edges, top_k=topK, src_col="src", dst_col="dst")
+
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames motif finding: `find("(a)-[e]->(b); (b)-[e2]->(c)")`
         returns one row per match with a STRUCT column per named element

@@ -2042,3 +2042,79 @@ def diameter_estimate(
         [(int(start), int(peak["node"]), float(peak["dist"]), float(lb))],
         "sweep_start long, sweep_peak long, ecc_start double, diameter_lb double",
     )
+
+
+def node_similarity(
+    edges: DataFrame,
+    top_k: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    sim_fp: int = 1_000_000,
+) -> DataFrame:
+    """GDS `gds.nodeSimilarity` parity: Jaccard similarity of OUT-neighbor
+    sets for every node pair that shares at least one neighbor, optionally
+    top-k per node. Returns (node, other, inter, union, jaccard_fp) with
+    jaccard_fp = floor(sim_fp * |∩| / |∪|) — integer fixed point, so the
+    one double division is identical IEEE-754 in any engine and a SQL
+    oracle replays it bit-for-bit.
+
+    Scale shape (the nodeSimilarity candidate trick, same as triangle
+    counting): pairs are generated by a self-join keyed on the SHARED
+    NEIGHBOR — never the |V|² cross product — so work is Σ_v d_in(v)²
+    over shared-neighbor wedges, and the only shuffles are (neighbor)-keyed
+    wedge generation plus one (pair)-keyed count. Hub neighbors dominate
+    the wedge count exactly like GDS's degree cutoff; pre-cap with k-core
+    or degree filters upstream for skewed graphs (SCALE.md). `top_k`
+    ranks per node by (jaccard desc, other asc) — a bounded per-node
+    window over pair rows, not a global sort.
+    """
+    nbrs = edges.select(
+        F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
+    ).distinct()
+    deg = nbrs.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    a = nbrs.select(F.col("s").alias("na"), F.col("d").alias("shared"))
+    b = nbrs.select(F.col("s").alias("nb"), F.col("d").alias("shared"))
+    inter = (
+        a.join(b, "shared")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.select(F.col("s").alias("na"), F.col("deg").alias("da"))
+    db = deg.select(F.col("s").alias("nb"), F.col("deg").alias("db"))
+    # no broadcast hints: degrees are vertex-sized at crawl scale —
+    # keyed joins, AQE may still broadcast when genuinely small
+    half = (
+        inter.join(da, "na").join(db, "nb")
+        .select(
+            "na", "nb", "inter",
+            (F.col("da") + F.col("db") - F.col("inter")).alias("union"),
+        )
+    )
+    # GDS emits both directions; symmetrize the deduped half-pairs
+    sym = half.unionByName(
+        half.select(
+            F.col("nb").alias("na"), F.col("na").alias("nb"), "inter", "union"
+        )
+    )
+    out = sym.select(
+        F.col("na").alias("node"),
+        F.col("nb").alias("other"),
+        "inter",
+        "union",
+        F.floor(F.lit(sim_fp) * F.col("inter") / F.col("union"))
+        .cast("long")
+        .alias("jaccard_fp"),
+    )
+    if top_k is None:
+        return out
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.desc("jaccard_fp"), F.asc("other")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("node", "other", "inter", "union", "jaccard_fp", "rank")
+    )

@@ -6861,3 +6861,58 @@ def diameter_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         jumps, start=0, weight_col="risk",
         src_col="src_system_id", dst_col="dst_system_id",
     )
+
+
+@register(
+    "node_similarity_topk",
+    _graph_cte(
+        """
+        , ns_nbrs AS (SELECT DISTINCT src_system_id AS s, dst_system_id AS d FROM fix_jumps),
+        ns_deg AS (SELECT s, COUNT(*) AS deg FROM ns_nbrs GROUP BY s),
+        ns_inter AS (
+            SELECT a.s AS na, b.s AS nb, COUNT(*) AS inter
+            FROM ns_nbrs a JOIN ns_nbrs b ON a.d = b.d AND a.s < b.s
+            GROUP BY a.s, b.s
+        ),
+        ns_half AS (
+            SELECT i.na, i.nb, i.inter,
+                   da.deg + db.deg - i.inter AS un
+            FROM ns_inter i
+            JOIN ns_deg da ON da.s = i.na
+            JOIN ns_deg db ON db.s = i.nb
+        ),
+        ns_sym AS (
+            SELECT na AS node, nb AS other, inter, un FROM ns_half
+            UNION ALL
+            SELECT nb, na, inter, un FROM ns_half
+        ),
+        ns_rank AS (
+            SELECT node, other, inter, un,
+                   CAST(FLOOR(1000000 * inter / un) AS BIGINT) AS jaccard_fp,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node
+                       ORDER BY CAST(FLOOR(1000000 * inter / un) AS BIGINT) DESC,
+                                other ASC
+                   ) AS rank
+            FROM ns_sym
+        )
+        SELECT node, other, inter, CAST(un AS BIGINT) AS "union",
+               jaccard_fp, CAST(rank AS BIGINT) AS rank
+        FROM ns_rank WHERE rank <= 3
+        """
+    ),
+)
+def node_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.nodeSimilarity parity: Jaccard over OUT-neighbor sets,
+    # top-3 most similar peers per system (ties to min id). Candidate
+    # pairs come from the shared-neighbor wedge join (never |V|^2); the
+    # Jaccard is 1e-6 fixed point so the single double division is the
+    # identical IEEE op in both engines. The operator
+    # (graph_analytics.node_similarity) is the same code path
+    # PropertyGraph.nodeSimilarity exposes.
+    from eve_graph_spark.operators.graph_analytics import node_similarity
+
+    jumps = build_jumps(spark, sf_dir)
+    return node_similarity(
+        jumps, top_k=3, src_col="src_system_id", dst_col="dst_system_id"
+    )

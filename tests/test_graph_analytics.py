@@ -384,3 +384,30 @@ def test_diameter_estimate_weighted_on_weighted_path(spark):
     assert got["diameter_lb"] == 21.0
     [hop] = diameter_estimate(e, start=3).collect()
     assert hop["ecc_start"] == 3.0 and hop["diameter_lb"] == 3.0
+
+
+def test_node_similarity_hand_graph(spark):
+    """Hand graph: out-neighborhoods N(1)={10,11}, N(2)={10,11,12},
+    N(3)={12}. J(1,2)=2/3, J(2,3)=1/3, J(1,3)=0 (no shared neighbor —
+    the pair must be ABSENT, not 0)."""
+    from pyspark.sql import functions as F
+
+    from eve_graph_spark.operators.graph_analytics import node_similarity
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 12)],
+        "src long, dst long",
+    )
+    rows = {(r["node"], r["other"]): r for r in node_similarity(e).collect()}
+    assert set(rows) == {(1, 2), (2, 1), (2, 3), (3, 2)}
+    assert rows[(1, 2)]["inter"] == 2 and rows[(1, 2)]["union"] == 3
+    assert rows[(1, 2)]["jaccard_fp"] == 666666  # floor(1e6 * 2/3)
+    assert rows[(2, 3)]["jaccard_fp"] == 333333
+    # symmetric pairs carry identical stats
+    assert rows[(2, 1)]["jaccard_fp"] == rows[(1, 2)]["jaccard_fp"]
+    # top-1: node 2's most similar peer is 1 (2/3 beats 1/3)
+    top1 = {
+        r["node"]: r["other"]
+        for r in node_similarity(e, top_k=1).filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {1: 2, 2: 1, 3: 2}
