@@ -191,6 +191,68 @@ class PropertyGraph:
 
         return node_similarity(self.edges, top_k=topK, src_col="src", dst_col="dst")
 
+    def eigenvectorCentrality(self, maxIter: int = 3) -> DataFrame:  # noqa: N802,N803
+        """(node, score) — GDS gds.eigenvector parity: L2-normalized power
+        iteration (graph_analytics.eigenvector_centrality)."""
+        from eve_graph_spark.operators.graph_analytics import eigenvector_centrality
+
+        return eigenvector_centrality(self.edges, iterations=maxIter,
+                                      src_col="src", dst_col="dst")
+
+    def hits(self, maxIter: int = 2) -> DataFrame:  # noqa: N803
+        """(node, hub, authority) — GDS gds.hits parity (Kleinberg HITS,
+        graph_analytics.hits)."""
+        from eve_graph_spark.operators.graph_analytics import hits
+
+        return hits(self.edges, iterations=maxIter, src_col="src", dst_col="dst")
+
+    def localClusteringCoefficient(self) -> DataFrame:  # noqa: N802
+        """(node, degree, triangles, lcc_fp) — GDS
+        gds.localClusteringCoefficient parity on the undirected projection
+        (graph_analytics.local_clustering_coefficient)."""
+        from eve_graph_spark.operators.graph_analytics import (
+            local_clustering_coefficient,
+        )
+
+        return local_clustering_coefficient(self.edges, src_col="src", dst_col="dst")
+
+    def communityMetrics(self, labels: DataFrame) -> DataFrame:  # noqa: N802
+        """(community, nodes, internal, outgoing, incoming, conductance_fp,
+        modularity_fp) — GDS gds.conductance + gds.modularity parity for a
+        node→community assignment (graph_analytics.community_metrics)."""
+        from eve_graph_spark.operators.graph_analytics import community_metrics
+
+        return community_metrics(self.edges, labels, src_col="src", dst_col="dst")
+
+    def personalizedPageRank(self, sourceNodes: list[int],  # noqa: N802,N803
+                             maxIter: int = 3,
+                             resetProbability: float = 0.15) -> DataFrame:  # noqa: N803
+        """(node, rank) — personalized PageRank (GDS sourceNodes): teleport
+        mass pinned to sourceNodes (graph_analytics.pagerank(sources=…))."""
+        from eve_graph_spark.operators.graph_analytics import pagerank
+
+        return pagerank(self.edges, iterations=maxIter,
+                        damping=1.0 - resetProbability,
+                        sources=sourceNodes, src_col="src", dst_col="dst")
+
+    def spanningTree(self, weightCol: str = "weight") -> DataFrame:  # noqa: N802,N803
+        """(src, dst, weight_fp) — GDS gds.spanningTree parity: minimum
+        spanning forest via distributed Borůvka
+        (graph_analytics.minimum_spanning_forest)."""
+        from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+        return minimum_spanning_forest(self.edges, weight_col=weightCol,
+                                       src_col="src", dst_col="dst")
+
+    def dagLongestPath(self, weightCol: str | None = None) -> DataFrame:  # noqa: N802,N803
+        """(node, topo_level, longest_dist_fp) — GDS gds.dag.topologicalSort
+        + gds.dag.longestPath parity; raises ValueError on cyclic input
+        (graph_analytics.dag_longest_paths)."""
+        from eve_graph_spark.operators.graph_analytics import dag_longest_paths
+
+        return dag_longest_paths(self.edges, weight_col=weightCol,
+                                 src_col="src", dst_col="dst")
+
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames motif finding: `find("(a)-[e]->(b); (b)-[e2]->(c)")`
         returns one row per match with a STRUCT column per named element

@@ -346,7 +346,8 @@ def incremental_cc_insert(labels: DataFrame, new_edges: DataFrame,
 
 # --- PageRank ---------------------------------------------------------------
 
-def _pagerank_local(e: DataFrame, iterations: int, damping: float) -> DataFrame:
+def _pagerank_local(e: DataFrame, iterations: int, damping: float,
+                    sources: list[int] | None = None) -> DataFrame:
     """Driver fast path — the SAME fixed-point superstep (identical IEEE
     op sequence per value), so results are bit-identical to the loop."""
     spark = e.sparkSession
@@ -357,21 +358,28 @@ def _pagerank_local(e: DataFrame, iterations: int, damping: float) -> DataFrame:
         nodes.add(r["src"])
         nodes.add(r["dst"])
     n = len(nodes)
-    base = (1.0 - damping) / n
-    ranks = {v: 1.0 / n for v in nodes}
+    if sources is None:
+        base = {v: (1.0 - damping) / n for v in nodes}
+        ranks = {v: 1.0 / n for v in nodes}
+    else:
+        src_set = set(sources) & nodes
+        k = len(src_set)
+        base = {v: (1.0 - damping) / k if v in src_set else 0.0 for v in nodes}
+        ranks = {v: 1.0 / k if v in src_set else 0.0 for v in nodes}
     for _ in range(iterations):
         sums: dict[int, int] = {}
         for u, outs in adj.items():
             c = int(math.floor(ranks[u] / len(outs) * float(PR_SCALE) + 0.5))
             for v in outs:
                 sums[v] = sums.get(v, 0) + c
-        ranks = {v: base + damping * (sums.get(v, 0) / float(PR_SCALE)) for v in nodes}
+        ranks = {v: base[v] + damping * (sums.get(v, 0) / float(PR_SCALE)) for v in nodes}
     return spark.createDataFrame(list(ranks.items()), "node long, rank double")
 
 
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
              src_col: str = "src_system_id", dst_col: str = "dst_system_id",
              checkpoint_every: int = 2,
+             sources: list[int] | None = None,
              driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """Fixed-iteration PageRank, bit-reproducible (see module doc).
 
@@ -379,21 +387,35 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     with fp(x) = floor(x*1e12 + 0.5) summed as exact integers. Dangling
     mass is dropped (simplified PageRank), matching the SQL oracle.
 
+    `sources=[...]` switches to PERSONALIZED PageRank (GDS's sourceNodes):
+    teleport mass (1-d) is split over the source set instead of all nodes —
+    base(v) = (1-d)/|S|·[v∈S], rank0 likewise — giving proximity-to-S
+    scores. Same superstep, same fixed-point contract; the source set is a
+    query parameter (model-sized), embedded as literals, never a shuffle.
+
     No early stop — a fixed superstep count keeps the whole loop lazy; only
     periodic localCheckpoints materialize. At scale each superstep is one
     shuffle keyed by dst; edges reuse their partitioning across steps.
     """
     e = _edge_frame(edges, src_col, dst_col)
     if _fits_driver(e, driver_threshold):
-        return _pagerank_local(e, iterations, damping)
+        return _pagerank_local(e, iterations, damping, sources=sources)
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    n = nodes.count()
-    base = (1.0 - damping) / n
+    if sources is None:
+        n = nodes.count()
+        base_expr = F.lit((1.0 - damping) / n)
+        init_expr = F.lit(1.0 / n)
+    else:
+        # count only sources present in the graph, mirroring the local twin
+        k = nodes.filter(F.col("node").isin(sources)).count()
+        in_s = F.col("node").isin(sources)
+        base_expr = F.when(in_s, F.lit((1.0 - damping) / k)).otherwise(F.lit(0.0))
+        init_expr = F.when(in_s, F.lit(1.0 / k)).otherwise(F.lit(0.0))
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes.withColumn("rank", init_expr)
     for it in range(iterations):
         contribs = (
             ranks.join(deg, "node")
@@ -409,7 +431,7 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
         )
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
-            (F.lit(base)
+            (base_expr
              + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0)) / F.lit(float(PR_SCALE)))
              ).alias("rank"),
         )
@@ -2117,4 +2139,552 @@ def node_similarity(
         out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("node", "other", "inter", "union", "jaccard_fp", "rank")
+    )
+
+
+# --- eigenvector centrality (GDS gds.eigenvector parity) ---------------------
+# Power iteration with the same bit-reproducibility device as pagerank:
+# per-step contributions are exact integer sums of fixed-pointed scores, and
+# the only float ops per step are one sqrt + one division per node — an
+# identical IEEE-754 sequence in Spark, Python and DuckDB, so a SQL oracle
+# replays the result bit-for-bit.
+
+EV_SCALE = 1_000_000  # 1e6 fixed-point keeps Σs² inside BIGINT for crawl-scale graphs
+
+
+def _eigenvector_local(e: DataFrame, iterations: int) -> DataFrame:
+    """Driver fast path — the SAME fixed-point superstep as the loop."""
+    spark = e.sparkSession
+    pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    x = {v: 1.0 for v in nodes}
+    for _ in range(iterations):
+        s: dict[int, int] = {}
+        c = {v: int(math.floor(x[v] * EV_SCALE + 0.5)) for v in nodes}
+        for u, v in pairs:
+            s[v] = s.get(v, 0) + c[u]
+        q = sum(sv * sv for sv in s.values())
+        norm = math.sqrt(float(q)) if q > 0 else 1.0
+        x = {v: s.get(v, 0) / norm for v in nodes}
+    return spark.createDataFrame([(v, x[v]) for v in nodes], "node long, score double")
+
+
+def eigenvector_centrality(edges: DataFrame, iterations: int = 3,
+                           src_col: str = "src_system_id",
+                           dst_col: str = "dst_system_id",
+                           checkpoint_every: int = 2,
+                           driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.eigenvector` parity: fixed-iteration power method.
+
+    x0 = 1; step: s(v) = Σ_{u→v} floor(x(u)·1e6 + 0.5) (exact integer,
+    order-free), then x'(v) = s(v) / sqrt(Σ_w s(w)²) — the L2 normalization
+    GDS applies each iteration, with the norm's sum-of-squares an exact
+    BIGINT so the sqrt+divide replay identically in any engine.
+
+    Scale shape = pagerank's: one dst-keyed shuffle per superstep with
+    map-side partial sums; the norm is a 1-row broadcast (no driver
+    round-trip, the whole loop stays lazy between checkpoints). Parallel
+    edges contribute with multiplicity, like GDS on a multi-graph
+    projection.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    if _fits_driver(e, driver_threshold):
+        return _eigenvector_local(e, iterations)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    x = nodes.withColumn("score", F.lit(1.0))
+    for it in range(iterations):
+        contribs = (
+            x.select(
+                "node",
+                F.floor(F.col("score") * F.lit(float(EV_SCALE)) + F.lit(0.5))
+                .cast("long").alias("c"),
+            )
+            .join(e, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        s_all = nodes.join(contribs, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0)).alias("s")
+        )
+        q = s_all.agg(F.sum(F.col("s") * F.col("s")).alias("q"))
+        x = s_all.crossJoin(F.broadcast(q)).select(
+            "node",
+            F.when(
+                F.col("q") > 0,
+                F.col("s").cast("double") / F.sqrt(F.col("q").cast("double")),
+            ).otherwise(F.lit(0.0)).alias("score"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            x = x.localCheckpoint(eager=True)
+    return x
+
+
+# --- HITS hubs & authorities (GDS gds.alpha.hits parity) ----------------------
+
+def _hits_local(e: DataFrame, iterations: int) -> DataFrame:
+    spark = e.sparkSession
+    pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+
+    def _norm_step(src_scores: dict[int, float], forward: bool) -> dict[int, float]:
+        c = {v: int(math.floor(src_scores[v] * EV_SCALE + 0.5)) for v in nodes}
+        s: dict[int, int] = {}
+        for u, v in pairs:
+            if forward:
+                s[v] = s.get(v, 0) + c[u]
+            else:
+                s[u] = s.get(u, 0) + c[v]
+        q = sum(sv * sv for sv in s.values())
+        norm = math.sqrt(float(q)) if q > 0 else 1.0
+        return {v: s.get(v, 0) / norm for v in nodes}
+
+    for _ in range(iterations):
+        auth = _norm_step(hub, forward=True)
+        hub = _norm_step(auth, forward=False)
+    return spark.createDataFrame(
+        [(v, hub[v], auth[v]) for v in nodes], "node long, hub double, authority double"
+    )
+
+
+def hits(edges: DataFrame, iterations: int = 2,
+         src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+         checkpoint_every: int = 2,
+         driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.hits` parity (Kleinberg HITS): hub/authority power
+    iteration. auth'(v) = L2-normalized Σ_{u→v} fp(hub(u)); then
+    hub'(u) = L2-normalized Σ_{u→v} fp(auth'(v)). Same fixed-point /
+    exact-integer-sum / one-sqrt-one-division recipe as
+    eigenvector_centrality, so DuckDB replays it bit-for-bit.
+
+    Each half-step is one keyed shuffle (dst for the authority pass, src
+    for the hub pass) + a 1-row broadcast norm; hub scores reuse the edge
+    frame's src partitioning.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    if _fits_driver(e, driver_threshold):
+        return _hits_local(e, iterations)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+
+    def _norm_step(scores: DataFrame, forward: bool) -> DataFrame:
+        join_key, out_key = ("src", "dst") if forward else ("dst", "src")
+        contribs = (
+            scores.select(
+                "node",
+                F.floor(F.col("score") * F.lit(float(EV_SCALE)) + F.lit(0.5))
+                .cast("long").alias("c"),
+            )
+            .join(e, F.col("node") == F.col(join_key))
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        s_all = nodes.join(contribs, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0)).alias("s")
+        )
+        q = s_all.agg(F.sum(F.col("s") * F.col("s")).alias("q"))
+        return s_all.crossJoin(F.broadcast(q)).select(
+            "node",
+            F.when(
+                F.col("q") > 0,
+                F.col("s").cast("double") / F.sqrt(F.col("q").cast("double")),
+            ).otherwise(F.lit(0.0)).alias("score"),
+        )
+
+    hub = nodes.withColumn("score", F.lit(1.0))
+    auth = None
+    for it in range(iterations):
+        auth = _norm_step(hub, forward=True)
+        hub = _norm_step(auth, forward=False)
+        if (it + 1) % checkpoint_every == 0:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return (
+        hub.select("node", F.col("score").alias("hub"))
+        .join(auth.select("node", F.col("score").alias("authority")), "node")
+    )
+
+
+# --- local clustering coefficient (GDS gds.localClusteringCoefficient) -------
+
+def local_clustering_coefficient(edges: DataFrame,
+                                 src_col: str = "src_system_id",
+                                 dst_col: str = "dst_system_id",
+                                 scale: int = 1_000_000) -> DataFrame:
+    """GDS `gds.localClusteringCoefficient` parity on the undirected
+    projection: lcc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)), emitted as
+    1e-6 fixed point (one double division — oracle-replayable).
+
+    Triangles are enumerated once via the canonical a<b<c wedge join (the
+    same candidate discipline as triangle_count / node_similarity: work is
+    Σ wedges, never |V|³) and credited to all three corners with one
+    explode; degree is one key count over the deduped undirected pairs.
+    Returns (node, degree, triangles, lcc_fp).
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node")).union(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("ta") == F.col("a")) & (F.col("tc") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    tri_per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(tri_per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.floor(
+                F.lit(scale) * 2 * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).cast("long"),
+        ).otherwise(F.lit(0)).alias("lcc_fp"),
+    )
+
+
+# --- community metrics: conductance + modularity (GDS gds.conductance /
+# gds.modularity parity) ------------------------------------------------------
+
+def community_metrics(edges: DataFrame, labels: DataFrame,
+                      src_col: str = "src_system_id",
+                      dst_col: str = "dst_system_id",
+                      node_col: str = "node", label_col: str = "community",
+                      scale: int = 1_000_000) -> DataFrame:
+    """GDS `gds.conductance` + `gds.modularity` parity: per-community cut
+    quality for a given node→community assignment (e.g. label_propagation
+    output), on the directed edge set.
+
+    Per community S (m = |E| total):
+      internal  = |{u→v : u,v ∈ S}|      outgoing = |{u→v : u ∈ S, v ∉ S}|
+      incoming  = |{u→v : u ∉ S, v ∈ S}|
+      conductance = outgoing / min(vol, m − vol),  vol = internal+outgoing
+      modularity  = internal/m − (vol_out·vol_in)/m²   (directed modularity;
+                    Σ over communities = partition modularity)
+    Both are emitted 1e-6 fixed point with integer numerators, so the one
+    double division each replays bit-for-bit in a SQL oracle. floor() on a
+    negative modularity contribution rounds toward −∞ in both engines.
+
+    Scale shape: labels are vertex-sized — two label-keyed joins onto the
+    edge set (src then dst), then ONE community-keyed count shuffle; no
+    node-pair blowup anywhere.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    lab = labels.select(
+        F.col(node_col).cast("long").alias("node"),
+        F.col(label_col).cast("long").alias("community"),
+    )
+    m = e.count()
+    tagged = (
+        e.join(lab.withColumnRenamed("node", "src").withColumnRenamed("community", "cs"), "src")
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("community", "cd"), "dst")
+    )
+    per_src = tagged.groupBy(F.col("cs").alias("community")).agg(
+        F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0)).alias("internal"),
+        F.sum(F.when(F.col("cs") != F.col("cd"), 1).otherwise(0)).alias("outgoing"),
+    )
+    per_dst = tagged.filter(F.col("cs") != F.col("cd")).groupBy(
+        F.col("cd").alias("community")
+    ).agg(F.count(F.lit(1)).alias("incoming"))
+    nodes = lab.groupBy("community").agg(F.count(F.lit(1)).alias("nodes"))
+    joined = (
+        nodes.join(per_src, "community", "left")
+        .join(per_dst, "community", "left")
+        .select(
+            "community", "nodes",
+            F.coalesce(F.col("internal"), F.lit(0)).alias("internal"),
+            F.coalesce(F.col("outgoing"), F.lit(0)).alias("outgoing"),
+            F.coalesce(F.col("incoming"), F.lit(0)).alias("incoming"),
+        )
+    )
+    vol_out = F.col("internal") + F.col("outgoing")
+    vol_in = F.col("internal") + F.col("incoming")
+    denom = F.least(vol_out, F.lit(m) - vol_out)
+    return joined.select(
+        "community", "nodes", "internal", "outgoing", "incoming",
+        F.when(
+            denom > 0,
+            F.floor(F.lit(scale) * F.col("outgoing") / denom).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("conductance_fp"),
+        F.floor(
+            F.lit(scale) * (F.col("internal") * F.lit(m) - vol_out * vol_in)
+            / F.lit(m * m)
+        ).cast("long").alias("modularity_fp"),
+    )
+
+
+# --- minimum spanning forest via Borůvka (GDS gds.spanningTree parity) -------
+
+MST_SCALE = 1_000_000  # 1e6 fixed-point edge weights — all-integer algorithm
+
+
+def _mst_canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected weighted edges: (a<b, wfp) with the min
+    fixed-point weight per pair (parallel/reverse edges collapse)."""
+    return (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.floor(F.col("w") * MST_SCALE + F.lit(0.5)).cast("long").alias("wfp"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("wfp").alias("wfp"))
+    )
+
+
+def _mst_local(und_rows: list, spark) -> DataFrame:
+    """Driver fast path: the SAME Borůvka rounds over Python dicts —
+    integer comparisons only, so the edge set is identical to the loop's."""
+    und = [(r["a"], r["b"], r["wfp"]) for r in und_rows]
+    comp = {}
+    for a, b, _ in und:
+        comp[a] = a
+        comp[b] = b
+    chosen: set[tuple[int, int, int]] = set()
+    while True:
+        live = [(a, b, w) for a, b, w in und if comp[a] != comp[b]]
+        if not live:
+            break
+        pick: dict[int, tuple[int, int, int]] = {}
+        for a, b, w in live:
+            key = (w, a, b)
+            for c in (comp[a], comp[b]):
+                if c not in pick or key < pick[c]:
+                    pick[c] = key
+        new_edges = {(a, b, w) for (w, a, b) in pick.values()}
+        chosen |= new_edges
+        # merge: min-label propagation over the component graph
+        adj: dict[int, set[int]] = {}
+        for a, b, _ in new_edges:
+            ca, cb = comp[a], comp[b]
+            adj.setdefault(ca, set()).add(cb)
+            adj.setdefault(cb, set()).add(ca)
+        relabel = {}
+        for start in adj:
+            if start in relabel:
+                continue
+            seen = {start}
+            stack = [start]
+            while stack:
+                x = stack.pop()
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            lbl = min(seen)
+            for x in seen:
+                relabel[x] = lbl
+        comp = {v: relabel.get(c, c) for v, c in comp.items()}
+    rows = sorted(chosen)
+    return spark.createDataFrame(
+        [(a, b, w) for a, b, w in rows], "src long, dst long, weight_fp long"
+    )
+
+
+def minimum_spanning_forest(edges: DataFrame, weight_col: str = "risk",
+                            src_col: str = "src_system_id",
+                            dst_col: str = "dst_system_id",
+                            max_rounds: int = 16,
+                            driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.spanningTree` parity, distributed: Borůvka's algorithm on
+    the undirected projection. Returns the forest's canonical edges
+    (src<dst, weight_fp) — on a connected graph, the unique MST under the
+    total edge order (weight_fp, src, dst) (deterministic tie-break makes
+    weights effectively distinct, so engines and the SQL oracle agree on
+    the exact edge set).
+
+    All-integer algorithm: weights are 1e-6 fixed point, picks are integer
+    struct-min — no float anywhere after the initial rounding.
+
+    Scale shape (why Borůvka and not Prim/Kruskal): each round is
+    (1) one component-keyed MIN shuffle over live cross-component edges
+    (map-side partial min), and (2) a contraction of the CHOSEN edge set —
+    component-count-sized, vanishingly small next to |E| — via
+    connected_components. Components at least halve per round → O(log V)
+    rounds; no global sort (Kruskal) and no sequential frontier (Prim).
+    Labels ride localCheckpoint between rounds like every other loop here.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    und = _mst_canon(e)
+    if _fits_driver(und, driver_threshold):
+        return _mst_local(und.collect(), edges.sparkSession)
+
+    labels = (
+        und.select(F.col("a").alias("node")).union(und.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    chosen = None
+    for _ in range(max_rounds):
+        la = labels.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        lb = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        live = (
+            und.join(la, "a").join(lb, "b").filter(F.col("ca") != F.col("cb"))
+        ).localCheckpoint(eager=True)
+        if live.limit(1).count() == 0:
+            break
+        sides = live.select(F.col("ca").alias("comp"), "wfp", "a", "b").union(
+            live.select(F.col("cb").alias("comp"), "wfp", "a", "b")
+        )
+        pick = (
+            sides.groupBy("comp")
+            .agg(F.min(F.struct("wfp", "a", "b")).alias("m"))
+            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"),
+                    F.col("m.wfp").alias("wfp"))
+            .distinct()
+        )
+        chosen = pick if chosen is None else chosen.union(pick).distinct()
+        chosen = chosen.localCheckpoint(eager=True)
+        # contract: connected components over the chosen component edges
+        cedges = (
+            live.join(pick.select("a", "b"), ["a", "b"])
+            .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+            .distinct()
+        )
+        merged = connected_components(cedges, src_col="src", dst_col="dst")
+        relabel = merged.select(F.col("node").alias("comp"), F.col("component").alias("newcomp"))
+        labels = (
+            labels.join(relabel, "comp", "left")
+            .select("node", F.coalesce(F.col("newcomp"), F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    if chosen is None:
+        return edges.sparkSession.createDataFrame([], "src long, dst long, weight_fp long")
+    return chosen.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("wfp").alias("weight_fp")
+    )
+
+
+# --- DAG analytics: topological levels + longest path (GDS gds.dag.* parity) -
+
+def _dag_local(e_rows: list, max_iterations: int, spark) -> DataFrame:
+    """Driver fast path: Kahn layering + max-plus DP. All-integer, so any
+    correct longest-path algorithm produces the identical result; cycles
+    are detected by the topological order not covering every node."""
+    edges = [(r["a"], r["b"], r["wfp"]) for r in e_rows]
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    indeg = {v: 0 for v in nodes}
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for a, b, w in edges:
+        indeg[b] += 1
+        adj.setdefault(a, []).append((b, w))
+    from collections import deque
+
+    q = deque(v for v in nodes if indeg[v] == 0)
+    level = {v: 0 for v in nodes}
+    dist = {v: 0 for v in nodes}
+    seen = 0
+    while q:
+        u = q.popleft()
+        seen += 1
+        for v, w in adj.get(u, ()):
+            level[v] = max(level[v], level[u] + 1)
+            dist[v] = max(dist[v], dist[u] + w)
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                q.append(v)
+    if seen != len(nodes):
+        raise ValueError("dag_longest_paths: graph has a cycle")
+    return spark.createDataFrame(
+        [(v, level[v], dist[v]) for v in nodes],
+        "node long, topo_level long, longest_dist_fp long",
+    )
+
+
+def dag_longest_paths(edges: DataFrame, weight_col: str | None = None,
+                      src_col: str = "src_system_id",
+                      dst_col: str = "dst_system_id",
+                      max_iterations: int = 64,
+                      driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.dag.topologicalSort(computeMaxDistanceFromSource)` +
+    `gds.dag.longestPath` parity: per node, the longest incoming path in
+    hops (`topo_level` — a valid topological ordering key and the node's
+    layer in Kahn layering) and in accumulated weight
+    (`longest_dist_fp`, 1e-6 fixed point; equals topo_level when
+    weight_col is None). Raises ValueError on a cyclic input, like GDS.
+
+    All-INTEGER max-plus recurrence — no IEEE concerns at all:
+    d(v) = max(0, max_{u→v} d(u) + w(u,v)), level likewise with w ≡ 1.
+
+    Scale shape: Bellman-style supersteps (one dst-keyed MAX shuffle per
+    step, map-side partial max), converging in DAG-depth steps with a
+    two-scalar monotone fixpoint probe (Σlevel, Σdist) per step — the
+    same early-exit discipline as the SSSP loops. Depth-bounded DAGs
+    (ETL lineages, version chains) finish in a handful of steps; a
+    25-deep chain costs 25 tiny shuffles, not |V| jobs.
+    """
+    wexpr = (
+        F.lit(1).cast("long") if weight_col is None
+        else F.floor(F.col(weight_col).cast("double") * MST_SCALE + F.lit(0.5)).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).cast("long").alias("a"),
+        F.col(dst_col).cast("long").alias("b"),
+        wexpr.alias("wfp"),
+    )
+    if _fits_driver(e, driver_threshold):
+        return _dag_local(e.collect(), max_iterations, edges.sparkSession)
+
+    nodes = e.select(F.col("a").alias("node")).union(
+        e.select(F.col("b").alias("node"))
+    ).distinct()
+    cur = nodes.select(
+        "node", F.lit(0).cast("long").alias("lvl"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    for it in range(max_iterations):
+        inc = (
+            cur.join(e, cur.node == e.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(
+                F.max(F.col("lvl") + 1).alias("ilvl"),
+                F.max(F.col("dist") + F.col("wfp")).alias("idist"),
+            )
+        )
+        cur = nodes.join(inc, "node", "left").select(
+            "node",
+            F.greatest(F.coalesce(F.col("ilvl"), F.lit(0)), F.lit(0)).alias("lvl"),
+            F.greatest(F.coalesce(F.col("idist"), F.lit(0)), F.lit(0)).alias("dist"),
+        )
+        # the fixpoint probe below is an action every step, so checkpoint
+        # every step too — lineage stays O(1) and the probe reads the
+        # materialized blocks instead of recomputing the chain
+        cur = cur.localCheckpoint(eager=True)
+        sig = cur.agg(F.sum("lvl"), F.sum("dist")).collect()[0]
+        sig = (sig[0], sig[1])
+        if sig == prev_sig:
+            return cur.select(
+                "node", F.col("lvl").alias("topo_level"),
+                F.col("dist").alias("longest_dist_fp"),
+            )
+        prev_sig = sig
+    raise ValueError(
+        "dag_longest_paths: no fixpoint after "
+        f"{max_iterations} supersteps — graph has a cycle or exceeds the "
+        "max_iterations depth budget"
     )

@@ -104,6 +104,10 @@ _MODIFIED_THIS_ROUND = {
     # id-keyed agg; results on the fixtures are identical. Forced back into
     # the driver window for external re-verification.
     "kmeans_embeddings",
+    # r9 (second batch): pagerank gained the sources= personalization arm —
+    # the uniform path is unchanged (base_expr == the old literal when
+    # sources is None) but the operator was edited, so re-verify externally.
+    "pagerank",
 }
 
 
@@ -4125,12 +4129,10 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weighted deterministic sampling
 # =========================================================================
 
-def _lpa_unrolled_sql(iterations: int) -> str:
-    """DuckDB replay of deterministic synchronous LPA: the fixed superstep
-    count is unrolled into chained CTEs (each = most-frequent in-neighbor
-    label, ties to the smallest label, keep own label when no in-edges).
-    Spark's early fixpoint stop is safe to over-unroll: applying a step to
-    fixpoint labels returns them unchanged."""
+def _lpa_cte_body(iterations: int) -> str:
+    """Chained-CTE replay of deterministic synchronous LPA (see
+    _lpa_unrolled_sql) WITHOUT the final select, so downstream oracles
+    (community metrics) can keep consuming lpa{iterations}."""
     # NB: the outer query is WITH RECURSIVE (for _graph_cte siblings); under
     # WITH RECURSIVE, DuckDB 1.0 treats any CTE with a *top-level* UNION as
     # recursive and emits duplicate rows — so dedup via subquery + DISTINCT.
@@ -4152,8 +4154,19 @@ def _lpa_unrolled_sql(iterations: int) -> str:
             ) t WHERE rn = 1
         ) w ON w.dst = n.node
     )""")
-    steps.append(f" SELECT node, community FROM lpa{iterations}")
-    return _graph_cte("".join(steps))
+    return "".join(steps)
+
+
+def _lpa_unrolled_sql(iterations: int) -> str:
+    """DuckDB replay of deterministic synchronous LPA: the fixed superstep
+    count is unrolled into chained CTEs (each = most-frequent in-neighbor
+    label, ties to the smallest label, keep own label when no in-edges).
+    Spark's early fixpoint stop is safe to over-unroll: applying a step to
+    fixpoint labels returns them unchanged."""
+    return _graph_cte(
+        _lpa_cte_body(iterations)
+        + f" SELECT node, community FROM lpa{iterations}"
+    )
 
 
 @register("label_propagation_communities", _lpa_unrolled_sql(5))
@@ -6916,3 +6929,425 @@ def node_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_similarity(
         jumps, top_k=3, src_col="src_system_id", dst_col="dst_system_id"
     )
+
+
+# =========================================================================
+# GDS spectral / structure parity: eigenvector centrality, HITS, local
+# clustering coefficient. All three ride the pagerank bit-reproducibility
+# device — exact integer contribution sums per superstep, one sqrt + one
+# division per node per step — so DuckDB replays raw doubles bit-for-bit.
+# =========================================================================
+
+_EV_STEP_SQL = """
+ev{i}_s AS (
+    SELECT n.node, COALESCE(c.s, 0) AS s
+    FROM ev_nodes n LEFT JOIN (
+        SELECT e.dst_system_id AS node,
+               SUM(CAST(FLOOR(p.score * 1000000 + 0.5) AS BIGINT)) AS s
+        FROM ev{prev} p JOIN fix_jumps e ON e.src_system_id = p.node
+        GROUP BY 1
+    ) c ON c.node = n.node
+),
+ev{i} AS (
+    SELECT node,
+           CASE WHEN (SELECT SUM(s * s) FROM ev{i}_s) > 0
+                THEN CAST(s AS DOUBLE)
+                     / SQRT(CAST((SELECT SUM(s * s) FROM ev{i}_s) AS DOUBLE))
+                ELSE 0.0 END AS score
+    FROM ev{i}_s
+)"""
+
+
+@register(
+    "eigenvector_centrality",
+    _graph_cte(
+        """
+        , ev_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src_system_id AS node FROM fix_jumps
+                UNION ALL SELECT dst_system_id FROM fix_jumps
+            )
+        ),
+        ev0 AS (SELECT node, 1.0 AS score FROM ev_nodes),
+        """
+        + ",".join(_EV_STEP_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT node, score FROM ev3
+        """
+    ),
+)
+def eigenvector_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.eigenvector parity: 3-step power iteration, L2-normalized per
+    # step (exact integer contribution sums; the norm's sum-of-squares is an
+    # exact BIGINT, so sqrt+divide are the identical IEEE ops in both
+    # engines). Completes the centrality family alongside pagerank /
+    # closeness / harmonic / betweenness / degree.
+    from eve_graph_spark.operators.graph_analytics import eigenvector_centrality
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    return eigenvector_centrality(jumps, iterations=3)
+
+
+_HITS_HALF_SQL = """
+{out}_s AS (
+    SELECT n.node, COALESCE(c.s, 0) AS s
+    FROM ev_nodes n LEFT JOIN (
+        SELECT e.{group_col} AS node,
+               SUM(CAST(FLOOR(p.score * 1000000 + 0.5) AS BIGINT)) AS s
+        FROM {src} p JOIN fix_jumps e ON e.{join_col} = p.node
+        GROUP BY 1
+    ) c ON c.node = n.node
+),
+{out} AS (
+    SELECT node,
+           CASE WHEN (SELECT SUM(s * s) FROM {out}_s) > 0
+                THEN CAST(s AS DOUBLE)
+                     / SQRT(CAST((SELECT SUM(s * s) FROM {out}_s) AS DOUBLE))
+                ELSE 0.0 END AS score
+    FROM {out}_s
+)"""
+
+
+def _hits_sql(iterations: int) -> str:
+    parts = []
+    for i in range(1, iterations + 1):
+        parts.append(_HITS_HALF_SQL.format(
+            out=f"ha{i}", src=f"hh{i - 1}",
+            join_col="src_system_id", group_col="dst_system_id",
+        ))
+        parts.append(_HITS_HALF_SQL.format(
+            out=f"hh{i}", src=f"ha{i}",
+            join_col="dst_system_id", group_col="src_system_id",
+        ))
+    return ",".join(parts)
+
+
+@register(
+    "hits_hub_authority",
+    _graph_cte(
+        """
+        , ev_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src_system_id AS node FROM fix_jumps
+                UNION ALL SELECT dst_system_id FROM fix_jumps
+            )
+        ),
+        hh0 AS (SELECT node, 1.0 AS score FROM ev_nodes),
+        """
+        + _hits_sql(2)
+        + """
+        SELECT h.node, h.score AS hub, a.score AS authority
+        FROM hh2 h JOIN ha2 a ON a.node = h.node
+        """
+    ),
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.hits parity (Kleinberg): 2 full hub/authority rounds, each
+    # half-step L2-normalized with the fixed-point recipe. On this
+    # symmetric fixture hub == authority — the oracle checks the machinery,
+    # the asymmetric-graph semantics are pinned by unit tests.
+    from eve_graph_spark.operators.graph_analytics import hits
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    return hits(jumps, iterations=2)
+
+
+@register(
+    "local_clustering",
+    _graph_cte(
+        """
+        , lcc_und AS (
+            SELECT DISTINCT LEAST(src_system_id, dst_system_id) AS a,
+                            GREATEST(src_system_id, dst_system_id) AS b
+            FROM fix_jumps WHERE src_system_id <> dst_system_id
+        ),
+        lcc_deg AS (
+            SELECT node, COUNT(*) AS degree FROM (
+                SELECT a AS node FROM lcc_und UNION ALL SELECT b FROM lcc_und
+            ) GROUP BY node
+        ),
+        lcc_tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM lcc_und e1
+            JOIN lcc_und e2 ON e2.a = e1.b
+            JOIN lcc_und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        lcc_pn AS (
+            SELECT node, COUNT(*) AS triangles FROM (
+                SELECT a AS node FROM lcc_tri
+                UNION ALL SELECT b FROM lcc_tri
+                UNION ALL SELECT c FROM lcc_tri
+            ) GROUP BY node
+        )
+        SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN CAST(FLOOR(1000000 * 2 * COALESCE(t.triangles, 0)
+                              / (d.degree * (d.degree - 1))) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS lcc_fp
+        FROM lcc_deg d LEFT JOIN lcc_pn t ON t.node = d.node
+        """
+    ),
+)
+def local_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.localClusteringCoefficient parity: per-node triangle density
+    # on the undirected projection, 1e-6 fixed point. Triangles enumerated
+    # once (a<b<c wedge join — Σ wedges work, never |V|^3) and credited to
+    # all three corners via one explode.
+    from eve_graph_spark.operators.graph_analytics import (
+        local_clustering_coefficient,
+    )
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    return local_clustering_coefficient(jumps)
+
+
+@register(
+    "community_conductance",
+    _graph_cte(
+        _lpa_cte_body(5)
+        + """
+        , cm_m AS (SELECT COUNT(*) AS m FROM fix_jumps),
+        cm_edges AS (
+            SELECT ls.community AS cs, ld.community AS cd
+            FROM fix_jumps e
+            JOIN lpa5 ls ON ls.node = e.src_system_id
+            JOIN lpa5 ld ON ld.node = e.dst_system_id
+        ),
+        cm_nodes AS (SELECT community, COUNT(*) AS nodes FROM lpa5 GROUP BY community),
+        cm_src AS (
+            SELECT cs AS community,
+                   COALESCE(SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END), 0) AS internal,
+                   COALESCE(SUM(CASE WHEN cs <> cd THEN 1 ELSE 0 END), 0) AS outgoing
+            FROM cm_edges GROUP BY cs
+        ),
+        cm_dst AS (
+            SELECT cd AS community, COUNT(*) AS incoming
+            FROM cm_edges WHERE cs <> cd GROUP BY cd
+        ),
+        cm_joined AS (
+            SELECT n.community, n.nodes,
+                   COALESCE(s.internal, 0) AS internal,
+                   COALESCE(s.outgoing, 0) AS outgoing,
+                   COALESCE(d.incoming, 0) AS incoming
+            FROM cm_nodes n
+            LEFT JOIN cm_src s ON s.community = n.community
+            LEFT JOIN cm_dst d ON d.community = n.community
+        )
+        SELECT community, CAST(nodes AS BIGINT) AS nodes,
+               CAST(internal AS BIGINT) AS internal,
+               CAST(outgoing AS BIGINT) AS outgoing,
+               CAST(incoming AS BIGINT) AS incoming,
+               CASE WHEN LEAST(internal + outgoing,
+                               (SELECT m FROM cm_m) - (internal + outgoing)) > 0
+                    THEN CAST(FLOOR(1000000 * outgoing
+                              / LEAST(internal + outgoing,
+                                      (SELECT m FROM cm_m) - (internal + outgoing)))
+                         AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS conductance_fp,
+               CAST(FLOOR(1000000 * (internal * (SELECT m FROM cm_m)
+                                     - (internal + outgoing) * (internal + incoming))
+                          / ((SELECT m FROM cm_m) * (SELECT m FROM cm_m)))
+                    AS BIGINT) AS modularity_fp
+        FROM cm_joined
+        """
+    ),
+)
+def community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.conductance + gds.modularity parity: cut quality of the
+    # LPA-5 partition (the same labels as label_propagation_communities).
+    # Integer cut/volume counters, one double division per metric —
+    # bit-replayable. Labels are vertex-sized: two label joins onto the
+    # edge set + one community-keyed count shuffle.
+    from eve_graph_spark.operators.graph_analytics import (
+        community_metrics, label_propagation,
+    )
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    labels = label_propagation(jumps, iterations=5)
+    return community_metrics(jumps, labels)
+
+
+_PPR_ITER_SQL = """
+ppr{i} AS (
+    SELECT n.node,
+           -- CAST: DuckDB evaluates bare 1.0 - 0.85 in exact DECIMAL
+           -- (0.075); the engine computes IEEE doubles (0.075…01). Force
+           -- the identical double op sequence.
+           CASE WHEN n.node IN (2, 17)
+                THEN (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT k FROM ppr_k)
+                ELSE 0.0 END
+           + 0.85 * (COALESCE(c.s, 0) / 1000000000000.0) AS rank
+    FROM ppr_nodes n LEFT JOIN (
+        SELECT e.dst_system_id AS node,
+               SUM(CAST(FLOOR(p.rank / d.deg * 1000000000000 + 0.5) AS BIGINT)) AS s
+        FROM ppr{prev} p JOIN ppr_deg d ON d.node = p.node
+                         JOIN fix_jumps e ON e.src_system_id = p.node
+        GROUP BY 1
+    ) c ON c.node = n.node
+)"""
+
+
+@register(
+    "personalized_pagerank",
+    _graph_cte(
+        """
+        , ppr_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src_system_id AS node FROM fix_jumps
+                UNION ALL SELECT dst_system_id FROM fix_jumps
+            )
+        ),
+        ppr_k AS (SELECT COUNT(*) AS k FROM ppr_nodes WHERE node IN (2, 17)),
+        ppr_deg AS (SELECT src_system_id AS node, COUNT(*) AS deg FROM fix_jumps GROUP BY 1),
+        ppr0 AS (
+            SELECT node,
+                   CASE WHEN node IN (2, 17) THEN 1.0 / (SELECT k FROM ppr_k)
+                        ELSE 0.0 END AS rank
+            FROM ppr_nodes
+        ),
+        """
+        + ",".join(_PPR_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT node, rank FROM ppr3
+        """
+    ),
+)
+def personalized_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS personalized PageRank (sourceNodes) parity: teleport mass pinned
+    # to the wormhole endpoints {2, 17} — random-walk-with-restart
+    # proximity to the wormhole corridor. Same fixed-point superstep and
+    # oracle device as pagerank; the source set is literals, never data.
+    from eve_graph_spark.operators.graph_analytics import pagerank
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    return pagerank(jumps, iterations=3, sources=[2, 17])
+
+
+# =========================================================================
+# GDS gds.spanningTree parity: minimum spanning forest via Borůvka,
+# oracle = the same rounds unrolled (per-component argmin pick + recursive
+# min-label contraction per round). All-integer after the one fixed-point
+# rounding, so the edge set is engine-independent.
+# =========================================================================
+
+_MST_ROUND_SQL = """
+mb{i}_live AS MATERIALIZED (
+    SELECT la.comp AS ca, lb.comp AS cb, e.wfp, e.a, e.b
+    FROM mst_und e
+    JOIN mbl{prev} la ON la.node = e.a
+    JOIN mbl{prev} lb ON lb.node = e.b
+    WHERE la.comp <> lb.comp
+),
+mb{i}_pick AS MATERIALIZED (
+    SELECT DISTINCT a, b, wfp FROM (
+        SELECT wfp, a, b,
+               ROW_NUMBER() OVER (PARTITION BY comp ORDER BY wfp, a, b) AS rn
+        FROM (SELECT ca AS comp, wfp, a, b FROM mb{i}_live
+              UNION ALL SELECT cb AS comp, wfp, a, b FROM mb{i}_live) s
+    ) t WHERE rn = 1
+),
+mb{i}_acc AS MATERIALIZED (
+    SELECT DISTINCT a, b, wfp FROM (
+        SELECT a, b, wfp FROM mb{prev}_acc
+        UNION ALL SELECT a, b, wfp FROM mb{i}_pick
+    ) u
+),
+mb{i}_cedges AS MATERIALIZED (
+    SELECT DISTINCT l.ca, l.cb
+    FROM mb{i}_live l JOIN mb{i}_pick p ON p.a = l.a AND p.b = l.b
+),
+mb{i}_walk(comp, lbl) AS (
+    SELECT comp, comp FROM (SELECT DISTINCT comp FROM mbl{prev}) c0
+    UNION
+    SELECT x.cb, w.lbl FROM mb{i}_walk w
+    JOIN (SELECT ca, cb FROM mb{i}_cedges
+          UNION ALL SELECT cb AS ca, ca AS cb FROM mb{i}_cedges) x
+      ON x.ca = w.comp
+),
+mbl{i} AS MATERIALIZED (
+    SELECT l.node, r.lbl AS comp
+    FROM mbl{prev} l JOIN (SELECT comp, MIN(lbl) AS lbl FROM mb{i}_walk GROUP BY comp) r
+      ON r.comp = l.comp
+)"""
+
+
+@register(
+    "minimum_spanning_tree",
+    _graph_cte(
+        """
+        , mst_und AS MATERIALIZED (
+            SELECT a, b, MIN(wfp) AS wfp FROM (
+                SELECT LEAST(src_system_id, dst_system_id) AS a,
+                       GREATEST(src_system_id, dst_system_id) AS b,
+                       CAST(FLOOR(risk * 1000000 + 0.5) AS BIGINT) AS wfp
+                FROM fix_jumps WHERE src_system_id <> dst_system_id
+            ) s GROUP BY a, b
+        ),
+        mst_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT a AS node FROM mst_und UNION ALL SELECT b FROM mst_und
+            ) n
+        ),
+        mbl0 AS MATERIALIZED (SELECT node, node AS comp FROM mst_nodes),
+        mb0_acc AS (
+            SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+                   CAST(NULL AS BIGINT) AS wfp WHERE FALSE
+        ),
+        """
+        + ",".join(_MST_ROUND_SQL.format(i=i, prev=i - 1) for i in range(1, 7))
+        + """
+        SELECT a AS src, b AS dst, wfp AS weight_fp FROM mb6_acc
+        """
+    ),
+)
+def minimum_spanning_tree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.spanningTree parity: risk-weighted MST of the jump graph via
+    # distributed Borůvka (per-component integer argmin + O(log V)
+    # contraction rounds — no global sort, no sequential frontier). The
+    # (weight_fp, src, dst) total order makes the forest unique, so the
+    # over-unrolled oracle replays the exact edge set.
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    jumps = build_jumps(spark, sf_dir)
+    return minimum_spanning_forest(jumps, weight_col="risk")
+
+
+@register(
+    "dag_longest_path",
+    _graph_cte(
+        """
+        , dagq_edges AS MATERIALIZED (
+            SELECT src_system_id AS a, dst_system_id AS b,
+                   CAST(FLOOR(risk * 1000000 + 0.5) AS BIGINT) AS wfp
+            FROM fix_jumps WHERE src_system_id < dst_system_id
+        ),
+        dagq_nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT a AS node FROM dagq_edges UNION ALL SELECT b FROM dagq_edges
+            ) n
+        ),
+        dagq_walk(node, lvl, dist) AS (
+            SELECT node, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dagq_nodes
+            UNION
+            SELECT e.b, w.lvl + 1, w.dist + e.wfp
+            FROM dagq_walk w JOIN dagq_edges e ON e.a = w.node
+        )
+        SELECT node, MAX(lvl) AS topo_level, MAX(dist) AS longest_dist_fp
+        FROM dagq_walk GROUP BY node
+        """
+    ),
+)
+def dag_longest_path_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.dag.topologicalSort + gds.dag.longestPath parity on the
+    # low-id→high-id orientation of the jump graph (acyclic by
+    # construction): per node, longest incoming path in hops (topo layer)
+    # and in fixed-point risk. All-integer max-plus — no IEEE anywhere;
+    # the oracle's recursive walk enumerates (node, lvl, dist) states and
+    # takes the same maxima.
+    from eve_graph_spark.operators.graph_analytics import dag_longest_paths
+
+    jumps = build_jumps(spark, sf_dir).filter(
+        F.col("src_system_id") < F.col("dst_system_id")
+    )
+    return dag_longest_paths(jumps, weight_col="risk")

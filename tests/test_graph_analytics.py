@@ -411,3 +411,271 @@ def test_node_similarity_hand_graph(spark):
         for r in node_similarity(e, top_k=1).filter(F.col("rank") == 1).collect()
     }
     assert top1 == {1: 2, 2: 1, 3: 2}
+
+
+# --- eigenvector / HITS / LCC / community metrics / personalized PR ----------
+
+
+def test_eigenvector_hand_graph(spark):
+    from eve_graph_spark.operators.graph_analytics import eigenvector_centrality
+
+    # triangle 0-1-2 plus pendant 2-3: the well-connected triangle corner 2
+    # scores highest, the pendant lowest; scores are L2-normalized
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got = {r["node"]: r["score"] for r in eigenvector_centrality(e, iterations=3).collect()}
+    assert got[2] > got[0] == got[1] > got[3] > 0
+    assert sum(v * v for v in got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_eigenvector_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import eigenvector_centrality
+
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    local = {r["node"]: r["score"] for r in eigenvector_centrality(e, iterations=3).collect()}
+    dist = {
+        r["node"]: r["score"]
+        for r in eigenvector_centrality(e, iterations=3, driver_threshold=0).collect()
+    }
+    assert dist == local  # bit-identical fixed-point supersteps
+
+
+def test_hits_asymmetric_semantics(spark):
+    from eve_graph_spark.operators.graph_analytics import hits
+
+    # pure directed star 0→{1,2,3}: node 0 is the only hub (authority 0),
+    # targets are pure authorities (hub 0)
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3)], symmetric=False)
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, iterations=2).collect()}
+    assert got[0][0] == pytest.approx(1.0, abs=1e-6) and got[0][1] == 0.0
+    for v in (1, 2, 3):
+        assert got[v][0] == 0.0 and got[v][1] == pytest.approx(1.0 / 3**0.5, abs=1e-6)
+
+
+def test_hits_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import hits
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3)], symmetric=False)
+    local = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, iterations=2).collect()}
+    dist = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(e, iterations=2, driver_threshold=0).collect()
+    }
+    assert dist == local
+
+
+def test_local_clustering_known_values(spark):
+    from eve_graph_spark.operators.graph_analytics import local_clustering_coefficient
+
+    # triangle 0-1-2 + pendant 2-3: lcc(0)=lcc(1)=1, lcc(2)=1/3, lcc(3)=0
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc_fp"])
+        for r in local_clustering_coefficient(e).collect()
+    }
+    assert got == {
+        0: (2, 1, 1_000_000),
+        1: (2, 1, 1_000_000),
+        2: (3, 1, 333_333),
+        3: (1, 0, 0),
+    }
+
+
+def test_community_metrics_two_cliques_bridge(spark):
+    from eve_graph_spark.operators.graph_analytics import community_metrics
+
+    # two triangles {0,1,2} and {3,4,5} joined by one undirected bridge 2-3
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)])
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)], "node long, community long"
+    )
+    got = {
+        r["community"]: r
+        for r in community_metrics(e, labels).collect()
+    }
+    # m = 14 directed edges; each community: 6 internal, 1 out, 1 in
+    for c in (0, 3):
+        r = got[c]
+        assert (r["nodes"], r["internal"], r["outgoing"], r["incoming"]) == (3, 6, 1, 1)
+        # conductance = 1 / min(7, 14-7) = 1/7
+        assert r["conductance_fp"] == 142_857
+        # modularity = 6/14 - (7*7)/196 = 0.178571...
+        assert r["modularity_fp"] == 178_571
+
+
+def test_personalized_pagerank_mass_on_sources(spark):
+    from eve_graph_spark.operators.graph_analytics import pagerank
+
+    # symmetric path 1..8, teleport pinned to node 1, 3 iterations. On a
+    # bipartite path the mass oscillates between parity layers, so
+    # monotone-decay assertions are unsound — the robust PPR signatures
+    # are REACH (zero teleport means zero rank beyond `iterations` hops)
+    # and source-anchoring (the source keeps its base mass every step).
+    e = _edges(spark, [(i, i + 1) for i in range(1, 8)])
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=3, sources=[1]).collect()}
+    for far in (5, 6, 7, 8):
+        assert got[far] == 0.0  # > 3 hops from the only teleport target
+    assert got[1] > 0.15 * 0.9  # base (1-d)/|S| is pinned to the source
+    assert got[4] > 0.0
+    # uniform pagerank spreads base mass everywhere — no zero-rank nodes
+    uni = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+    assert min(uni.values()) > 0.0
+
+
+def test_personalized_pagerank_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import pagerank
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    local = {r["node"]: r["rank"] for r in pagerank(e, iterations=3, sources=[1, 4]).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=3, sources=[1, 4], driver_threshold=0).collect()
+    }
+    assert dist == local
+
+
+def test_property_graph_new_gds_veneers(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(0,), (1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0), (2, 3), (3, 2)],
+        "src long, dst long",
+    )
+    g = PropertyGraph(v, e)
+    assert g.eigenvectorCentrality().count() == 4
+    hrows = g.hits().collect()
+    assert {r["node"] for r in hrows} == {0, 1, 2, 3}
+    assert g.localClusteringCoefficient().count() == 4
+    labels = spark.createDataFrame([(0, 0), (1, 0), (2, 0), (3, 3)], "node long, community long")
+    cm = {r["community"]: r for r in g.communityMetrics(labels).collect()}
+    assert cm[0]["internal"] == 6 and cm[0]["outgoing"] == 1
+    ppr = {r["node"]: r["rank"] for r in g.personalizedPageRank([3]).collect()}
+    assert ppr[3] == max(ppr.values())
+
+
+# --- minimum spanning forest (Borůvka) ---------------------------------------
+
+
+def _wedges(spark, rows):
+    sym = rows + [(b, a, w) for a, b, w in rows]
+    return spark.createDataFrame(sym, "src_system_id long, dst_system_id long, risk double")
+
+
+def test_mst_known_answer(spark):
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    # square 1-2-3-4 with diagonal 1-3: MST = {1-2, 2-3, 3-4}, skips 4-1(5) and 1-3(3)
+    e = _wedges(spark, [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0), (4, 1, 5.0), (1, 3, 3.0)])
+    got = sorted((r["src"], r["dst"], r["weight_fp"])
+                 for r in minimum_spanning_forest(e).collect())
+    assert got == [(1, 2, 1_000_000), (2, 3, 2_000_000), (3, 4, 1_000_000)]
+
+
+def test_mst_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    e = _wedges(spark, [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0), (4, 1, 5.0),
+                        (1, 3, 3.0), (4, 5, 0.5), (5, 6, 9.0), (6, 1, 0.25)])
+    loc = sorted(tuple(r) for r in minimum_spanning_forest(e).collect())
+    dist = sorted(tuple(r) for r in
+                  minimum_spanning_forest(e, driver_threshold=0).collect())
+    assert loc == dist and len(loc) == 5  # 6 nodes connected -> 5 edges
+
+
+def test_mst_forest_on_disconnected_graph(spark):
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    e = _wedges(spark, [(1, 2, 1.0), (3, 4, 2.0)])
+    got = sorted((r["src"], r["dst"]) for r in minimum_spanning_forest(e).collect())
+    assert got == [(1, 2), (3, 4)]
+
+
+def test_mst_equal_weight_tiebreak_deterministic(spark):
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    # all weights equal: the (wfp, src, dst) total order still pins a
+    # unique forest, identically on both code paths
+    e = _wedges(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0), (4, 1, 1.0)])
+    loc = sorted(tuple(r) for r in minimum_spanning_forest(e).collect())
+    dist = sorted(tuple(r) for r in
+                  minimum_spanning_forest(e, driver_threshold=0).collect())
+    assert loc == dist and len(loc) == 3
+
+
+def test_property_graph_spanning_tree(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 2.0), (3, 2, 2.0), (1, 3, 9.0), (3, 1, 9.0)],
+        "src long, dst long, weight double",
+    )
+    got = sorted((r["src"], r["dst"]) for r in PropertyGraph(v, e).spanningTree().collect())
+    assert got == [(1, 2), (2, 3)]
+
+
+# --- DAG analytics -----------------------------------------------------------
+
+
+def test_dag_longest_path_diamond(spark):
+    from eve_graph_spark.operators.graph_analytics import dag_longest_paths
+
+    # diamond 1→{2,3}→4 plus tail 4→5; heavy branch through 3
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 5.0), (2, 4, 1.0), (3, 4, 1.0), (4, 5, 2.0)],
+        "src_system_id long, dst_system_id long, risk double",
+    )
+    got = {
+        r["node"]: (r["topo_level"], r["longest_dist_fp"])
+        for r in dag_longest_paths(e, weight_col="risk").collect()
+    }
+    assert got == {
+        1: (0, 0), 2: (1, 1_000_000), 3: (1, 5_000_000),
+        4: (2, 6_000_000), 5: (3, 8_000_000),
+    }
+
+
+def test_dag_longest_path_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import dag_longest_paths
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 5.0), (2, 4, 1.0), (3, 4, 1.0), (4, 5, 2.0), (2, 5, 0.5)],
+        "src_system_id long, dst_system_id long, risk double",
+    )
+    loc = sorted(tuple(r) for r in dag_longest_paths(e, weight_col="risk").collect())
+    dist = sorted(tuple(r) for r in
+                  dag_longest_paths(e, weight_col="risk", driver_threshold=0).collect())
+    assert loc == dist
+
+
+def test_dag_unweighted_dist_equals_level(spark):
+    from eve_graph_spark.operators.graph_analytics import dag_longest_paths
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src_system_id long, dst_system_id long"
+    )
+    for r in dag_longest_paths(e).collect():
+        assert r["topo_level"] == r["longest_dist_fp"]
+
+
+def test_dag_rejects_cycles_both_paths(spark):
+    from eve_graph_spark.operators.graph_analytics import dag_longest_paths
+
+    c = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)],
+        "src_system_id long, dst_system_id long, risk double",
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        dag_longest_paths(c, weight_col="risk")
+    with pytest.raises(ValueError, match="cycle"):
+        dag_longest_paths(c, weight_col="risk", driver_threshold=0, max_iterations=8)
+
+
+def test_property_graph_dag_longest_path(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    got = {r["node"]: r["topo_level"]
+           for r in PropertyGraph(v, e).dagLongestPath().collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
