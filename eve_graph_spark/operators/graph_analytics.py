@@ -2072,6 +2072,7 @@ def node_similarity(
     src_col: str = "src",
     dst_col: str = "dst",
     sim_fp: int = 1_000_000,
+    include_all_metrics: bool = False,
 ) -> DataFrame:
     """GDS `gds.nodeSimilarity` parity: Jaccard similarity of OUT-neighbor
     sets for every node pair that shares at least one neighbor, optionally
@@ -2106,27 +2107,51 @@ def node_similarity(
     db = deg.select(F.col("s").alias("nb"), F.col("deg").alias("db"))
     # no broadcast hints: degrees are vertex-sized at crawl scale —
     # keyed joins, AQE may still broadcast when genuinely small
+    # dmin / dprod are degree-symmetric, so they survive the direction
+    # swap below unchanged — they feed the overlap / cosine metrics
     half = (
         inter.join(da, "na").join(db, "nb")
         .select(
             "na", "nb", "inter",
             (F.col("da") + F.col("db") - F.col("inter")).alias("union"),
+            F.least("da", "db").alias("dmin"),
+            (F.col("da") * F.col("db")).alias("dprod"),
         )
     )
     # GDS emits both directions; symmetrize the deduped half-pairs
     sym = half.unionByName(
         half.select(
-            F.col("nb").alias("na"), F.col("na").alias("nb"), "inter", "union"
+            F.col("nb").alias("na"), F.col("na").alias("nb"),
+            "inter", "union", "dmin", "dprod",
         )
     )
+    metric_cols = [
+        F.floor(F.lit(sim_fp) * F.col("inter") / F.col("union"))
+        .cast("long")
+        .alias("jaccard_fp"),
+    ]
+    if include_all_metrics:
+        # GDS similarityMetric OVERLAP / COSINE on neighbor sets:
+        # overlap = |∩| / min(d_a, d_b); cosine = |∩| / sqrt(d_a·d_b).
+        # Numerators stay exact integers; one division (plus one sqrt for
+        # cosine) per pair — oracle-replayable like the Jaccard arm.
+        metric_cols += [
+            F.floor(F.lit(sim_fp) * F.col("inter") / F.col("dmin"))
+            .cast("long")
+            .alias("overlap_fp"),
+            F.floor(
+                F.lit(sim_fp) * F.col("inter")
+                / F.sqrt(F.col("dprod").cast("double"))
+            )
+            .cast("long")
+            .alias("cosine_fp"),
+        ]
     out = sym.select(
         F.col("na").alias("node"),
         F.col("nb").alias("other"),
         "inter",
         "union",
-        F.floor(F.lit(sim_fp) * F.col("inter") / F.col("union"))
-        .cast("long")
-        .alias("jaccard_fp"),
+        *metric_cols,
     )
     if top_k is None:
         return out
@@ -2135,10 +2160,13 @@ def node_similarity(
     w = Window.partitionBy("node").orderBy(
         F.desc("jaccard_fp"), F.asc("other")
     )
+    keep = ["node", "other", "inter", "union", "jaccard_fp"]
+    if include_all_metrics:
+        keep += ["overlap_fp", "cosine_fp"]
     return (
         out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
-        .select("node", "other", "inter", "union", "jaccard_fp", "rank")
+        .select(*keep, "rank")
     )
 
 
@@ -2687,4 +2715,94 @@ def dag_longest_paths(edges: DataFrame, weight_col: str | None = None,
         "dag_longest_paths: no fixpoint after "
         f"{max_iterations} supersteps — graph has a cycle or exceeds the "
         "max_iterations depth budget"
+    )
+
+
+# --- k-truss (GDS gds.ktruss / cohesive-subgraph parity) ---------------------
+
+def _truss_canon(e: DataFrame) -> DataFrame:
+    return (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+
+
+def _truss_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over the CURRENT surviving edge set —
+    canonical a<b<c wedge join, each triangle credited to its 3 edges."""
+    e1 = und
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("ta") == F.col("a")) & (F.col("tc") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    sides = (
+        tri.select("a", "b")
+        .unionByName(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+        .unionByName(tri.select("a", F.col("c").alias("b")))
+    )
+    return sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+
+
+def _k_truss_local(und_rows: list, k: int, spark) -> DataFrame:
+    edges = {(r["a"], r["b"]) for r in und_rows}
+    while True:
+        nbrs: dict[int, set[int]] = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(nbrs[a] & nbrs[b]) for a, b in edges
+        }
+        dead = {e for e in edges if sup[e] < k - 2}
+        if not dead:
+            return spark.createDataFrame(
+                sorted((a, b, sup[(a, b)]) for a, b in edges),
+                "src long, dst long, support long",
+            )
+        edges -= dead
+
+
+def k_truss(edges: DataFrame, k: int = 3,
+            src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+            max_rounds: int = 16,
+            driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.ktruss` parity: the maximal subgraph where every edge sits
+    in ≥ k−2 triangles OF THAT SUBGRAPH. Returns the surviving canonical
+    edges (src<dst) with their final in-truss support. k must be ≥ 3
+    (k=2 is the trivial all-edges truss).
+
+    Distributed shape = the k-core peel lifted from nodes to edges: each
+    round is one wedge-join support count (Σ wedges work, the
+    triangle-count discipline) + a support filter, repeated to fixpoint —
+    peel depth rounds, not |E|. Integer counts only; the SQL oracle
+    unrolls the same rounds (over-unrolling past the fixpoint is a no-op).
+    """
+    if k < 3:
+        raise ValueError("k_truss requires k >= 3 (k=2 keeps every edge)")
+    e = _edge_frame(edges, src_col, dst_col)
+    und = _truss_canon(e)
+    if _fits_driver(und, driver_threshold):
+        return _k_truss_local(und.collect(), k, edges.sparkSession)
+    cur = und.localCheckpoint(eager=True)
+    n_prev = cur.count()
+    for _ in range(max_rounds):
+        sup = _truss_support(cur)
+        cur = (
+            cur.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n = cur.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    final_sup = _truss_support(cur)
+    return (
+        cur.join(final_sup, ["a", "b"])
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "support")
     )

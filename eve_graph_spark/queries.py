@@ -24,10 +24,16 @@ from eve_graph_spark.operators.graph import sssp
 from eve_graph_spark.sources.graph_fixture import (
     CHOKE_SQL_CTE,
     GRAPH_SQL_CTE,
+    MESH_SQL_CTE,
     build_jumps,
+    build_mesh_edges,
     build_systems,
 )
 from eve_graph_spark.sources.tables import events_with_ts, load_table, spread
+
+# MESH_SQL_CTE body without surrounding whitespace, for splicing into
+# _graph_cte chains (the mesh overlay rides after the base fix_* CTEs)
+_MESH_BODY = MESH_SQL_CTE.strip()
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -7056,10 +7062,11 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_clustering",
     _graph_cte(
         """
-        , lcc_und AS (
+        , """ + _MESH_BODY + """,
+        lcc_und AS (
             SELECT DISTINCT LEAST(src_system_id, dst_system_id) AS a,
                             GREATEST(src_system_id, dst_system_id) AS b
-            FROM fix_jumps WHERE src_system_id <> dst_system_id
+            FROM fix_mesh WHERE src_system_id <> dst_system_id
         ),
         lcc_deg AS (
             SELECT node, COUNT(*) AS degree FROM (
@@ -7098,8 +7105,8 @@ def local_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         local_clustering_coefficient,
     )
 
-    jumps = build_jumps(spark, sf_dir, with_risk=False)
-    return local_clustering_coefficient(jumps)
+    mesh = build_mesh_edges(spark, sf_dir)
+    return local_clustering_coefficient(mesh)
 
 
 @register(
@@ -7351,3 +7358,153 @@ def dag_longest_path_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_system_id") < F.col("dst_system_id")
     )
     return dag_longest_paths(jumps, weight_col="risk")
+
+
+@register(
+    "node_similarity_metrics",
+    _graph_cte(
+        """
+        , nsm_nbrs AS (SELECT DISTINCT src_system_id AS s, dst_system_id AS d FROM fix_jumps),
+        nsm_deg AS (SELECT s, COUNT(*) AS deg FROM nsm_nbrs GROUP BY s),
+        nsm_inter AS (
+            SELECT a.s AS na, b.s AS nb, COUNT(*) AS inter
+            FROM nsm_nbrs a JOIN nsm_nbrs b ON a.d = b.d AND a.s < b.s
+            GROUP BY a.s, b.s
+        ),
+        nsm_half AS (
+            SELECT i.na, i.nb, i.inter,
+                   da.deg + db.deg - i.inter AS un,
+                   LEAST(da.deg, db.deg) AS dmin,
+                   da.deg * db.deg AS dprod
+            FROM nsm_inter i
+            JOIN nsm_deg da ON da.s = i.na
+            JOIN nsm_deg db ON db.s = i.nb
+        ),
+        nsm_sym AS (
+            SELECT na AS node, nb AS other, inter, un, dmin, dprod FROM nsm_half
+            UNION ALL
+            SELECT nb, na, inter, un, dmin, dprod FROM nsm_half
+        )
+        SELECT node, other, inter, CAST(un AS BIGINT) AS "union",
+               CAST(FLOOR(1000000 * inter / un) AS BIGINT) AS jaccard_fp,
+               CAST(FLOOR(1000000 * inter / dmin) AS BIGINT) AS overlap_fp,
+               CAST(FLOOR(1000000 * inter / SQRT(CAST(dprod AS DOUBLE))) AS BIGINT)
+                   AS cosine_fp
+        FROM nsm_sym
+        """
+    ),
+)
+def node_similarity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS nodeSimilarity similarityMetric=JACCARD|OVERLAP|COSINE parity:
+    # all three neighbor-set similarities for every shared-neighbor pair,
+    # 1e-6 fixed point (exact integer numerators, one division each plus
+    # one sqrt for cosine). Same wedge-join candidate discipline as
+    # node_similarity_topk.
+    from eve_graph_spark.operators.graph_analytics import node_similarity
+
+    jumps = build_jumps(spark, sf_dir)
+    return node_similarity(
+        jumps, src_col="src_system_id", dst_col="dst_system_id",
+        include_all_metrics=True,
+    )
+
+
+@register(
+    "weighted_degree",
+    _graph_cte(
+        """
+        SELECT node,
+               CAST(SUM(o) AS BIGINT) AS out_weight_fp,
+               CAST(SUM(i) AS BIGINT) AS in_weight_fp
+        FROM (SELECT src_system_id AS node,
+                     CAST(FLOOR(risk * 1000000 + 0.5) AS BIGINT) AS o,
+                     CAST(0 AS BIGINT) AS i
+              FROM fix_jumps
+              UNION ALL
+              SELECT dst_system_id AS node, CAST(0 AS BIGINT),
+                     CAST(FLOOR(risk * 1000000 + 0.5) AS BIGINT)
+              FROM fix_jumps) d
+        GROUP BY node
+        """
+    ),
+)
+def weighted_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.degree(relationshipWeightProperty) parity: per-node sum of
+    # incident edge weights (risk, 1e-6 fixed point so the sums are exact
+    # integers — order-free, engine-independent). One explode + one
+    # node-keyed sum shuffle, same shape as the unweighted degree query.
+    jumps = build_jumps(spark, sf_dir)
+    w = F.floor(F.col("risk") * 1000000 + F.lit(0.5)).cast("long")
+    exploded = jumps.select(
+        F.col("src_system_id").alias("node"), w.alias("o"), F.lit(0).cast("long").alias("i")
+    ).unionByName(
+        jumps.select(
+            F.col("dst_system_id").alias("node"), F.lit(0).cast("long").alias("o"),
+            w.alias("i"),
+        )
+    )
+    return exploded.groupBy("node").agg(
+        F.sum("o").alias("out_weight_fp"), F.sum("i").alias("in_weight_fp")
+    )
+
+
+def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
+    """DuckDB replay of the k-truss edge peel: each round recomputes
+    per-edge triangle support over the surviving canonical edge set
+    (a<b<c wedge join, one credit per triangle side) and drops edges with
+    support < k-2. Over-unrolling past the fixpoint is a no-op; the final
+    support block re-counts on the last set for the output."""
+    steps = [", " + _MESH_BODY + """, kt0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src_system_id, dst_system_id) AS a,
+                        GREATEST(src_system_id, dst_system_id) AS b
+        FROM fix_mesh WHERE src_system_id <> dst_system_id
+    )"""]
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    , kt{i}_tri AS MATERIALIZED (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM kt{i - 1} e1
+        JOIN kt{i - 1} e2 ON e2.a = e1.b
+        JOIN kt{i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    , kt{i}_sup AS MATERIALIZED (
+        SELECT a, b, COUNT(*) AS sup FROM (
+            SELECT a, b FROM kt{i}_tri
+            UNION ALL SELECT b AS a, c AS b FROM kt{i}_tri
+            UNION ALL SELECT a, c AS b FROM kt{i}_tri
+        ) s GROUP BY a, b
+    )
+    , kt{i} AS MATERIALIZED (
+        SELECT e.a, e.b FROM kt{i - 1} e
+        JOIN kt{i}_sup s ON s.a = e.a AND s.b = e.b
+        WHERE s.sup >= {k - 2}
+    )""")
+    steps.append(f"""
+    , ktf_tri AS MATERIALIZED (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM kt{rounds} e1
+        JOIN kt{rounds} e2 ON e2.a = e1.b
+        JOIN kt{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT e.a AS src, e.b AS dst, CAST(s.sup AS BIGINT) AS support
+    FROM kt{rounds} e
+    JOIN (
+        SELECT a, b, COUNT(*) AS sup FROM (
+            SELECT a, b FROM ktf_tri
+            UNION ALL SELECT b AS a, c AS b FROM ktf_tri
+            UNION ALL SELECT a, c AS b FROM ktf_tri
+        ) s GROUP BY a, b
+    ) s ON s.a = e.a AND s.b = e.b""")
+    return _graph_cte("".join(steps))
+
+
+@register("ktruss_edges", _ktruss_unrolled_sql(3, 6))
+def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.ktruss parity: the 3-truss of the jump graph — the maximal
+    # subgraph where every edge closes a triangle WITHIN the subgraph —
+    # with per-edge in-truss support. The k-core peel lifted from nodes to
+    # edges: wedge-join support count + filter, repeated to fixpoint.
+    from eve_graph_spark.operators.graph_analytics import k_truss
+
+    mesh = build_mesh_edges(spark, sf_dir)
+    return k_truss(mesh, k=3)

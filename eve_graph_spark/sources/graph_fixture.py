@@ -315,3 +315,57 @@ fix_choke AS (
     )
 )
 """
+
+
+# --- triangle-rich mesh overlay ----------------------------------------------
+# The base jump graph is triangle-FREE: region = nationkey % 5, so ring
+# neighbors never share a region and no hub-ring triangle closes. Triangle
+# operators (local clustering, k-truss) would be degenerate on it — every
+# support/coefficient zero, an empty truss, and a correctness check that
+# can't fail. The mesh overlay adds the intra-region ring k -> (k+5) mod N
+# (both directions): each region's hub + two consecutive members now close
+# a triangle (3 per region, 15 total), giving those operators real
+# structure while the base fixture (and every committed hash) stays
+# untouched.
+
+
+def build_mesh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected-symmetric (src_system_id, dst_system_id) edge list:
+    base jumps ∪ intra-region +5 ring."""
+    return _memo(spark, "mesh", sf_dir, lambda: _build_mesh_edges(spark, sf_dir))
+
+
+def _build_mesh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = build_jumps(spark, sf_dir, with_risk=False).select(
+        F.col("src_system_id").alias("src"), F.col("dst_system_id").alias("dst")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    n_count = nation.groupBy().agg((F.max("k") + 1).alias("n"))
+    fwd = nation.crossJoin(F.broadcast(n_count)).select(
+        F.col("k").alias("src"), ((F.col("k") + 5) % F.col("n")).alias("dst")
+    )
+    mesh = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        base.union(mesh)
+        .dropDuplicates(["src", "dst"])
+        .select(
+            F.col("src").alias("src_system_id"), F.col("dst").alias("dst_system_id")
+        )
+    )
+
+
+MESH_SQL_CTE = """
+fix_mesh AS (
+    SELECT DISTINCT src AS src_system_id, dst AS dst_system_id FROM (
+        SELECT src_system_id AS src, dst_system_id AS dst FROM fix_jumps
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT),
+               CAST((n_nationkey + 5) % (SELECT n FROM fix_n) AS BIGINT) FROM nation
+        UNION ALL
+        SELECT CAST((n_nationkey + 5) % (SELECT n FROM fix_n) AS BIGINT),
+               CAST(n_nationkey AS BIGINT) FROM nation
+    ) m
+)
+"""

@@ -679,3 +679,84 @@ def test_property_graph_dag_longest_path(spark):
     got = {r["node"]: r["topo_level"]
            for r in PropertyGraph(v, e).dagLongestPath().collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+# --- k-truss -----------------------------------------------------------------
+
+
+def test_ktruss_k4_keeps_only_the_k4(spark):
+    from eve_graph_spark.operators.graph_analytics import k_truss
+
+    # K4 on {1..4} + pendant triangle {4,5,6} + chain 6-7: in the 4-truss
+    # every edge needs 2 in-subgraph triangles -> only the K4 survives,
+    # each edge supported by the other two K4 corners
+    pairs = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    pairs += [(4, 5), (5, 6), (4, 6), (6, 7)]
+    e = _edges(spark, pairs)
+    got = sorted((r["src"], r["dst"], r["support"]) for r in k_truss(e, k=4).collect())
+    assert got == [(1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2), (3, 4, 2)]
+    # k=3 keeps every triangle edge (9 of them) and peels the chain
+    got3 = sorted((r["src"], r["dst"]) for r in k_truss(e, k=3).collect())
+    assert len(got3) == 9 and (6, 7) not in got3 and (4, 5) in got3
+
+
+def test_ktruss_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import k_truss
+
+    pairs = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    pairs += [(4, 5), (5, 6), (4, 6), (6, 7), (7, 8)]
+    e = _edges(spark, pairs)
+    loc = sorted(tuple(r) for r in k_truss(e, k=3).collect())
+    dist = sorted(tuple(r) for r in k_truss(e, k=3, driver_threshold=0).collect())
+    assert loc == dist
+
+
+def test_ktruss_cascading_peel(spark):
+    from eve_graph_spark.operators.graph_analytics import k_truss
+
+    # two triangles sharing edge 2-3: {1,2,3} and {2,3,4}. In the 4-truss
+    # the outer edges have support 1 and peel first; the shared edge 2-3
+    # then loses both triangles and peels in a SECOND round -> empty truss.
+    # Pins that the peel iterates to fixpoint instead of filtering once.
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    assert k_truss(e, k=4).count() == 0
+    assert k_truss(e, k=4, driver_threshold=0).count() == 0
+
+
+def test_ktruss_rejects_trivial_k(spark):
+    from eve_graph_spark.operators.graph_analytics import k_truss
+
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="k >= 3"):
+        k_truss(e, k=2)
+
+
+def test_mesh_fixture_has_triangles(spark, sf_dir):
+    # the mesh overlay exists precisely to de-degenerate the triangle
+    # operators: the base jump graph is triangle-free (region = id % 5),
+    # the mesh closes 3 hub-member-member triangles per region
+    from eve_graph_spark.operators.graph_analytics import triangle_count
+    from eve_graph_spark.sources.graph_fixture import build_jumps, build_mesh_edges
+
+    base = build_jumps(spark, sf_dir, with_risk=False)
+    assert triangle_count(base).collect()[0]["n_triangles"] == 0
+    mesh = build_mesh_edges(spark, sf_dir)
+    assert triangle_count(mesh, src_col="src_system_id", dst_col="dst_system_id"
+                          ).collect()[0]["n_triangles"] > 0
+
+
+def test_node_similarity_all_metrics_hand_values(spark):
+    from eve_graph_spark.operators.graph_analytics import node_similarity
+
+    # out-neighbors: 1 -> {10, 11, 12}; 2 -> {10, 11}: inter=2,
+    # jaccard=2/3, overlap=2/min(3,2)=1, cosine=2/sqrt(6)
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11)], "src long, dst long"
+    )
+    rows = node_similarity(e, src_col="src", dst_col="dst",
+                           include_all_metrics=True).collect()
+    r = {(x["node"], x["other"]): x for x in rows}[(1, 2)]
+    assert (r["inter"], r["union"]) == (2, 3)
+    assert r["jaccard_fp"] == 666_666
+    assert r["overlap_fp"] == 1_000_000
+    assert r["cosine_fp"] == 816_496  # floor(1e6 * 2/sqrt(6))
