@@ -253,6 +253,22 @@ class PropertyGraph:
         return dag_longest_paths(self.edges, weight_col=weightCol,
                                  src_col="src", dst_col="dst")
 
+    def louvain(self, rounds: int = 4) -> DataFrame:
+        """(node, community) — GDS gds.louvain maxLevels=1 parity:
+        deterministic synchronous modularity-optimizing local moves
+        (graph_analytics.louvain)."""
+        from eve_graph_spark.operators.graph_analytics import louvain
+
+        return louvain(self.edges, rounds=rounds, src_col="src", dst_col="dst")
+
+    def kTruss(self, k: int = 3) -> DataFrame:  # noqa: N802
+        """(src, dst, support) — GDS gds.ktruss parity: maximal subgraph
+        where every edge closes >= k-2 in-subgraph triangles
+        (graph_analytics.k_truss)."""
+        from eve_graph_spark.operators.graph_analytics import k_truss
+
+        return k_truss(self.edges, k=k, src_col="src", dst_col="dst")
+
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames motif finding: `find("(a)-[e]->(b); (b)-[e2]->(c)")`
         returns one row per match with a STRUCT column per named element

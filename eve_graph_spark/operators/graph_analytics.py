@@ -2806,3 +2806,139 @@ def k_truss(edges: DataFrame, k: int = 3,
         cur.join(final_sup, ["a", "b"])
         .select(F.col("a").alias("src"), F.col("b").alias("dst"), "support")
     )
+
+
+# --- Louvain phase-1 (GDS gds.louvain maxLevels=1 parity) --------------------
+
+def _louvain_local(adj_rows: list, rounds: int, spark) -> DataFrame:
+    """Driver fast path — the SAME synchronous alternating-parity rounds
+    over Python dicts. All-integer gains, so bit-identical to the loop."""
+    adj: dict[int, list[int]] = {}
+    for r in adj_rows:
+        adj.setdefault(r["u"], []).append(r["v"])
+    nodes = sorted(adj)
+    deg = {v: len(adj[v]) for v in nodes}
+    m = sum(deg.values()) // 2
+    comm = {v: v for v in nodes}
+    for it in range(rounds):
+        stot: dict[int, int] = {}
+        for v in nodes:
+            stot[comm[v]] = stot.get(comm[v], 0) + deg[v]
+        new_comm = {}
+        for v in nodes:
+            kin: dict[int, int] = {}
+            for u in adj[v]:
+                kin[comm[u]] = kin.get(comm[u], 0) + 1
+            kin.setdefault(comm[v], 0)
+            best_c, best_g = None, None
+            own_g = None
+            for c, k in kin.items():
+                g = 2 * m * k - deg[v] * (stot[c] - (deg[v] if c == comm[v] else 0))
+                if c == comm[v]:
+                    own_g = g
+                if best_g is None or g > best_g or (g == best_g and c < best_c):
+                    best_c, best_g = c, g
+            if (v + it) % 2 == 0 and best_g > own_g:
+                new_comm[v] = best_c
+            else:
+                new_comm[v] = comm[v]
+        comm = new_comm
+    return spark.createDataFrame(
+        sorted(comm.items()), "node long, community long"
+    )
+
+
+def louvain(edges: DataFrame, rounds: int = 4,
+            src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+            driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.louvain` (maxLevels=1) parity: modularity-optimizing local
+    moves on the undirected projection, made deterministic and
+    oracle-replayable:
+
+    - synchronous rounds — every node evaluates its best neighbor
+      community against the ROUND-START assignment;
+    - all-INTEGER gain on the common 2m² denominator:
+      g(v→c) = 2m·k_v,in(c) − k_v·(Σtot(c) − k_v·[c = own]); move iff the
+      argmax community (ties → min id) strictly beats staying;
+    - alternating parity — only nodes with (node + round) % 2 == 0 may
+      move in a round, the standard synchronous-Louvain device that kills
+      the two-coloring oscillation (same role as LPA's tie-break).
+
+    One level only (no graph aggregation phase), the GDS maxLevels=1
+    behaviour; at 100 TB each round is: one community-keyed degree sum
+    (community-count cells), one (node, neighbor-community) count shuffle
+    (Σ degrees rows — the LPA shape), one per-node argmax window. Labels
+    localCheckpoint per round.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    if _fits_driver(adj, driver_threshold):
+        return _louvain_local(adj.collect(), rounds, edges.sparkSession)
+
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
+    m = und.count()
+    comm = deg.select(F.col("u").alias("node"), F.col("u").alias("comm"))
+    from pyspark.sql import Window
+
+    for it in range(rounds):
+        stot = (
+            comm.join(deg, comm.node == deg.u)
+            .groupBy(F.col("comm").alias("c"))
+            .agg(F.sum("k").alias("stot"))
+        )
+        nc = (
+            adj.join(comm.select(F.col("node").alias("v"), F.col("comm").alias("c")), "v")
+            .groupBy(F.col("u").alias("node"), "c")
+            .agg(F.count(F.lit(1)).alias("kin"))
+        )
+        own_zero = comm.select(
+            "node", F.col("comm").alias("c"), F.lit(0).cast("long").alias("kin")
+        ).join(
+            nc.select(F.col("node").alias("n2"), F.col("c").alias("c2")),
+            (F.col("node") == F.col("n2")) & (F.col("c") == F.col("c2")),
+            "left_anti",
+        )
+        cand = nc.unionByName(own_zero)
+        gain = (
+            cand.join(comm, "node")
+            .join(deg.select(F.col("u").alias("node"), "k"), "node")
+            .join(stot, "c")
+            .select(
+                "node", "c", "comm",
+                (
+                    F.lit(2 * m) * F.col("kin")
+                    - F.col("k")
+                    * (F.col("stot")
+                       - F.when(F.col("c") == F.col("comm"), F.col("k")).otherwise(F.lit(0)))
+                ).alias("g"),
+            )
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("g"), F.asc("c"))
+        best = (
+            gain.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("c").alias("best_c"), F.col("g").alias("best_g"))
+        )
+        own = gain.filter(F.col("c") == F.col("comm")).select(
+            "node", F.col("g").alias("own_g")
+        )
+        comm = (
+            comm.join(best, "node").join(own, "node")
+            .select(
+                "node",
+                F.when(
+                    ((F.col("node") + F.lit(it)) % 2 == 0)
+                    & (F.col("best_g") > F.col("own_g")),
+                    F.col("best_c"),
+                ).otherwise(F.col("comm")).alias("comm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return comm.select("node", F.col("comm").alias("community"))

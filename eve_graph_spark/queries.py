@@ -7508,3 +7508,80 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mesh = build_mesh_edges(spark, sf_dir)
     return k_truss(mesh, k=3)
+
+
+def _louvain_unrolled_sql(rounds: int) -> str:
+    """DuckDB replay of the deterministic synchronous Louvain rounds
+    (operators/graph_analytics.louvain): per round — community degree
+    sums, per-node neighbor-community edge counts (own community padded
+    with kin=0), all-integer gain on the 2m² common denominator, argmax
+    with min-id tie-break, move applied only on the (node + round) % 2
+    parity and only on a STRICT improvement over staying."""
+    steps = [", " + _MESH_BODY + """,
+    lv_und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src_system_id, dst_system_id) AS a,
+                        GREATEST(src_system_id, dst_system_id) AS b
+        FROM fix_mesh WHERE src_system_id <> dst_system_id
+    ),
+    lv_adj AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM lv_und UNION ALL SELECT b AS u, a AS v FROM lv_und
+    ),
+    lv_deg AS MATERIALIZED (SELECT u, COUNT(*) AS k FROM lv_adj GROUP BY u),
+    lv_m AS (SELECT COUNT(*) AS m FROM lv_und),
+    lv0 AS MATERIALIZED (SELECT u AS node, u AS comm FROM lv_deg)"""]
+    for i in range(1, rounds + 1):
+        it = i - 1
+        steps.append(f"""
+    , lv{i}_stot AS MATERIALIZED (
+        SELECT l.comm AS c, SUM(d.k) AS stot
+        FROM lv{it} l JOIN lv_deg d ON d.u = l.node GROUP BY 1
+    ),
+    lv{i}_nc AS MATERIALIZED (
+        SELECT e.u AS node, l.comm AS c, COUNT(*) AS kin
+        FROM lv_adj e JOIN lv{it} l ON l.node = e.v GROUP BY 1, 2
+    ),
+    lv{i}_cand AS MATERIALIZED (
+        SELECT node, c, kin FROM lv{i}_nc
+        UNION ALL
+        SELECT l.node, l.comm, CAST(0 AS BIGINT) FROM lv{it} l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lv{i}_nc n WHERE n.node = l.node AND n.c = l.comm
+        )
+    ),
+    lv{i}_gain AS MATERIALIZED (
+        SELECT cand.node, cand.c, l.comm,
+               2 * (SELECT m FROM lv_m) * cand.kin
+               - d.k * (s.stot - CASE WHEN cand.c = l.comm THEN d.k ELSE 0 END) AS g
+        FROM lv{i}_cand cand
+        JOIN lv{it} l ON l.node = cand.node
+        JOIN lv_deg d ON d.u = cand.node
+        JOIN lv{i}_stot s ON s.c = cand.c
+    ),
+    lv{i} AS MATERIALIZED (
+        SELECT g0.node,
+               CASE WHEN (g0.node + {it}) % 2 = 0 AND b.g > g0.g
+                    THEN b.c ELSE g0.comm END AS comm
+        FROM (SELECT node, comm, g FROM lv{i}_gain WHERE c = comm) g0
+        JOIN (
+            SELECT node, c, g FROM (
+                SELECT node, c, g,
+                       ROW_NUMBER() OVER (PARTITION BY node ORDER BY g DESC, c) AS rn
+                FROM lv{i}_gain
+            ) r WHERE rn = 1
+        ) b ON b.node = g0.node
+    )""")
+    steps.append(f" SELECT node, comm AS community FROM lv{rounds}")
+    return _graph_cte("".join(steps))
+
+
+@register("louvain_communities", _louvain_unrolled_sql(4))
+def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.louvain (maxLevels=1) parity on the mesh graph (regions are
+    # real communities there: hub + members + intra-region ring). Fully
+    # deterministic synchronous variant — all-integer modularity gains,
+    # min-id tie-break, alternating move parity — so the unrolled SQL
+    # oracle replays every round exactly.
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    mesh = build_mesh_edges(spark, sf_dir)
+    return louvain(mesh, rounds=4)

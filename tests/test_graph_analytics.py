@@ -760,3 +760,60 @@ def test_node_similarity_all_metrics_hand_values(spark):
     assert r["jaccard_fp"] == 666_666
     assert r["overlap_fp"] == 1_000_000
     assert r["cosine_fp"] == 816_496  # floor(1e6 * 2/sqrt(6))
+
+
+# --- Louvain -----------------------------------------------------------------
+
+
+def test_louvain_two_cliques(spark):
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    # two K4 cliques joined by a bridge: each clique collapses into one
+    # community, and the two communities stay distinct
+    k4a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    k4b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    e = _edges(spark, k4a + k4b + [(4, 10)])
+    got = {r["node"]: r["community"] for r in louvain(e, rounds=4).collect()}
+    ca = {got[n] for n in (1, 2, 3, 4)}
+    cb = {got[n] for n in (10, 11, 12, 13)}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+
+def test_louvain_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    k4a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = _edges(spark, k4a + [(4, 10), (10, 11), (11, 12), (12, 10)])
+    loc = {r["node"]: r["community"] for r in louvain(e, rounds=4).collect()}
+    dist = {
+        r["node"]: r["community"]
+        for r in louvain(e, rounds=4, driver_threshold=0).collect()
+    }
+    assert loc == dist
+
+
+def test_louvain_partition_has_positive_modularity(spark):
+    from eve_graph_spark.operators.graph_analytics import community_metrics, louvain
+
+    k4a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    k4b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    e = _edges(spark, k4a + k4b + [(4, 10)])
+    labels = louvain(e, rounds=4).withColumnRenamed("community", "community")
+    mod = sum(
+        r["modularity_fp"]
+        for r in community_metrics(e, labels).collect()
+    )
+    # the clique partition on this graph has modularity ~0.46 -> strongly
+    # positive; singleton or one-blob partitions would be <= 0
+    assert mod > 300_000
+
+
+def test_property_graph_louvain_and_ktruss(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    e = spark.createDataFrame(k4, "src long, dst long")
+    g = PropertyGraph(v, e)
+    assert len({r["community"] for r in g.louvain().collect()}) == 1
+    assert g.kTruss(k=4).count() == 6
