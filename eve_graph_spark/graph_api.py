@@ -269,6 +269,17 @@ class PropertyGraph:
 
         return k_truss(self.edges, k=k, src_col="src", dst_col="dst")
 
+    def articleRank(self, maxIter: int = 3,  # noqa: N802,N803
+                    resetProbability: float = 0.15) -> DataFrame:  # noqa: N803
+        """(node, rank) — GDS gds.articleRank parity: pagerank with
+        contributions damped by (deg + avgDeg)
+        (graph_analytics.article_rank)."""
+        from eve_graph_spark.operators.graph_analytics import article_rank
+
+        return article_rank(self.edges, iterations=maxIter,
+                            damping=1.0 - resetProbability,
+                            src_col="src", dst_col="dst")
+
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames motif finding: `find("(a)-[e]->(b); (b)-[e2]->(c)")`
         returns one row per match with a STRUCT column per named element

@@ -2942,3 +2942,79 @@ def louvain(edges: DataFrame, rounds: int = 4,
             .localCheckpoint(eager=True)
         )
     return comm.select("node", F.col("comm").alias("community"))
+
+
+# --- ArticleRank (GDS gds.articleRank parity) --------------------------------
+
+def _article_rank_local(e: DataFrame, iterations: int, damping: float) -> DataFrame:
+    spark = e.sparkSession
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for r in e.collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+        nodes.add(r["src"])
+        nodes.add(r["dst"])
+    n = len(nodes)
+    m = sum(len(v) for v in adj.values())
+    base = (1.0 - damping) / n
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        sums: dict[int, int] = {}
+        for u, outs in adj.items():
+            c = int(math.floor(
+                ranks[u] * n / (len(outs) * n + m) * float(PR_SCALE) + 0.5
+            ))
+            for v in outs:
+                sums[v] = sums.get(v, 0) + c
+        ranks = {v: base + damping * (sums.get(v, 0) / float(PR_SCALE)) for v in nodes}
+    return spark.createDataFrame(list(ranks.items()), "node long, rank double")
+
+
+def article_rank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
+                 src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+                 checkpoint_every: int = 2,
+                 driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.articleRank` parity: the PageRank variant that damps
+    hub influence by dividing each contribution by (deg(u) + avgDeg)
+    instead of deg(u) — low-degree endorsements count more.
+
+    avgDeg = m/n is kept as the exact rational m/n by multiplying the
+    quotient through: rank/(deg + m/n) = rank·n/(deg·n + m), whose
+    denominator is an exact integer — the fp'd contribution is the same
+    one-division IEEE sequence in every engine, then summed exactly.
+    Same superstep/shuffle shape as pagerank.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    if _fits_driver(e, driver_threshold):
+        return _article_rank_local(e, iterations, damping)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.count()
+    m = e.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for it in range(iterations):
+        contribs = (
+            ranks.join(deg, "node")
+            .join(e, ranks.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    F.col("rank") * F.lit(n) / (F.col("deg") * F.lit(n) + F.lit(m))
+                    * F.lit(float(PR_SCALE)) + F.lit(0.5)
+                ).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base)
+             + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0)) / F.lit(float(PR_SCALE)))
+             ).alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

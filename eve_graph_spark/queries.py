@@ -7585,3 +7585,52 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mesh = build_mesh_edges(spark, sf_dir)
     return louvain(mesh, rounds=4)
+
+
+_AR_ITER_SQL = """
+ar{i} AS (
+    SELECT n.node,
+           (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT n FROM ar_n)
+           + 0.85 * (COALESCE(c.s, 0) / 1000000000000.0) AS rank
+    FROM ar_nodes n LEFT JOIN (
+        SELECT e.dst_system_id AS node,
+               SUM(CAST(FLOOR(p.rank * (SELECT n FROM ar_n)
+                              / (d.deg * (SELECT n FROM ar_n) + (SELECT m FROM ar_m))
+                              * 1000000000000 + 0.5) AS BIGINT)) AS s
+        FROM ar{prev} p JOIN ar_deg d ON d.node = p.node
+                        JOIN fix_jumps e ON e.src_system_id = p.node
+        GROUP BY 1
+    ) c ON c.node = n.node
+)"""
+
+
+@register(
+    "article_rank",
+    _graph_cte(
+        """
+        , ar_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src_system_id AS node FROM fix_jumps
+                UNION ALL SELECT dst_system_id FROM fix_jumps
+            )
+        ),
+        ar_n AS (SELECT COUNT(*) AS n FROM ar_nodes),
+        ar_m AS (SELECT COUNT(*) AS m FROM fix_jumps),
+        ar_deg AS (SELECT src_system_id AS node, COUNT(*) AS deg FROM fix_jumps GROUP BY 1),
+        ar0 AS (SELECT node, 1.0 / (SELECT n FROM ar_n) AS rank FROM ar_nodes),
+        """
+        + ",".join(_AR_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT node, rank FROM ar3
+        """
+    ),
+)
+def article_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.articleRank parity: pagerank with contributions damped by
+    # (deg + avgDeg). avgDeg stays the exact rational m/n (multiplied
+    # through to an integer denominator), so the per-step single division
+    # is the identical IEEE op in both engines.
+    from eve_graph_spark.operators.graph_analytics import article_rank
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    return article_rank(jumps, iterations=3)

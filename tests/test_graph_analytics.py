@@ -817,3 +817,50 @@ def test_property_graph_louvain_and_ktruss(spark):
     g = PropertyGraph(v, e)
     assert len({r["community"] for r in g.louvain().collect()}) == 1
     assert g.kTruss(k=4).count() == 6
+
+
+# --- ArticleRank -------------------------------------------------------------
+
+
+def test_article_rank_damps_hub_endorsements(spark):
+    from eve_graph_spark.operators.graph_analytics import article_rank
+
+    # x is endorsed by a degree-1 node, y by a degree-3 hub (plus two
+    # throwaway targets). In ArticleRank the hub's endorsement is divided
+    # by (3 + avgDeg) vs the loner's (1 + avgDeg) -> x outranks y.
+    e = spark.createDataFrame(
+        [(1, 100), (2, 200), (2, 201), (2, 202)],
+        "src_system_id long, dst_system_id long",
+    )
+    got = {r["node"]: r["rank"] for r in article_rank(e, iterations=3).collect()}
+    assert got[100] > got[200]
+
+
+def test_article_rank_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import article_rank
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    loc = {r["node"]: r["rank"] for r in article_rank(e, iterations=3).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in article_rank(e, iterations=3, driver_threshold=0).collect()
+    }
+    assert loc == dist
+
+
+def test_article_rank_differs_from_pagerank(spark):
+    from eve_graph_spark.operators.graph_analytics import article_rank, pagerank
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    ar = {r["node"]: r["rank"] for r in article_rank(e, iterations=3).collect()}
+    pr = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+    assert ar != pr
+
+
+def test_property_graph_article_rank(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    e = spark.createDataFrame([(i, 1) for i in range(2, 6)], "src long, dst long")
+    rows = PropertyGraph(v, e).articleRank().collect()
+    assert max(rows, key=lambda r: r["rank"])["node"] == 1
