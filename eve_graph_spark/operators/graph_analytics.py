@@ -2588,12 +2588,19 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "risk",
         )
         chosen = pick if chosen is None else chosen.union(pick).distinct()
         chosen = chosen.localCheckpoint(eager=True)
-        # contract: connected components over the chosen component edges
-        cedges = (
+        # contract: connected components over the chosen component edges.
+        # connected_components assumes a SYMMETRIC edge set (its min-label /
+        # star paths propagate along edge direction) — the driver union-find
+        # happens to be direction-blind, which would mask a one-directional
+        # cedges here until the component graph outgrew the driver
+        # threshold. Symmetrize explicitly.
+        chalf = (
             live.join(pick.select("a", "b"), ["a", "b"])
             .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
-            .distinct()
         )
+        cedges = chalf.unionByName(
+            chalf.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
         merged = connected_components(cedges, src_col="src", dst_col="dst")
         relabel = merged.select(F.col("node").alias("comp"), F.col("component").alias("newcomp"))
         labels = (

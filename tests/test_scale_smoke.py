@@ -219,3 +219,81 @@ def test_distributed_kmeans_at_200k_vectors(spark):
              out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert len(sizes) == k and sum(sizes.values()) == n
     out.unpersist()
+
+
+def test_distributed_louvain_at_200k_edges(spark):
+    """Louvain's distributed rounds at 200k edges: the parity-gated moves
+    must converge to a stable partition whose modularity beats the
+    singleton baseline (0), and labels must cover every node."""
+    from eve_graph_spark.operators.graph_analytics import community_metrics, louvain
+
+    e = _random_graph(spark)
+    labels = louvain(e, rounds=2, src_col="src", dst_col="dst", driver_threshold=0)
+    n_nodes = (
+        e.select(F.col("src").alias("n")).union(e.select(F.col("dst").alias("n")))
+        .filter(F.col("n").isNotNull()).distinct().count()
+    )
+    assert labels.count() == n_nodes
+    mod = community_metrics(e, labels, src_col="src", dst_col="dst").agg(
+        F.sum("modularity_fp")
+    ).collect()[0][0]
+    assert mod > 0  # better than the one-blob/singleton degenerate cases
+
+
+def test_distributed_mst_at_200k_edges(spark):
+    """Boruvka at 200k edges: the forest must have exactly
+    (nodes - components) edges and be cycle-free — verified by running
+    connected_components over the forest itself."""
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    e = _random_graph(spark).withColumn(
+        "w", (F.abs(F.xxhash64("src", "dst")) % 1_000_000).cast("double") / 1_000.0
+    )
+    forest = minimum_spanning_forest(
+        e, weight_col="w", src_col="src", dst_col="dst", driver_threshold=0
+    ).localCheckpoint(eager=True)
+    n_forest = forest.count()
+    nodes = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("n")).union(e.filter(F.col("src") != F.col("dst")).select(F.col("dst").alias("n")))
+        .distinct().count()
+    )
+    comps = connected_components(
+        e.filter(F.col("src") != F.col("dst")), src_col="src", dst_col="dst",
+        driver_threshold=0,
+    ).select("component").distinct().count()
+    assert n_forest == nodes - comps  # spanning forest edge count
+    # acyclic: a forest with k edges spans exactly k + (#tree components)
+    # nodes; CC over the forest must reproduce the same component count
+    f_nodes = (
+        forest.select(F.col("src").alias("n")).union(forest.select(F.col("dst").alias("n")))
+        .distinct().count()
+    )
+    # connected_components assumes symmetric input; the forest is canonical
+    # (src<dst only), so union the flipped edges first
+    forest_sym = forest.select("src", "dst").union(
+        forest.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    f_comps = connected_components(
+        forest_sym, src_col="src", dst_col="dst", driver_threshold=0
+    ).select("component").distinct().count()
+    assert n_forest == f_nodes - f_comps
+
+
+def test_distributed_dag_longest_path_at_200k_edges(spark):
+    """Max-plus DAG supersteps at 200k edges (low-id -> high-id DAG):
+    distributed fixpoint equals the driver Kahn DP bit-for-bit."""
+    from eve_graph_spark.operators.graph_analytics import dag_longest_paths
+
+    e = (
+        _random_graph(spark)
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("w", (F.abs(F.xxhash64("src", "dst")) % 1000).cast("double"))
+    )
+    loc = {r["node"]: (r["topo_level"], r["longest_dist_fp"])
+           for r in dag_longest_paths(e, weight_col="w", src_col="src",
+                                      dst_col="dst").collect()}
+    dist = {r["node"]: (r["topo_level"], r["longest_dist_fp"])
+            for r in dag_longest_paths(e, weight_col="w", src_col="src", dst_col="dst",
+                                       driver_threshold=0, max_iterations=128).collect()}
+    assert dist == loc
