@@ -280,6 +280,15 @@ class PropertyGraph:
                             damping=1.0 - resetProbability,
                             src_col="src", dst_col="dst")
 
+    def fastRP(self, dim: int = 8, iterations: int = 2) -> DataFrame:  # noqa: N802
+        """(node, e0..e{dim-1}) — GDS gds.fastRP parity: deterministic
+        sparse-projection structural embeddings
+        (graph_analytics.fastrp_embeddings)."""
+        from eve_graph_spark.operators.graph_analytics import fastrp_embeddings
+
+        return fastrp_embeddings(self.edges, dim=dim, iterations=iterations,
+                                 src_col="src", dst_col="dst")
+
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames motif finding: `find("(a)-[e]->(b); (b)-[e2]->(c)")`
         returns one row per match with a STRUCT column per named element

@@ -3025,3 +3025,159 @@ def article_rank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+# --- FastRP embeddings (GDS gds.fastRP parity) --------------------------------
+
+FASTRP_DIM = 8
+
+
+def _fastrp_init_val(v: int, j: int) -> int:
+    """Deterministic sparse init entry ∈ {-1, 0, +1}: the portable md5
+    device (same as dedup's portable hashes) mod 6 — +1 and −1 each with
+    probability 1/6, zero otherwise, i.e. FastRP's sparse projection with
+    s = 3 (the √s scale factor is absorbed by the per-node ℓ2 norm)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{v}:{j}".encode()).hexdigest()[:14], 16) % 6
+    return 1 if h == 0 else (-1 if h == 1 else 0)
+
+
+def _fastrp_local(adj_rows: list, dim: int, iterations: int, spark) -> DataFrame:
+    adj: dict[int, list[int]] = {}
+    for r in adj_rows:
+        adj.setdefault(r["u"], []).append(r["v"])
+    nodes = sorted(adj)
+    x = {v: [float(_fastrp_init_val(v, j)) for j in range(dim)] for v in nodes}
+    acc = {v: [0.0] * dim for v in nodes}
+    for _ in range(iterations):
+        new = {}
+        for v in nodes:
+            deg = len(adj[v])
+            ms = []
+            for j in range(dim):
+                s = 0
+                for u in adj[v]:
+                    s += int(math.floor(x[u][j] * 1_000_000 + 0.5))
+                ms.append(float(s) / deg / 1_000_000.0)
+            norm2 = 0.0
+            for j in range(dim):
+                norm2 = norm2 + ms[j] * ms[j]
+            norm = math.sqrt(norm2)
+            new[v] = [(ms[j] / norm if norm > 0.0 else 0.0) for j in range(dim)]
+        x = new
+        for v in nodes:
+            for j in range(dim):
+                acc[v][j] = acc[v][j] + x[v][j]
+    out = {}
+    for v in nodes:
+        norm2 = 0.0
+        for j in range(dim):
+            norm2 = norm2 + acc[v][j] * acc[v][j]
+        norm = math.sqrt(norm2)
+        out[v] = [(acc[v][j] / norm if norm > 0.0 else 0.0) for j in range(dim)]
+    schema = "node long, " + ", ".join(f"e{j} double" for j in range(dim))
+    return spark.createDataFrame([(v, *out[v]) for v in nodes], schema)
+
+
+def fastrp_embeddings(edges: DataFrame, dim: int = FASTRP_DIM, iterations: int = 2,
+                      src_col: str = "src_system_id",
+                      dst_col: str = "dst_system_id",
+                      driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.fastRP` parity (Chen et al., "Fast and Accurate Network
+    Embeddings via Very Sparse Random Projection"), made deterministic and
+    oracle-replayable:
+
+    - sparse init R(v) ∈ {−1,0,+1}^dim from the portable md5 device
+      (s = 3 sparsity — the seeded-random substitute, reproducible across
+      engines AND runs, like the random-walk sampler);
+    - each iteration: MEAN-aggregate neighbor vectors (the D⁻¹A step) with
+      the fixed-point integer-sum contract, then per-node ℓ2 normalize —
+      square/sum in a fixed left-to-right column order so the float
+      sequence is engine-identical;
+    - final embedding = ℓ2-normalized sum of the per-iteration embeddings
+      (GDS iterationWeights = [1, 1, …]).
+
+    Embeddings are dim FLAT COLUMNS (e0..e{dim-1}), not an array — flat
+    columns keep the SQL oracle expressible and let Parquet/Catalyst prune
+    per-dimension. One dst-keyed sum shuffle per iteration carrying dim
+    integer cells per node; norms are scan-side expressions.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    if _fits_driver(adj, driver_threshold):
+        return _fastrp_local(adj.collect(), dim, iterations, edges.sparkSession)
+
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    def init_col(j: int):
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("u").cast("string"),
+                                              F.lit(str(j)))), 1, 14),
+                16, 10,
+            ).cast("long") % 6
+        )
+        return (
+            F.when(h == 0, F.lit(1.0)).when(h == 1, F.lit(-1.0)).otherwise(F.lit(0.0))
+        )
+
+    x = deg.select(F.col("u").alias("node"),
+                   *[init_col(j).alias(f"x{j}") for j in range(dim)])
+    acc = None
+    for _ in range(iterations):
+        fp_cols = [
+            F.floor(F.col(f"x{j}") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long").alias(f"c{j}")
+            for j in range(dim)
+        ]
+        contribs = (
+            x.select("node", *fp_cols)
+            .join(adj, F.col("node") == F.col("v"))
+            .groupBy(F.col("u").alias("node"))
+            .agg(*[F.sum(f"c{j}").alias(f"s{j}") for j in range(dim)])
+        )
+        mcols = [
+            (F.col(f"s{j}").cast("double") / F.col("deg") / F.lit(1_000_000.0))
+            .alias(f"m{j}")
+            for j in range(dim)
+        ]
+        m = contribs.join(deg.select(F.col("u").alias("node"), "deg"), "node").select(
+            "node", *mcols
+        )
+        norm2 = F.col("m0") * F.col("m0")
+        for j in range(1, dim):
+            norm2 = norm2 + F.col(f"m{j}") * F.col(f"m{j}")
+        x = m.select(
+            "node",
+            *[
+                F.when(F.sqrt(norm2) > 0, F.col(f"m{j}") / F.sqrt(norm2))
+                .otherwise(F.lit(0.0)).alias(f"x{j}")
+                for j in range(dim)
+            ],
+        ).localCheckpoint(eager=True)
+        if acc is None:
+            acc = x.select("node", *[F.col(f"x{j}").alias(f"a{j}") for j in range(dim)])
+        else:
+            acc = acc.join(x, "node").select(
+                "node",
+                *[(F.col(f"a{j}") + F.col(f"x{j}")).alias(f"a{j}") for j in range(dim)],
+            ).localCheckpoint(eager=True)
+    fnorm2 = F.col("a0") * F.col("a0")
+    for j in range(1, dim):
+        fnorm2 = fnorm2 + F.col(f"a{j}") * F.col(f"a{j}")
+    return acc.select(
+        "node",
+        *[
+            F.when(F.sqrt(fnorm2) > 0, F.col(f"a{j}") / F.sqrt(fnorm2))
+            .otherwise(F.lit(0.0)).alias(f"e{j}")
+            for j in range(dim)
+        ],
+    )

@@ -7634,3 +7634,86 @@ def article_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jumps = build_jumps(spark, sf_dir, with_risk=False)
     return article_rank(jumps, iterations=3)
+
+
+def _fastrp_unrolled_sql(dim: int, iterations: int) -> str:
+    """DuckDB replay of deterministic FastRP
+    (operators/graph_analytics.fastrp_embeddings): portable-md5 sparse
+    init, per-iteration mean aggregation (fixed-point integer sums, two
+    divisions in fixed order), per-node ℓ2 norm with left-to-right column
+    order, final ℓ2-normalized sum of iterates."""
+    js = list(range(dim))
+
+    def init_expr(j: int) -> str:
+        h = (f"(('0x' || substr(md5(CAST(u AS VARCHAR) || ':' || '{j}'), 1, 14))"
+             f"::BIGINT % 6)")
+        return (f"CAST(CASE WHEN {h} = 0 THEN 1.0 WHEN {h} = 1 THEN -1.0 "
+                f"ELSE 0.0 END AS DOUBLE) AS x{j}")
+
+    def norm2(prefix: str) -> str:
+        return " + ".join(f"{prefix}{j} * {prefix}{j}" for j in js)
+
+    steps = ["""
+    , fr_und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src_system_id, dst_system_id) AS a,
+                        GREATEST(src_system_id, dst_system_id) AS b
+        FROM fix_jumps WHERE src_system_id <> dst_system_id
+    ),
+    fr_adj AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM fr_und UNION ALL SELECT b AS u, a AS v FROM fr_und
+    ),
+    fr_deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM fr_adj GROUP BY u),
+    fr0 AS MATERIALIZED (SELECT u AS node, """
+             + ", ".join(init_expr(j) for j in js)
+             + " FROM fr_deg)"]
+    for i in range(1, iterations + 1):
+        sums = ", ".join(
+            f"SUM(CAST(FLOOR(x.x{j} * 1000000.0 + 0.5) AS BIGINT)) AS s{j}"
+            for j in js
+        )
+        means = ", ".join(
+            f"CAST(s.s{j} AS DOUBLE) / d.deg / 1000000.0 AS m{j}" for j in js
+        )
+        outs = ", ".join(
+            f"CASE WHEN SQRT({norm2('m')}) > 0 THEN m{j} / SQRT({norm2('m')}) "
+            f"ELSE 0.0 END AS x{j}"
+            for j in js
+        )
+        steps.append(f"""
+    , fr{i}_s AS MATERIALIZED (
+        SELECT a.u AS node, {sums}
+        FROM fr_adj a JOIN fr{i - 1} x ON x.node = a.v GROUP BY 1
+    ),
+    fr{i}_m AS MATERIALIZED (
+        SELECT s.node, {means} FROM fr{i}_s s JOIN fr_deg d ON d.u = s.node
+    ),
+    fr{i} AS MATERIALIZED (SELECT node, {outs} FROM fr{i}_m)""")
+        accs = ", ".join(
+            (f"x.x{j} AS a{j}" if i == 1 else f"p.a{j} + x.x{j} AS a{j}") for j in js
+        )
+        prev_join = "" if i == 1 else f" JOIN fr_acc{i - 1} p ON p.node = x.node"
+        steps.append(f"""
+    , fr_acc{i} AS MATERIALIZED (
+        SELECT x.node, {accs} FROM fr{i} x{prev_join}
+    )""")
+    finals = ", ".join(
+        f"CASE WHEN SQRT({norm2('a')}) > 0 THEN a{j} / SQRT({norm2('a')}) "
+        f"ELSE 0.0 END AS e{j}"
+        for j in js
+    )
+    steps.append(f" SELECT node, {finals} FROM fr_acc{iterations}")
+    return _graph_cte("".join(steps))
+
+
+@register("fastrp_embeddings", _fastrp_unrolled_sql(8, 2))
+def fastrp_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.fastRP parity: 8-dim structural node embeddings — sparse
+    # portable-md5 random projection, two mean-aggregation + ℓ2-normalize
+    # iterations, final normalized iterate sum. Flat e0..e7 columns (SQL-
+    # expressible, Parquet-prunable). Raw doubles replay bit-for-bit: the
+    # only float ops are divisions and sqrts over exact integers in a
+    # pinned expression order.
+    from eve_graph_spark.operators.graph_analytics import fastrp_embeddings
+
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    return fastrp_embeddings(jumps, dim=8, iterations=2)

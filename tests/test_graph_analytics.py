@@ -864,3 +864,49 @@ def test_property_graph_article_rank(spark):
     e = spark.createDataFrame([(i, 1) for i in range(2, 6)], "src long, dst long")
     rows = PropertyGraph(v, e).articleRank().collect()
     assert max(rows, key=lambda r: r["rank"])["node"] == 1
+
+
+# --- FastRP ------------------------------------------------------------------
+
+
+def test_fastrp_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import fastrp_embeddings
+
+    pairs = [(a, b) for a in range(8) for b in range(8) if a < b and (a + b) % 3 != 0]
+    e = _edges(spark, pairs + [(0, 8), (8, 9)])
+    loc = {r["node"]: tuple(r)[1:] for r in fastrp_embeddings(e).collect()}
+    dist = {
+        r["node"]: tuple(r)[1:]
+        for r in fastrp_embeddings(e, driver_threshold=0).collect()
+    }
+    assert loc == dist  # bit-identical fixed-point + pinned-order float ops
+
+
+def test_fastrp_unit_norm_and_determinism(spark):
+    from eve_graph_spark.operators.graph_analytics import fastrp_embeddings
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    a = {r["node"]: tuple(r)[1:] for r in fastrp_embeddings(e).collect()}
+    b = {r["node"]: tuple(r)[1:] for r in fastrp_embeddings(e).collect()}
+    assert a == b  # no hidden random state
+    for node, vec in a.items():
+        s = sum(x * x for x in vec)
+        assert abs(s - 1.0) < 1e-9 or s == 0.0
+    # nodes 2 and 4 have IDENTICAL neighborhoods {1, 3}: mean aggregation
+    # maps them to the same embedding (the iterate sum excludes the init
+    # vector, GDS iterationWeights=[0,1,1] semantics) — a structural
+    # equivalence, not a collision. Distinct-neighborhood nodes differ.
+    assert a[2] == a[4]
+    assert len({a[1], a[2], a[3]}) == 3
+
+
+def test_property_graph_fastrp(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    out = PropertyGraph(v, e).fastRP(dim=4)
+    assert out.columns == ["node", "e0", "e1", "e2", "e3"]
+    assert out.count() == 4
