@@ -2820,11 +2820,11 @@ def k_truss(edges: DataFrame, k: int = 3,
 def _louvain_local(adj_rows: list, rounds: int, spark) -> DataFrame:
     """Driver fast path — the SAME synchronous alternating-parity rounds
     over Python dicts. All-integer gains, so bit-identical to the loop."""
-    adj: dict[int, list[int]] = {}
+    adj: dict[int, list[tuple[int, int]]] = {}
     for r in adj_rows:
-        adj.setdefault(r["u"], []).append(r["v"])
+        adj.setdefault(r["u"], []).append((r["v"], r["wfp"]))
     nodes = sorted(adj)
-    deg = {v: len(adj[v]) for v in nodes}
+    deg = {v: sum(w for _, w in adj[v]) for v in nodes}
     m = sum(deg.values()) // 2
     comm = {v: v for v in nodes}
     for it in range(rounds):
@@ -2834,8 +2834,8 @@ def _louvain_local(adj_rows: list, rounds: int, spark) -> DataFrame:
         new_comm = {}
         for v in nodes:
             kin: dict[int, int] = {}
-            for u in adj[v]:
-                kin[comm[u]] = kin.get(comm[u], 0) + 1
+            for u, w in adj[v]:
+                kin[comm[u]] = kin.get(comm[u], 0) + w
             kin.setdefault(comm[v], 0)
             best_c, best_g = None, None
             own_g = None
@@ -2857,6 +2857,7 @@ def _louvain_local(adj_rows: list, rounds: int, spark) -> DataFrame:
 
 def louvain(edges: DataFrame, rounds: int = 4,
             src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+            weight_col: str | None = None,
             driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """GDS `gds.louvain` (maxLevels=1) parity: modularity-optimizing local
     moves on the undirected projection, made deterministic and
@@ -2871,26 +2872,46 @@ def louvain(edges: DataFrame, rounds: int = 4,
       move in a round, the standard synchronous-Louvain device that kills
       the two-coloring oscillation (same role as LPA's tie-break).
 
+    `weight_col=` switches to weighted modularity (GDS
+    relationshipWeightProperty): weights are 1e-6 fixed point, undirected
+    weight = MIN across collapsed directed edges (the MST convention), and
+    k / Σtot / k_in / m become weight sums — still all-integer, so the
+    oracle contract is unchanged. weight_col=None reduces to edge counts
+    bit-exactly.
+
     One level only (no graph aggregation phase), the GDS maxLevels=1
     behaviour; at 100 TB each round is: one community-keyed degree sum
     (community-count cells), one (node, neighbor-community) count shuffle
     (Σ degrees rows — the LPA shape), one per-node argmax window. Labels
     localCheckpoint per round.
     """
-    e = _edge_frame(edges, src_col, dst_col)
+    wexpr = (
+        F.lit(1).cast("long") if weight_col is None
+        else F.floor(F.col(weight_col).cast("double") * MST_SCALE + F.lit(0.5))
+        .cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        wexpr.alias("wfp"),
+    )
+    # undirected weight = MIN across the collapsed directed/parallel edges
+    # (the MST convention); with weight_col=None this reduces to the
+    # unweighted distinct, so existing results are bit-unchanged
     und = (
         e.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"),
+                "wfp")
+        .groupBy("a", "b").agg(F.min("wfp").alias("wfp"))
     )
-    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v"), "wfp").unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"), "wfp")
     )
     if _fits_driver(adj, driver_threshold):
         return _louvain_local(adj.collect(), rounds, edges.sparkSession)
 
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
-    m = und.count()
+    deg = adj.groupBy("u").agg(F.sum("wfp").alias("k"))
+    m = und.agg(F.sum("wfp")).collect()[0][0]
     comm = deg.select(F.col("u").alias("node"), F.col("u").alias("comm"))
     from pyspark.sql import Window
 
@@ -2903,7 +2924,7 @@ def louvain(edges: DataFrame, rounds: int = 4,
         nc = (
             adj.join(comm.select(F.col("node").alias("v"), F.col("comm").alias("c")), "v")
             .groupBy(F.col("u").alias("node"), "c")
-            .agg(F.count(F.lit(1)).alias("kin"))
+            .agg(F.sum("wfp").alias("kin"))
         )
         own_zero = comm.select(
             "node", F.col("comm").alias("c"), F.lit(0).cast("long").alias("kin")

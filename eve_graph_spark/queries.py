@@ -7510,24 +7510,37 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(mesh, k=3)
 
 
-def _louvain_unrolled_sql(rounds: int) -> str:
+def _louvain_unrolled_sql(rounds: int, weighted: bool = False) -> str:
     """DuckDB replay of the deterministic synchronous Louvain rounds
     (operators/graph_analytics.louvain): per round — community degree
     sums, per-node neighbor-community edge counts (own community padded
     with kin=0), all-integer gain on the 2m² common denominator, argmax
     with min-id tie-break, move applied only on the (node + round) % 2
-    parity and only on a STRICT improvement over staying."""
-    steps = [", " + _MESH_BODY + """,
+    parity and only on a STRICT improvement over staying. weighted=True
+    runs on fix_jumps with fixed-point risk weights (MIN across collapsed
+    directed edges) and weight-sum degrees — same integer contract."""
+    if weighted:
+        src_sql = ("SELECT LEAST(src_system_id, dst_system_id) AS a, "
+                   "GREATEST(src_system_id, dst_system_id) AS b, "
+                   "CAST(FLOOR(risk * 1000000 + 0.5) AS BIGINT) AS wfp "
+                   "FROM fix_jumps WHERE src_system_id <> dst_system_id")
+        prefix = ", "
+    else:
+        src_sql = ("SELECT LEAST(src_system_id, dst_system_id) AS a, "
+                   "GREATEST(src_system_id, dst_system_id) AS b, "
+                   "CAST(1 AS BIGINT) AS wfp "
+                   "FROM fix_mesh WHERE src_system_id <> dst_system_id")
+        prefix = ", " + _MESH_BODY + ","
+    steps = [prefix + f"""
     lv_und AS MATERIALIZED (
-        SELECT DISTINCT LEAST(src_system_id, dst_system_id) AS a,
-                        GREATEST(src_system_id, dst_system_id) AS b
-        FROM fix_mesh WHERE src_system_id <> dst_system_id
+        SELECT a, b, MIN(wfp) AS wfp FROM ({src_sql}) s GROUP BY a, b
     ),
     lv_adj AS MATERIALIZED (
-        SELECT a AS u, b AS v FROM lv_und UNION ALL SELECT b AS u, a AS v FROM lv_und
+        SELECT a AS u, b AS v, wfp FROM lv_und
+        UNION ALL SELECT b AS u, a AS v, wfp FROM lv_und
     ),
-    lv_deg AS MATERIALIZED (SELECT u, COUNT(*) AS k FROM lv_adj GROUP BY u),
-    lv_m AS (SELECT COUNT(*) AS m FROM lv_und),
+    lv_deg AS MATERIALIZED (SELECT u, SUM(wfp) AS k FROM lv_adj GROUP BY u),
+    lv_m AS (SELECT SUM(wfp) AS m FROM lv_und),
     lv0 AS MATERIALIZED (SELECT u AS node, u AS comm FROM lv_deg)"""]
     for i in range(1, rounds + 1):
         it = i - 1
@@ -7537,7 +7550,7 @@ def _louvain_unrolled_sql(rounds: int) -> str:
         FROM lv{it} l JOIN lv_deg d ON d.u = l.node GROUP BY 1
     ),
     lv{i}_nc AS MATERIALIZED (
-        SELECT e.u AS node, l.comm AS c, COUNT(*) AS kin
+        SELECT e.u AS node, l.comm AS c, SUM(e.wfp) AS kin
         FROM lv_adj e JOIN lv{it} l ON l.node = e.v GROUP BY 1, 2
     ),
     lv{i}_cand AS MATERIALIZED (
@@ -7717,3 +7730,144 @@ def fastrp_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jumps = build_jumps(spark, sf_dir, with_risk=False)
     return fastrp_embeddings(jumps, dim=8, iterations=2)
+
+
+@register(
+    "degree_assortativity",
+    _graph_cte(
+        """
+        , da_deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT src_system_id AS node FROM fix_jumps
+                UNION ALL SELECT dst_system_id FROM fix_jumps
+            ) d GROUP BY node
+        ),
+        da_pairs AS (
+            SELECT a.deg AS x, b.deg AS y
+            FROM fix_jumps e
+            JOIN da_deg a ON a.node = e.src_system_id
+            JOIN da_deg b ON b.node = e.dst_system_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                    - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)) AS DOUBLE)
+                 / sqrt(CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                             - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)) AS DOUBLE))
+                 / sqrt(CAST(COUNT(*) * SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                             - SUM(CAST(y AS HUGEINT)) * SUM(CAST(y AS HUGEINT)) AS DOUBLE))
+                 AS assortativity
+        FROM da_pairs
+        """
+    ),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman's degree assortativity: Pearson correlation of (total) degree
+    # across the directed edge list — do high-degree systems link to other
+    # high-degree systems? Same exact-integer sufficient-statistics device
+    # as price_quantity_corr (Σx, Σy, Σxy, Σx², Σy² in 128-bit, two sqrts
+    # + two divisions on identical doubles). One degree shuffle + one
+    # broadcast-degree edge join + one partial-agg shuffle.
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    deg = (
+        jumps.select(F.col("src_system_id").alias("node"))
+        .unionByName(jumps.select(F.col("dst_system_id").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pairs = (
+        jumps.join(deg.select(F.col("node").alias("src_system_id"),
+                              F.col("deg").alias("x")), "src_system_id")
+        .join(deg.select(F.col("node").alias("dst_system_id"),
+                         F.col("deg").alias("y")), "dst_system_id")
+        .select("x", "y")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))).alias("sxy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))).alias("sxx"),
+        F.sum((F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))).alias("syy"),
+    )
+    nD = F.col("n").cast("decimal(38,0)")
+    cov = (nD * F.col("sxy") - F.col("sx").cast("decimal(38,0)")
+           * F.col("sy").cast("decimal(38,0)")).cast("double")
+    vx = (nD * F.col("sxx") - F.col("sx").cast("decimal(38,0)")
+          * F.col("sx").cast("decimal(38,0)")).cast("double")
+    vy = (nD * F.col("syy") - F.col("sy").cast("decimal(38,0)")
+          * F.col("sy").cast("decimal(38,0)")).cast("double")
+    return agg.select(
+        F.col("n").alias("n_edges"),
+        (cov / F.sqrt(vx) / F.sqrt(vy)).alias("assortativity"),
+    )
+
+
+@register(
+    "graph_stats",
+    _graph_cte(
+        """
+        , gs_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src_system_id AS node FROM fix_jumps
+                UNION ALL SELECT dst_system_id FROM fix_jumps
+            ) s
+        ),
+        gs_deg AS (
+            SELECT n.node, COALESCE(d.deg, 0) AS deg
+            FROM gs_nodes n LEFT JOIN (
+                SELECT src_system_id AS node, COUNT(*) AS deg
+                FROM fix_jumps GROUP BY 1
+            ) d ON d.node = n.node
+        ),
+        gs_m AS (SELECT COUNT(*) AS m FROM fix_jumps),
+        gs_n AS (SELECT COUNT(*) AS n FROM gs_nodes)
+        SELECT (SELECT n FROM gs_n) AS n_nodes,
+               (SELECT m FROM gs_m) AS n_edges,
+               CAST(FLOOR(1000000 * (SELECT m FROM gs_m)
+                          / ((SELECT n FROM gs_n) * ((SELECT n FROM gs_n) - 1)))
+                    AS BIGINT) AS density_fp,
+               CAST(MIN(deg) AS BIGINT) AS min_out_degree,
+               CAST(MAX(deg) AS BIGINT) AS max_out_degree,
+               CAST(FLOOR(1000000 * (SELECT m FROM gs_m) / (SELECT n FROM gs_n))
+                    AS BIGINT) AS avg_out_degree_fp
+        FROM gs_deg
+        """
+    ),
+)
+def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gds.graph.list-style summary: node/edge counts, directed density,
+    # out-degree min/max/mean — the sanity panel a graph operator reads
+    # before picking algorithms (label vs star CC, landmark counts).
+    # Integer counters + two fixed-point divisions; one degree shuffle.
+    jumps = build_jumps(spark, sf_dir, with_risk=False)
+    nodes = (
+        jumps.select(F.col("src_system_id").alias("node"))
+        .unionByName(jumps.select(F.col("dst_system_id").alias("node")))
+        .distinct()
+    )
+    deg = nodes.join(
+        jumps.groupBy(F.col("src_system_id").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg")),
+        "node", "left",
+    ).select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+    m = jumps.count()
+    n = nodes.count()
+    return deg.agg(
+        F.lit(n).cast("long").alias("n_nodes"),
+        F.lit(m).cast("long").alias("n_edges"),
+        F.floor(F.lit(1000000) * F.lit(m) / F.lit(n * (n - 1))).cast("long").alias("density_fp"),
+        F.min("deg").cast("long").alias("min_out_degree"),
+        F.max("deg").cast("long").alias("max_out_degree"),
+        F.floor(F.lit(1000000) * F.lit(m) / F.lit(n)).cast("long").alias("avg_out_degree_fp"),
+    )
+
+
+@register("louvain_weighted", _louvain_unrolled_sql(4, weighted=True))
+def louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted Louvain (GDS relationshipWeightProperty) on the
+    # risk-weighted jump graph: modularity over fixed-point edge weights —
+    # k / Σtot / k_in / m are weight sums, gains stay all-integer. Same
+    # deterministic synchronous rounds as louvain_communities.
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    jumps = build_jumps(spark, sf_dir)
+    return louvain(jumps, rounds=4, weight_col="risk")

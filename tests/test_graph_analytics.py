@@ -550,7 +550,11 @@ def test_property_graph_new_gds_veneers(spark):
     cm = {r["community"]: r for r in g.communityMetrics(labels).collect()}
     assert cm[0]["internal"] == 6 and cm[0]["outgoing"] == 1
     ppr = {r["node"]: r["rank"] for r in g.personalizedPageRank([3]).collect()}
-    assert ppr[3] == max(ppr.values())
+    # degree-1 source 3 pours its rank into neighbor 2 each step, so 2
+    # peaks; the personalization signature is the source beating the
+    # symmetric far corners, which hold no teleport mass
+    assert ppr[2] == max(ppr.values())
+    assert ppr[3] > ppr[0] == ppr[1]
 
 
 # --- minimum spanning forest (Borůvka) ---------------------------------------
@@ -910,3 +914,50 @@ def test_property_graph_fastrp(spark):
     out = PropertyGraph(v, e).fastRP(dim=4)
     assert out.columns == ["node", "e0", "e1", "e2", "e3"]
     assert out.count() == 4
+
+
+def test_louvain_weighted_overrides_topology(spark):
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    # 6-cycle with two heavy chords: unweighted Louvain sees a symmetric
+    # ring; with weights the heavy edges (1-2, 4-5) dominate modularity
+    # and must land inside communities, never across them.
+    rows = [(1, 2, 100.0), (2, 3, 1.0), (3, 4, 1.0),
+            (4, 5, 100.0), (5, 6, 1.0), (6, 1, 1.0)]
+    sym = rows + [(b, a, w) for a, b, w in rows]
+    e = spark.createDataFrame(sym, "src_system_id long, dst_system_id long, risk double")
+    got = {r["node"]: r["community"]
+           for r in louvain(e, rounds=4, weight_col="risk").collect()}
+    assert got[1] == got[2]
+    assert got[4] == got[5]
+    assert got[1] != got[4]
+
+
+def test_louvain_unit_weights_match_unweighted(spark):
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    k4a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    pairs = k4a + [(4, 10), (10, 11), (11, 12), (12, 10)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sym],
+        "src_system_id long, dst_system_id long, risk double",
+    )
+    unw = {r["node"]: r["community"] for r in louvain(e, rounds=4).collect()}
+    w1 = {r["node"]: r["community"]
+          for r in louvain(e, rounds=4, weight_col="risk").collect()}
+    assert unw == w1  # weight 1.0 == edge counting, bit-exactly
+
+
+def test_louvain_weighted_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    rows = [(1, 2, 100.0), (2, 3, 1.0), (3, 4, 1.0), (4, 5, 100.0), (5, 1, 2.0)]
+    sym = rows + [(b, a, w) for a, b, w in rows]
+    e = spark.createDataFrame(sym, "src_system_id long, dst_system_id long, risk double")
+    loc = {r["node"]: r["community"]
+           for r in louvain(e, rounds=3, weight_col="risk").collect()}
+    dist = {r["node"]: r["community"]
+            for r in louvain(e, rounds=3, weight_col="risk",
+                             driver_threshold=0).collect()}
+    assert loc == dist
