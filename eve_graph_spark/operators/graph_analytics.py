@@ -358,6 +358,8 @@ def _pagerank_local(e: DataFrame, iterations: int, damping: float,
         nodes.add(r["src"])
         nodes.add(r["dst"])
     n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], "node long, rank double")
     if sources is None:
         base = {v: (1.0 - damping) / n for v in nodes}
         ranks = {v: 1.0 / n for v in nodes}
@@ -404,6 +406,8 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
         e.select(F.col("dst").alias("node"))
     ).distinct()
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    if nodes.limit(1).count() == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
     if sources is None:
         n = nodes.count()
         base_expr = F.lit((1.0 - damping) / n)
@@ -2983,6 +2987,8 @@ def _article_rank_local(e: DataFrame, iterations: int, damping: float) -> DataFr
         nodes.add(r["src"])
         nodes.add(r["dst"])
     n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], "node long, rank double")
     m = sum(len(v) for v in adj.values())
     base = (1.0 - damping) / n
     ranks = {v: 1.0 / n for v in nodes}
@@ -3020,6 +3026,8 @@ def article_rank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     ).distinct()
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
     m = e.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
