@@ -289,6 +289,15 @@ class PropertyGraph:
         return fastrp_embeddings(self.edges, dim=dim, iterations=iterations,
                                  src_col="src", dst_col="dst")
 
+    def k1Coloring(self, maxRounds: int = 12) -> DataFrame:  # noqa: N802,N803
+        """(node, color) — GDS gds.beta.k1coloring parity: proper vertex
+        coloring via deterministic Jones-Plassmann
+        (graph_analytics.k1_coloring)."""
+        from eve_graph_spark.operators.graph_analytics import k1_coloring
+
+        return k1_coloring(self.edges, max_rounds=maxRounds,
+                           src_col="src", dst_col="dst")
+
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames motif finding: `find("(a)-[e]->(b); (b)-[e2]->(c)")`
         returns one row per match with a STRUCT column per named element

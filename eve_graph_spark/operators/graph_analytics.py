@@ -3210,3 +3210,132 @@ def fastrp_embeddings(edges: DataFrame, dim: int = FASTRP_DIM, iterations: int =
             for j in range(dim)
         ],
     )
+
+
+# --- K-1 coloring (GDS gds.beta.k1coloring parity) ----------------------------
+
+def _k1_prio(v: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16)
+
+
+def _k1_local(adj_rows: list, max_rounds: int, spark) -> DataFrame:
+    adj: dict[int, set[int]] = {}
+    for r in adj_rows:
+        adj.setdefault(r["u"], set()).add(r["v"])
+    nodes = sorted(adj)
+    prio = {v: (_k1_prio(v), v) for v in nodes}
+    color: dict[int, int] = {}
+    for _ in range(max_rounds):
+        if len(color) == len(nodes):
+            break
+        ready = [
+            v for v in nodes if v not in color
+            and all(u in color or prio[u] < prio[v] for u in adj[v])
+        ]
+        for v in ready:
+            used = {color[u] for u in adj[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+    if len(color) != len(nodes):
+        raise RuntimeError(
+            f"k1_coloring: {len(nodes) - len(color)} nodes uncolored after "
+            f"{max_rounds} rounds"
+        )
+    return spark.createDataFrame(
+        sorted(color.items()), "node long, color long"
+    )
+
+
+def k1_coloring(edges: DataFrame, max_rounds: int = 12,
+                src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+                driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.beta.k1coloring` parity: a proper vertex coloring (no edge
+    joins two same-colored nodes) via deterministic Jones–Plassmann —
+    a node colors itself in the round where it holds the highest priority
+    in its UNCOLORED neighborhood; its color is the mex of already-colored
+    neighbor colors. Priority = the portable md5 hash (ties broken by id),
+    so rounds are O(log n) in expectation on any topology — id-priority
+    would degrade to O(diameter) on the ring — and the schedule replays
+    identically in Python, Spark and DuckDB.
+
+    Per round: one neighbor-join to find ready nodes (no uncolored
+    higher-priority neighbor), one sequence-explode + anti-join mex over
+    colored-neighbor colors — all integer logic. The uncolored frontier
+    shrinks monotonically; the round count is the driver signal, node
+    state never returns to the driver.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    if _fits_driver(adj, driver_threshold):
+        return _k1_local(adj.collect(), max_rounds, edges.sparkSession)
+
+    prio_expr = F.conv(
+        F.substring(F.md5(F.col("u").cast("string")), 1, 14), 16, 10
+    ).cast("long")
+    nodes = adj.select("u").distinct().select(
+        F.col("u").alias("node"), prio_expr.alias("prio")
+    ).localCheckpoint(eager=True)
+    colored = nodes.sparkSession.createDataFrame([], "node long, color long")
+    uncolored = nodes
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    for _ in range(max_rounds):
+        if uncolored.limit(1).count() == 0:
+            break
+        # ready: uncolored node with no uncolored neighbor of higher (prio, id)
+        un_nbr = (
+            adj.join(uncolored.select(F.col("node").alias("u")), "u")
+            .join(
+                uncolored.select(F.col("node").alias("v"), F.col("prio").alias("vprio")),
+                "v",
+            )
+        )
+        blocked = (
+            un_nbr.join(uncolored.select(F.col("node").alias("u"), "prio"), "u")
+            .filter(
+                (F.col("vprio") > F.col("prio"))
+                | ((F.col("vprio") == F.col("prio")) & (F.col("v") > F.col("u")))
+            )
+            .select(F.col("u").alias("node"))
+            .distinct()
+        )
+        ready = uncolored.join(blocked, "node", "left_anti")
+        # mex over already-colored neighbor colors
+        used = (
+            adj.join(ready.select(F.col("node").alias("u")), "u")
+            .join(colored.select(F.col("node").alias("v"), "color"), "v")
+            .select(F.col("u").alias("node"), "color")
+            .distinct()
+        )
+        cand = (
+            ready.join(deg, "node")
+            .select("node", F.explode(F.sequence(F.lit(0), F.col("deg"))).alias("k"))
+        )
+        mex = (
+            cand.join(
+                used.select(F.col("node").alias("n2"), F.col("color").alias("uk")),
+                (F.col("node") == F.col("n2")) & (F.col("k") == F.col("uk")),
+                "left_anti",
+            )
+            .groupBy("node")
+            .agg(F.min("k").alias("color"))
+        )
+        colored = colored.unionByName(mex).localCheckpoint(eager=True)
+        uncolored = uncolored.join(mex.select("node"), "node", "left_anti") \
+            .localCheckpoint(eager=True)
+    n_left = uncolored.count()
+    if n_left:
+        raise RuntimeError(
+            f"k1_coloring: {n_left} nodes uncolored after {max_rounds} rounds"
+        )
+    return colored

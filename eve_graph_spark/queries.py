@@ -7871,3 +7871,77 @@ def louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jumps = build_jumps(spark, sf_dir)
     return louvain(jumps, rounds=4, weight_col="risk")
+
+
+_K1_ROUND_SQL = """
+k1u{i} AS MATERIALIZED (
+    SELECT p.node, p.prio FROM k1_prio p
+    WHERE NOT EXISTS (SELECT 1 FROM kcol{prev} c WHERE c.node = p.node)
+),
+k1r{i} AS MATERIALIZED (
+    SELECT u.node FROM k1u{i} u WHERE NOT EXISTS (
+        SELECT 1 FROM k1_adj a JOIN k1u{i} w ON w.node = a.v
+        WHERE a.u = u.node
+          AND (w.prio > u.prio OR (w.prio = u.prio AND w.node > u.node))
+    )
+),
+k1m{i} AS MATERIALIZED (
+    SELECT cand.node, MIN(cand.k) AS color FROM (
+        SELECT r.node, g.k FROM k1r{i} r
+        JOIN k1_deg d ON d.node = r.node
+        JOIN k1_ks g ON g.k <= d.deg
+    ) cand
+    WHERE NOT EXISTS (
+        SELECT 1 FROM k1_adj a JOIN kcol{prev} c ON c.node = a.v
+        WHERE a.u = cand.node AND c.color = cand.k
+    )
+    GROUP BY cand.node
+),
+kcol{i} AS MATERIALIZED (
+    SELECT node, color FROM kcol{prev}
+    UNION ALL SELECT node, color FROM k1m{i}
+)"""
+
+
+@register(
+    "k1_coloring",
+    _graph_cte(
+        ", " + _MESH_BODY + """,
+        k1_und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src_system_id, dst_system_id) AS a,
+                            GREATEST(src_system_id, dst_system_id) AS b
+            FROM fix_mesh WHERE src_system_id <> dst_system_id
+        ),
+        k1_adj AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM k1_und
+            UNION ALL SELECT b AS u, a AS v FROM k1_und
+        ),
+        k1_deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS deg FROM k1_adj GROUP BY u),
+        k1_prio AS MATERIALIZED (
+            SELECT node,
+                   CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 14)) AS BIGINT)
+                       AS prio
+            FROM k1_deg
+        ),
+        k1_ks AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        kcol0 AS (
+            SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS color
+            WHERE FALSE
+        ),
+        """
+        + ",".join(_K1_ROUND_SQL.format(i=i, prev=i - 1) for i in range(1, 13))
+        + """
+        SELECT node, color FROM kcol12
+        """
+    ),
+)
+def k1_coloring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.beta.k1coloring parity on the mesh graph (triangles force a
+    # chromatic number >= 3): deterministic Jones-Plassmann — portable-md5
+    # hash priorities, mex colors, O(log n) expected rounds. The unrolled
+    # oracle replays each round's independent ready set and mex exactly;
+    # over-unrolled rounds past completion are no-ops.
+    from eve_graph_spark.operators.graph_analytics import k1_coloring
+
+    mesh = build_mesh_edges(spark, sf_dir)
+    return k1_coloring(mesh, max_rounds=12)

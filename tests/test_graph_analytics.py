@@ -961,3 +961,56 @@ def test_louvain_weighted_distributed_matches_local(spark):
             for r in louvain(e, rounds=3, weight_col="risk",
                              driver_threshold=0).collect()}
     assert loc == dist
+
+
+# --- K-1 coloring ------------------------------------------------------------
+
+
+def test_k1_coloring_proper_and_tight(spark):
+    from eve_graph_spark.operators.graph_analytics import k1_coloring
+
+    # K4 + pendant + separate triangle: no edge may join equal colors;
+    # the K4 needs exactly 4 colors, the triangle exactly 3
+    pairs = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    pairs += [(4, 5), (6, 7), (7, 8), (6, 8)]
+    e = _edges(spark, pairs)
+    got = {r["node"]: r["color"] for r in k1_coloring(e).collect()}
+    for a, b in pairs:
+        assert got[a] != got[b]
+    assert len({got[v] for v in (1, 2, 3, 4)}) == 4
+    assert len({got[v] for v in (6, 7, 8)}) == 3
+
+
+def test_k1_coloring_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import k1_coloring
+
+    pairs = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    pairs += [(4, 5), (5, 6), (6, 7), (7, 4)]
+    e = _edges(spark, pairs)
+    loc = {r["node"]: r["color"] for r in k1_coloring(e).collect()}
+    dist = {r["node"]: r["color"]
+            for r in k1_coloring(e, driver_threshold=0).collect()}
+    assert loc == dist
+
+
+def test_k1_coloring_round_budget_is_loud(spark):
+    from eve_graph_spark.operators.graph_analytics import k1_coloring
+
+    # a path needs >1 Jones-Plassmann round; max_rounds=1 must raise on
+    # BOTH code paths, never return a silently-partial coloring
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    with pytest.raises(RuntimeError, match="uncolored"):
+        k1_coloring(e, max_rounds=1)
+    with pytest.raises(RuntimeError, match="uncolored"):
+        k1_coloring(e, max_rounds=1, driver_threshold=0)
+
+
+def test_property_graph_k1_coloring(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(1, 4)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["color"] for r in PropertyGraph(v, e).k1Coloring().collect()}
+    assert sorted(got.values()) == [0, 1, 2]
