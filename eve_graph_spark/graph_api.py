@@ -298,6 +298,15 @@ class PropertyGraph:
         return k1_coloring(self.edges, max_rounds=maxRounds,
                            src_col="src", dst_col="dst")
 
+    def sllpa(self, rounds: int = 5, minCount: int = 2) -> DataFrame:  # noqa: N803
+        """(node, label, cnt) — GDS gds.sllpa parity: overlapping
+        community memberships via speaker-listener label propagation
+        (graph_analytics.sllpa)."""
+        from eve_graph_spark.operators.graph_analytics import sllpa
+
+        return sllpa(self.edges, rounds=rounds, min_count=minCount,
+                     src_col="src", dst_col="dst")
+
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames motif finding: `find("(a)-[e]->(b); (b)-[e2]->(c)")`
         returns one row per match with a STRUCT column per named element

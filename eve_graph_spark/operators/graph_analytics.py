@@ -3339,3 +3339,102 @@ def k1_coloring(edges: DataFrame, max_rounds: int = 12,
             f"k1_coloring: {n_left} nodes uncolored after {max_rounds} rounds"
         )
     return colored
+
+
+# --- SLLPA overlapping communities (GDS gds.sllpa parity) ---------------------
+
+def _sllpa_local(adj_rows: list, rounds: int, min_count: int, spark) -> DataFrame:
+    adj: dict[int, list[int]] = {}
+    for r in adj_rows:
+        adj.setdefault(r["u"], []).append(r["v"])
+    nodes = sorted(adj)
+    mem: dict[int, dict[int, int]] = {v: {v: 1} for v in nodes}
+    for it in range(rounds):
+        spoken = {}
+        for v in nodes:
+            spoken[v] = min(mem[v], key=lambda lbl: (-mem[v][lbl], lbl))
+        listened = {}
+        for v in nodes:
+            recv: dict[int, int] = {}
+            for u in adj[v]:
+                recv[spoken[u]] = recv.get(spoken[u], 0) + 1
+            if it % 2 == 0:
+                listened[v] = min(recv, key=lambda lbl: (-recv[lbl], lbl))
+            else:
+                listened[v] = min(recv, key=lambda lbl: (-recv[lbl], -lbl))
+        for v in nodes:
+            mem[v][listened[v]] = mem[v].get(listened[v], 0) + 1
+    rows = [
+        (v, lbl, cnt)
+        for v in nodes for lbl, cnt in sorted(mem[v].items()) if cnt >= min_count
+    ]
+    return spark.createDataFrame(rows, "node long, label long, cnt long")
+
+
+def sllpa(edges: DataFrame, rounds: int = 5, min_count: int = 2,
+          src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+          driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.sllpa` parity (speaker-listener label propagation, Xie et
+    al. — OVERLAPPING community detection): each round every node SPEAKS
+    its most-frequent memory label (ties → min) and LISTENS to the most
+    frequent label spoken by its neighbors (ties → min), adding it to
+    memory. After `rounds`, every (node, label) with memory count ≥
+    min_count is a membership — a node can belong to several communities
+    (bridge nodes keep both sides' labels), which the single-label
+    LPA/Louvain family cannot express.
+
+    Deterministic: synchronous rounds, integer counts, min-label ties —
+    the SQL oracle replays every round. Memory is (node, label, cnt)
+    rows, at most `rounds`+1 labels per node; each round costs one
+    (node)-keyed argmax window, one neighbor join + (node, label) count
+    shuffle, and one memory-merge shuffle.
+    """
+    e = _edge_frame(edges, src_col, dst_col)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    if _fits_driver(adj, driver_threshold):
+        return _sllpa_local(adj.collect(), rounds, min_count, edges.sparkSession)
+
+    from pyspark.sql import Window
+
+    mem = adj.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label"),
+        F.lit(1).cast("long").alias("cnt"),
+    ).localCheckpoint(eager=True)
+    w_mem = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for it in range(rounds):
+        spoken = (
+            mem.withColumn("rn", F.row_number().over(w_mem))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node").alias("v"), F.col("label").alias("spoken"))
+        )
+        recv = (
+            adj.join(spoken, "v")
+            .groupBy(F.col("u").alias("node"), F.col("spoken").alias("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # alternating tie-break (min on even rounds, max on odd): a fixed
+        # min-tie would let the globally smallest label win EVERY balanced
+        # tie, so a node evenly pulled between two communities would never
+        # accumulate the second membership — the same oscillation-control
+        # trade as louvain's move parity, pointed the other way
+        tie = F.asc("label") if it % 2 == 0 else F.desc("label")
+        w_recv = Window.partitionBy("node").orderBy(F.desc("c"), tie)
+        listened = (
+            recv.withColumn("rn", F.row_number().over(w_recv))
+            .filter(F.col("rn") == 1)
+            .select("node", "label", F.lit(1).cast("long").alias("cnt"))
+        )
+        mem = (
+            mem.unionByName(listened)
+            .groupBy("node", "label")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    return mem.filter(F.col("cnt") >= min_count).select("node", "label", "cnt")

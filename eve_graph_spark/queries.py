@@ -7945,3 +7945,68 @@ def k1_coloring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mesh = build_mesh_edges(spark, sf_dir)
     return k1_coloring(mesh, max_rounds=12)
+
+
+_SLLPA_ROUND_SQL = """
+sl{i}_spoken AS MATERIALIZED (
+    SELECT node AS v, label AS spoken FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM slmem{prev}
+    ) t WHERE rn = 1
+),
+sl{i}_listen AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT a.u AS node, s.spoken AS label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY a.u
+                                  ORDER BY COUNT(*) DESC, s.spoken {tie}) AS rn
+        FROM sl_adj a JOIN sl{i}_spoken s ON s.v = a.v
+        GROUP BY a.u, s.spoken
+    ) t WHERE rn = 1
+),
+slmem{i} AS MATERIALIZED (
+    SELECT node, label, SUM(cnt) AS cnt FROM (
+        SELECT node, label, cnt FROM slmem{prev}
+        UNION ALL SELECT node, label, CAST(1 AS BIGINT) FROM sl{i}_listen
+    ) u GROUP BY node, label
+)"""
+
+
+@register(
+    "sllpa_overlapping",
+    _graph_cte(
+        ", " + _MESH_BODY + """,
+        sl_und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src_system_id, dst_system_id) AS a,
+                            GREATEST(src_system_id, dst_system_id) AS b
+            FROM fix_mesh WHERE src_system_id <> dst_system_id
+        ),
+        sl_adj AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM sl_und
+            UNION ALL SELECT b AS u, a AS v FROM sl_und
+        ),
+        slmem0 AS MATERIALIZED (
+            SELECT u AS node, u AS label, CAST(1 AS BIGINT) AS cnt
+            FROM (SELECT DISTINCT u FROM sl_adj) n
+        ),
+        """
+        + ",".join(
+            _SLLPA_ROUND_SQL.format(i=i, prev=i - 1,
+                                    tie="ASC" if (i - 1) % 2 == 0 else "DESC")
+            for i in range(1, 6)
+        )
+        + """
+        SELECT node, label, CAST(cnt AS BIGINT) AS cnt FROM slmem5 WHERE cnt >= 2
+        """
+    ),
+)
+def sllpa_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.sllpa parity: speaker-listener label propagation with
+    # OVERLAPPING memberships — a node evenly pulled between communities
+    # keeps both labels (the alternating tie-break device; fixed min-tie
+    # would starve the second membership). 5 deterministic rounds on the
+    # mesh graph, memberships = memory counts >= 2.
+    from eve_graph_spark.operators.graph_analytics import sllpa
+
+    mesh = build_mesh_edges(spark, sf_dir)
+    return sllpa(mesh, rounds=5, min_count=2)

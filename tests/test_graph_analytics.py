@@ -1014,3 +1014,43 @@ def test_property_graph_k1_coloring(spark):
     )
     got = {r["node"]: r["color"] for r in PropertyGraph(v, e).k1Coloring().collect()}
     assert sorted(got.values()) == [0, 1, 2]
+
+
+# --- SLLPA overlapping communities ---------------------------------------------
+
+
+def test_sllpa_bridge_node_holds_both_memberships(spark):
+    from eve_graph_spark.operators.graph_analytics import sllpa
+
+    # two K4 cliques; node 20 bridges into BOTH (two edges each): the
+    # whole point of SLLPA over LPA/Louvain is that 20 keeps both labels
+    k4a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    k4b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    e = _edges(spark, k4a + k4b + [(20, 1), (20, 2), (20, 10), (20, 11)])
+    mem: dict = {}
+    for r in sllpa(e).collect():
+        mem.setdefault(r["node"], {})[r["label"]] = r["cnt"]
+    assert set(mem[20]) == {1, 10}  # overlapping membership
+    assert set(mem[1]) == {1} and set(mem[10]) == {10}  # cores stay single
+
+
+def test_sllpa_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import sllpa
+
+    k4a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = _edges(spark, k4a + [(20, 1), (20, 2), (5, 20), (5, 6), (6, 7), (7, 5)])
+    loc = sorted(tuple(r) for r in sllpa(e).collect())
+    dist = sorted(tuple(r) for r in sllpa(e, driver_threshold=0).collect())
+    assert loc == dist
+
+
+def test_property_graph_sllpa(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(1, 4)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long"
+    )
+    out = PropertyGraph(v, e).sllpa()
+    assert out.columns == ["node", "label", "cnt"]
+    assert out.count() >= 3
