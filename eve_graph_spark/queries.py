@@ -7531,6 +7531,16 @@ def _louvain_unrolled_sql(rounds: int, weighted: bool = False) -> str:
                    "CAST(1 AS BIGINT) AS wfp "
                    "FROM fix_mesh WHERE src_system_id <> dst_system_id")
         prefix = ", " + _MESH_BODY + ","
+    return _graph_cte(
+        _louvain_rounds_cte(rounds, src_sql, prefix)
+        + f" SELECT node, comm AS community FROM lv{rounds}"
+    )
+
+
+def _louvain_rounds_cte(rounds: int, src_sql: str, prefix: str = ", ") -> str:
+    """The Louvain round CTE chain (lv_und … lv{rounds}) over an arbitrary
+    `src_sql` producing (a, b, wfp) rows — shared by the fixture-graph
+    queries and the kNN-graph composite."""
     steps = [prefix + f"""
     lv_und AS MATERIALIZED (
         SELECT a, b, MIN(wfp) AS wfp FROM ({src_sql}) s GROUP BY a, b
@@ -7583,8 +7593,7 @@ def _louvain_unrolled_sql(rounds: int, weighted: bool = False) -> str:
             ) r WHERE rn = 1
         ) b ON b.node = g0.node
     )""")
-    steps.append(f" SELECT node, comm AS community FROM lv{rounds}")
-    return _graph_cte("".join(steps))
+    return "".join(steps)
 
 
 @register("louvain_communities", _louvain_unrolled_sql(4))
@@ -8010,3 +8019,75 @@ def sllpa_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mesh = build_mesh_edges(spark, sf_dir)
     return sllpa(mesh, rounds=5, min_count=2)
+
+
+_KNN_EDGES_SQL = """
+    , pos AS (SELECT unnest(range(1, 65)) AS pos),
+    kg_emb AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < 100 AND embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    kg_cand AS MATERIALIZED (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS cval FROM kg_emb, pos
+    ),
+    kg_dots AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               SUM(CAST(FLOOR(c.cval * q.cval * 1000000000 + 0.5) AS BIGINT))
+                   / 1000000000.0 AS dot
+        FROM kg_cand c JOIN kg_cand q USING (pos)
+        WHERE c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    kg_norms AS MATERIALIZED (
+        SELECT vec_id AS nid,
+               SUM(CAST(FLOOR(cval * cval * 1000000000 + 0.5) AS BIGINT))
+                   / 1000000000.0 AS sqnorm
+        FROM kg_cand GROUP BY vec_id
+    ),
+    kg_top AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+            SELECT d.query_id, d.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.query_id
+                       ORDER BY d.dot / (sqrt(qn.sqnorm) * sqrt(cn.sqnorm)) DESC,
+                                d.vec_id
+                   ) AS rank
+            FROM kg_dots d
+            JOIN kg_norms qn ON qn.nid = d.query_id
+            JOIN kg_norms cn ON cn.nid = d.vec_id
+        ) t WHERE rank <= 5
+    ),
+    knn_edges AS MATERIALIZED (
+        SELECT DISTINCT LEAST(query_id, vec_id) AS a,
+                        GREATEST(query_id, vec_id) AS b,
+                        CAST(1 AS BIGINT) AS wfp
+        FROM kg_top
+    )"""
+
+
+@register(
+    "knn_graph_communities",
+    _graph_cte(
+        _KNN_EDGES_SQL
+        + _louvain_rounds_cte(4, "SELECT a, b, wfp FROM knn_edges")
+        + " SELECT node, comm AS community FROM lv4"
+    ),
+)
+def knn_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composite the ANN and graph stacks exist for: semantic document
+    # clustering. Exact-fixed-point cosine top-5 over the first 100
+    # embedding vectors builds a kNN similarity graph (the GDS gds.knn →
+    # graph pattern); deterministic Louvain then finds the semantic
+    # communities. At scale the brute-force stage swaps for ann_ivf /
+    # ann_lsh (same output contract: (query_id, vec_id) pairs) — the
+    # graph stage is unchanged.
+    from eve_graph_spark.operators.graph_analytics import louvain
+    from eve_graph_spark.operators.similarity import brute_force_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        & (F.col("vec_id") < 100)
+    )
+    topk = brute_force_topk(emb, list(range(100)), k=5, exact_fixed_point=True)
+    edges = topk.select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
+    return louvain(edges, rounds=4, src_col="src", dst_col="dst")
