@@ -3267,6 +3267,11 @@ def k1_coloring(edges: DataFrame, max_rounds: int = 12,
     colored-neighbor colors — all integer logic. The uncolored frontier
     shrinks monotonically; the round count is the driver signal, node
     state never returns to the driver.
+
+    Budget guidance: the round count is the longest strictly-decreasing
+    priority path, ~log n in expectation but with real constants — a 50k-
+    node random graph needs ~30 rounds, so size max_rounds ≳ 3·log₂(n).
+    Too small a budget raises (never a silent partial coloring).
     """
     e = _edge_frame(edges, src_col, dst_col)
     und = (

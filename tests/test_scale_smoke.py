@@ -297,3 +297,51 @@ def test_distributed_dag_longest_path_at_200k_edges(spark):
             for r in dag_longest_paths(e, weight_col="w", src_col="src", dst_col="dst",
                                        driver_threshold=0, max_iterations=128).collect()}
     assert dist == loc
+
+
+def test_distributed_eigenvector_at_200k_edges(spark):
+    """Power iteration at 200k edges: bit parity vs the driver twin (the
+    norm broadcast + fixed-point sums must hold at real shuffle sizes)."""
+    from eve_graph_spark.operators.graph_analytics import eigenvector_centrality
+
+    e = _random_graph(spark)
+    loc = {r["node"]: r["score"]
+           for r in eigenvector_centrality(e, iterations=2,
+                                           src_col="src", dst_col="dst").collect()}
+    dist = {r["node"]: r["score"]
+            for r in eigenvector_centrality(e, iterations=2, src_col="src",
+                                            dst_col="dst", driver_threshold=0).collect()}
+    assert dist == loc
+
+
+def test_distributed_k1_coloring_at_60k_edges(spark):
+    """Jones-Plassmann at 60k edges: the hash-priority schedule must
+    finish within the round budget and produce a PROPER coloring —
+    verified by joining colors back onto the edge list."""
+    from eve_graph_spark.operators.graph_analytics import k1_coloring
+
+    # 60k edges / 15k nodes: the longest decreasing-priority path sets the
+    # round count (~log n with random priorities, observed ~25-30 at this
+    # size) — the budget must clear it with margin, or the operator raises
+    e = (
+        spark.range(60_000)
+        .select(
+            F.abs(F.xxhash64("id") % 15_000).alias("src"),
+            F.abs(F.xxhash64("id", F.lit(1)) % 15_000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    colors = k1_coloring(e, max_rounds=48, src_col="src", dst_col="dst",
+                         driver_threshold=0).localCheckpoint(eager=True)
+    bad = (
+        e.join(colors.withColumnRenamed("node", "src").withColumnRenamed("color", "cs"), "src")
+        .join(colors.withColumnRenamed("node", "dst").withColumnRenamed("color", "cd"), "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .count()
+    )
+    assert bad == 0
+    n_nodes = (
+        e.select(F.col("src").alias("n")).union(e.select(F.col("dst").alias("n")))
+        .distinct().count()
+    )
+    assert colors.count() == n_nodes
