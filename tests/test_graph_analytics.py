@@ -1054,3 +1054,77 @@ def test_property_graph_sllpa(spark):
     out = PropertyGraph(v, e).sllpa()
     assert out.columns == ["node", "label", "cnt"]
     assert out.count() >= 3
+
+
+def test_mst_is_minimal_vs_spanning_tree_enumeration(spark):
+    """Stronger than known-answer: enumerate EVERY spanning tree of a
+    small weighted graph and assert Boruvka's forest has the minimum
+    total weight among them (and is itself one of them)."""
+    from itertools import combinations
+
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    und = [(1, 2, 4.0), (1, 3, 1.0), (1, 4, 7.0), (2, 3, 2.0),
+           (2, 4, 5.0), (3, 4, 3.0)]  # K4, distinct weights
+    got = sorted(
+        (r["src"], r["dst"], r["weight_fp"])
+        for r in minimum_spanning_forest(_wedges(spark, und), "risk").collect()
+    )
+    got_edges = {(a, b) for a, b, _ in got}
+    got_w = sum(w for _, _, w in got)
+
+    def connected(edges):
+        seen, stack = {1}, [1]
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        while stack:
+            for nb in adj.get(stack.pop(), []):
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        return len(seen) == 4
+
+    best = None
+    trees = 0
+    for combo in combinations(und, 3):
+        es = {(a, b) for a, b, _ in combo}
+        if connected(es):
+            trees += 1
+            w = sum(int(wt * 1_000_000) for _, _, wt in combo)
+            if best is None or w < best[0]:
+                best = (w, es)
+    assert trees == 16  # Cayley: n^(n-2) spanning trees of K4
+    assert got_w == best[0]
+    assert got_edges == best[1]
+
+
+def test_dag_longest_path_vs_all_paths_enumeration(spark):
+    """Every (topo_level, longest_dist) must equal the max over ALL paths
+    ending at the node — enumerated exhaustively on a small DAG."""
+    from eve_graph_spark.operators.graph_analytics import dag_longest_paths
+
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 4, 2.0), (3, 4, 9.0),
+             (2, 5, 1.0), (4, 5, 1.0), (3, 5, 2.0)]
+    e = spark.createDataFrame(
+        edges, "src_system_id long, dst_system_id long, risk double"
+    )
+    got = {r["node"]: (r["topo_level"], r["longest_dist_fp"])
+           for r in dag_longest_paths(e, weight_col="risk").collect()}
+
+    adj_in: dict = {}
+    for a, b, w in edges:
+        adj_in.setdefault(b, []).append((a, int(w * 1_000_000)))
+
+    def all_paths_ending_at(v):
+        # (hops, dist) for every path ending at v, including the empty one
+        out = [(0, 0)]
+        for u, w in adj_in.get(v, []):
+            out += [(h + 1, d + w) for h, d in all_paths_ending_at(u)]
+        return out
+
+    for v, (lvl, dist) in got.items():
+        paths = all_paths_ending_at(v)
+        assert lvl == max(h for h, _ in paths)
+        assert dist == max(d for _, d in paths)
