@@ -366,6 +366,8 @@ def _pagerank_local(e: DataFrame, iterations: int, damping: float,
     else:
         src_set = set(sources) & nodes
         k = len(src_set)
+        if k == 0:
+            raise ValueError("no source nodes present in graph")
         base = {v: (1.0 - damping) / k if v in src_set else 0.0 for v in nodes}
         ranks = {v: 1.0 / k if v in src_set else 0.0 for v in nodes}
     for _ in range(iterations):
@@ -415,6 +417,8 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     else:
         # count only sources present in the graph, mirroring the local twin
         k = nodes.filter(F.col("node").isin(sources)).count()
+        if k == 0:
+            raise ValueError("no source nodes present in graph")
         in_s = F.col("node").isin(sources)
         base_expr = F.when(in_s, F.lit((1.0 - damping) / k)).otherwise(F.lit(0.0))
         init_expr = F.when(in_s, F.lit(1.0 / k)).otherwise(F.lit(0.0))
@@ -2077,6 +2081,7 @@ def node_similarity(
     dst_col: str = "dst",
     sim_fp: int = 1_000_000,
     include_all_metrics: bool = False,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """GDS `gds.nodeSimilarity` parity: Jaccard similarity of OUT-neighbor
     sets for every node pair that shares at least one neighbor, optionally
@@ -2092,9 +2097,16 @@ def node_similarity(
     wedge generation plus one (pair)-keyed count. Hub neighbors dominate
     the wedge count exactly like GDS's degree cutoff; pre-cap with k-core
     or degree filters upstream for skewed graphs (SCALE.md). `top_k`
-    ranks per node by (jaccard desc, other asc) — a bounded per-node
-    window over pair rows, not a global sort.
+    ranks per node by (metric desc, other asc) — a bounded per-node
+    window over pair rows, not a global sort. `metric` mirrors GDS's
+    similarityMetric parameter ('jaccard' | 'overlap' | 'cosine') and
+    drives ONLY the top-k window ordering; 'overlap'/'cosine' require
+    include_all_metrics=True (those columns must exist to rank by).
     """
+    if metric not in ("jaccard", "overlap", "cosine"):
+        raise ValueError(f"metric must be jaccard|overlap|cosine, got {metric!r}")
+    if metric != "jaccard" and not include_all_metrics:
+        raise ValueError(f"metric={metric!r} requires include_all_metrics=True")
     nbrs = edges.select(
         F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
     ).distinct()
@@ -2162,7 +2174,7 @@ def node_similarity(
     from pyspark.sql import Window
 
     w = Window.partitionBy("node").orderBy(
-        F.desc("jaccard_fp"), F.asc("other")
+        F.desc(f"{metric}_fp"), F.asc("other")
     )
     keep = ["node", "other", "inter", "union", "jaccard_fp"]
     if include_all_metrics:
@@ -2452,16 +2464,28 @@ def community_metrics(edges: DataFrame, labels: DataFrame,
     vol_out = F.col("internal") + F.col("outgoing")
     vol_in = F.col("internal") + F.col("incoming")
     denom = F.least(vol_out, F.lit(m) - vol_out)
+    # The modularity numerator scale·(internal·m − vol_out·vol_in) exceeds
+    # Long.MAX once m ≈ 3M edges (scale·m² > 2^63) and would wrap silently
+    # in non-ANSI Spark — keep it exact in decimal(38,0) (good to m ≈ 3e12,
+    # the degree_assortativity discipline), then perform the SAME single
+    # double division the oracle does. m == 0 (edgeless input with labels)
+    # is guarded: modularity is 0 by convention, not a null from 0/0.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    if m == 0:
+        mod_expr = F.lit(0).cast("long")
+    else:
+        mod_expr = F.floor(
+            (dec(F.lit(scale)) * (dec(F.col("internal")) * dec(F.lit(m))
+                                  - dec(vol_out) * dec(vol_in))).cast("double")
+            / F.lit(float(m) * float(m))
+        ).cast("long")
     return joined.select(
         "community", "nodes", "internal", "outgoing", "incoming",
         F.when(
             denom > 0,
             F.floor(F.lit(scale) * F.col("outgoing") / denom).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias("conductance_fp"),
-        F.floor(
-            F.lit(scale) * (F.col("internal") * F.lit(m) - vol_out * vol_in)
-            / F.lit(m * m)
-        ).cast("long").alias("modularity_fp"),
+        mod_expr.alias("modularity_fp"),
     )
 
 
@@ -2572,6 +2596,7 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "risk",
         .withColumn("comp", F.col("node"))
     )
     chosen = None
+    converged = False
     for _ in range(max_rounds):
         la = labels.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
         lb = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
@@ -2579,6 +2604,7 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "risk",
             und.join(la, "a").join(lb, "b").filter(F.col("ca") != F.col("cb"))
         ).localCheckpoint(eager=True)
         if live.limit(1).count() == 0:
+            converged = True
             break
         sides = live.select(F.col("ca").alias("comp"), "wfp", "a", "b").union(
             live.select(F.col("cb").alias("comp"), "wfp", "a", "b")
@@ -2612,6 +2638,24 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "risk",
             .select("node", F.coalesce(F.col("newcomp"), F.col("comp")).alias("comp"))
             .localCheckpoint(eager=True)
         )
+    if not converged:
+        # Components at least halve per Borůvka round, so max_rounds=16
+        # covers 2^16 initial components — but an adversarial graph (or a
+        # caller-shrunk budget) can exhaust it with live cross-component
+        # edges left. A silently incomplete forest is worse than an error
+        # (dag_longest_paths discipline): probe and raise loudly.
+        la = labels.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        lb = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        remaining = (
+            und.join(la, "a").join(lb, "b")
+            .filter(F.col("ca") != F.col("cb")).limit(1).count()
+        )
+        if remaining > 0:
+            raise RuntimeError(
+                f"minimum_spanning_forest did not converge within "
+                f"max_rounds={max_rounds}: cross-component edges remain "
+                f"(forest would be incomplete) — raise max_rounds"
+            )
     if chosen is None:
         return edges.sparkSession.createDataFrame([], "src long, dst long, weight_fp long")
     return chosen.select(
@@ -2800,6 +2844,7 @@ def k_truss(edges: DataFrame, k: int = 3,
         return _k_truss_local(und.collect(), k, edges.sparkSession)
     cur = und.localCheckpoint(eager=True)
     n_prev = cur.count()
+    converged = False
     for _ in range(max_rounds):
         sup = _truss_support(cur)
         cur = (
@@ -2810,9 +2855,28 @@ def k_truss(edges: DataFrame, k: int = 3,
         )
         n = cur.count()
         if n == n_prev:
+            converged = True
             break
         n_prev = n
     final_sup = _truss_support(cur)
+    if not converged:
+        # Budget exhausted mid-peel: the surviving edge set may not be a
+        # k-truss yet (some edges below k-2 in-subgraph support). The
+        # driver-local twin always peels to fixpoint, so silently returning
+        # here would let the two paths diverge on deep-peel graphs — verify
+        # the fixpoint and raise loudly if it wasn't reached.
+        violations = (
+            cur.join(final_sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) < k - 2)
+            .limit(1)
+            .count()
+        )
+        if violations > 0:
+            raise RuntimeError(
+                f"k_truss did not reach the support fixpoint within "
+                f"max_rounds={max_rounds} (edges below k-2 support remain) "
+                f"— raise max_rounds"
+            )
     return (
         cur.join(final_sup, ["a", "b"])
         .select(F.col("a").alias("src"), F.col("b").alias("dst"), "support")

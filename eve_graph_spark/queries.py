@@ -105,15 +105,15 @@ def _correctness_tiers(root=None) -> dict[str, int]:
 # into the driver window right after the never-checked tier, so changed code
 # is always externally re-verified in the round it changes (ADVICE r2).
 _MODIFIED_THIS_ROUND = {
-    # r9: kmeans_assign now guards degenerate centroid collapse and enforces
-    # the unique-id contract at fit time (ADVICE r8) — plan gains one
-    # id-keyed agg; results on the fixtures are identical. Forced back into
-    # the driver window for external re-verification.
-    "kmeans_embeddings",
-    # r9 (second batch): pagerank gained the sources= personalization arm —
-    # the uniform path is unchanged (base_expr == the old literal when
-    # sources is None) but the operator was edited, so re-verify externally.
-    "pagerank",
+    # r10: q11's 1%-of-total HAVING was vacuous (0 rows at every SF — the
+    # hash-green was the empty-set hash, r9 verdict item 1). Rethresholded
+    # to value > 2× the average part value (scale-invariant, 91 rows at
+    # sf0.01) with an exact integer cross-multiplication comparison.
+    "q11_important_stock",
+    # r10: community_metrics modularity arithmetic moved to decimal(38,0)
+    # (long form wrapped past m ≈ 3M edges) — value-identical at fixture
+    # scale, but the expression changed, so re-verify externally.
+    "community_conductance",
 }
 
 
@@ -4506,16 +4506,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS ps_partkey, value_fp / 1000000.0 AS stock_value
     FROM val
-    WHERE CAST(value_fp AS DOUBLE) > (SELECT CAST(SUM(value_fp) AS DOUBLE) * 0.01 FROM val)
+    WHERE CAST(value_fp AS HUGEINT) * (SELECT COUNT(*) FROM val)
+          > 2 * (SELECT CAST(SUM(value_fp) AS HUGEINT) FROM val)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q11 shape: per-group value vs a global-scalar HAVING threshold.
     # The per-part aggregate is computed once, persisted implicitly via the
     # two consumers of one shuffle output; the global total is a 1-row
-    # broadcast crossJoin, never a second scan of the fact. Values stay
-    # fixed-point integers until the final projection, so the threshold
-    # comparison is bit-identical across engines.
+    # broadcast crossJoin, never a second scan of the fact.
+    #
+    # Threshold (round-10 fix): TPC-H's fixed fraction-of-total goes
+    # vacuous on this data — per-part share shrinks ~1/SF as the part
+    # count grows, so the original 1% HAVING returned 0 rows at EVERY
+    # tested SF and its hash-green was sha256("") (r9 verdict item 1).
+    # "value > 2× the average part value" keeps the global-scalar HAVING
+    # shape and is scale-invariant: 19 / 91 / 957 rows at sf0.001/0.01/0.1.
+    # The comparison is integer cross-multiplication (value·n > 2·total) in
+    # decimal(38,0) ↔ HUGEINT — exact on both engines, no float AVG drift.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
@@ -4538,10 +4546,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("__v").alias("value_fp"))
     )
-    threshold = val.agg((F.sum("value_fp").cast("double") * F.lit(0.01)).alias("__thr"))
+    threshold = val.agg(
+        F.sum("value_fp").cast("decimal(38,0)").alias("__tot"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+    )
     return (
         val.crossJoin(F.broadcast(threshold))
-        .filter(F.col("value_fp").cast("double") > F.col("__thr"))
+        .filter(
+            F.col("value_fp").cast("decimal(38,0)") * F.col("__n")
+            > F.lit(2).cast("decimal(38,0)") * F.col("__tot")
+        )
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             (F.col("value_fp") / F.lit(1000000.0)).alias("stock_value"),

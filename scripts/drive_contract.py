@@ -31,6 +31,16 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Round-10 guard (r9 verdict item 1): an empty result hash-matches an empty
+# oracle trivially — sha256("") == sha256("") — so a query that never
+# produces a row is "green" while its logic is untested (q11's fate for 9
+# rounds). Zero rows at sf>=0.01 is now a FAILURE unless the query is
+# explicitly allowlisted here with a reason.
+ZERO_ROWS_OK: dict[str, str] = {
+    # (none — every registered query currently yields rows at sf0.01)
+}
+_SMALL_SF = any(s in SF_DIR for s in ("sf0.001",))  # tiny fixtures may thin out
+
 
 # DRIVE_STRICT_NAN=1 keeps NaN distinct from NULL so a genuine Spark-NULL
 # vs oracle-NaN semantic drift is still catchable locally even though the
@@ -101,6 +111,12 @@ def main() -> int:
             ledger[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
             continue
         took = time.time() - t0
+        if len(rows) == 0 and not _SMALL_SF and name not in ZERO_ROWS_OK:
+            print(f"  {name:35s} EMPTY: 0 rows — vacuous result, failing "
+                  f"(allowlist in ZERO_ROWS_OK if intentional) [{took:.1f}s]")
+            failed.append(name)
+            ledger[name] = {"err": "zero rows at sf>=0.01 (vacuous hash)"}
+            continue
         if name not in oracles:
             print(f"  {name:35s} rows-only: {len(rows)} rows [{took:.1f}s]")
             ledger[name] = {"no_oracle": True, "spark_rows": len(rows),

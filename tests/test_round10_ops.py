@@ -1,0 +1,233 @@
+"""Round-10 fixes: loud non-convergence in the iterative graph kernels,
+input validation on personalized PageRank, overflow-safe modularity, and
+the GDS similarityMetric top-k knob.
+
+Each test pins a round-10 ADVICE item:
+- minimum_spanning_forest / k_truss must RAISE when their round budget is
+  exhausted before the fixpoint, never return a silently-incomplete result
+  (the driver-local twins always run to fixpoint, so a silent early exit
+  would let the two code paths diverge).
+- pagerank(sources=[]) / sources disjoint from the graph raised a bare
+  ZeroDivisionError on both paths — now a ValueError with a message.
+- community_metrics modularity arithmetic goes through decimal(38,0) (the
+  long form wrapped past m ~ 3M edges) and m == 0 yields 0, not null.
+- node_similarity(metric=...) drives the top-k window ordering
+  (GDS similarityMetric OVERLAP / COSINE parity).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _e(spark, rows, schema="src_system_id long, dst_system_id long"):
+    if rows:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame([], schema)
+
+
+# --- ValueError on empty / absent personalized-PageRank source sets ----------
+
+
+def test_ppr_empty_sources_raises_local(spark):
+    from eve_graph_spark.operators.graph_analytics import pagerank
+
+    e = _e(spark, [(1, 2), (2, 3)])
+    with pytest.raises(ValueError, match="no source nodes present"):
+        pagerank(e, sources=[])
+
+
+def test_ppr_absent_sources_raises_local(spark):
+    from eve_graph_spark.operators.graph_analytics import pagerank
+
+    e = _e(spark, [(1, 2), (2, 3)])
+    with pytest.raises(ValueError, match="no source nodes present"):
+        pagerank(e, sources=[99, 100])
+
+
+def test_ppr_absent_sources_raises_distributed(spark):
+    from eve_graph_spark.operators.graph_analytics import pagerank
+
+    e = _e(spark, [(1, 2), (2, 3)])
+    with pytest.raises(ValueError, match="no source nodes present"):
+        pagerank(e, sources=[99], driver_threshold=0)
+
+
+def test_property_graph_ppr_empty_sources_raises(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    g = PropertyGraph(
+        spark.createDataFrame([(1,), (2,)], "id long"),
+        spark.createDataFrame([(1, 2)], "src long, dst long"),
+    )
+    with pytest.raises(ValueError, match="no source nodes present"):
+        g.personalizedPageRank([]).collect()
+
+
+def test_ppr_partial_source_overlap_still_works(spark):
+    # sources half-present: only the present ones carry teleport mass —
+    # must NOT raise (only the fully-absent case is an error).
+    from eve_graph_spark.operators.graph_analytics import pagerank
+
+    e = _e(spark, [(1, 2), (2, 3), (3, 1)])
+    out = {r["node"]: r["rank"] for r in pagerank(e, sources=[1, 99]).collect()}
+    assert out[1] > 0.0 and len(out) == 3
+
+
+# --- MST: budget exhaustion is loud, not an incomplete forest ----------------
+
+
+def _path_graph(spark, n):
+    rows = [(i, i + 1, float(i + 1)) for i in range(1, n)]
+    return spark.createDataFrame(
+        rows, "src_system_id long, dst_system_id long, risk double"
+    )
+
+
+def test_mst_budget_exhaustion_raises(spark):
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    # A plain path contracts in ONE Borůvka round (every node picks its
+    # lighter incident edge, chaining the whole path) — force two rounds
+    # with paired light edges joined by heavy bridges: round 1 merges the
+    # pairs only, the bridges still cross components afterwards.
+    rows = [(1, 2, 0.1), (3, 4, 0.2), (5, 6, 0.3), (7, 8, 0.4),
+            (2, 3, 10.0), (4, 5, 11.0), (6, 7, 12.0)]
+    e = spark.createDataFrame(
+        rows, "src_system_id long, dst_system_id long, risk double")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        minimum_spanning_forest(e, weight_col="risk", max_rounds=1,
+                                driver_threshold=0).collect()
+
+
+def test_mst_sufficient_budget_matches_local_twin(spark):
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    e = _path_graph(spark, 8)
+    dist = sorted(
+        tuple(r) for r in minimum_spanning_forest(
+            e, weight_col="risk", driver_threshold=0).collect()
+    )
+    local = sorted(
+        tuple(r) for r in minimum_spanning_forest(e, weight_col="risk").collect()
+    )
+    assert dist == local and len(dist) == 7
+
+
+# --- k-truss: peel budget exhaustion is loud ---------------------------------
+
+
+def test_k_truss_budget_exhaustion_raises(spark):
+    from eve_graph_spark.operators.graph_analytics import k_truss
+
+    # Two triangles sharing edge (2,3): for k=4 the outer edges peel in
+    # round 1, leaving (2,3) with support 0 < k-2 — a second round is
+    # required. max_rounds=1 on the distributed path must raise, because
+    # returning {(2,3)} would not be a 4-truss.
+    e = _e(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_truss(e, k=4, max_rounds=1, driver_threshold=0).collect()
+
+
+def test_k_truss_sufficient_budget_matches_local_twin(spark):
+    from eve_graph_spark.operators.graph_analytics import k_truss
+
+    e = _e(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    dist = sorted(tuple(r) for r in k_truss(e, k=4, driver_threshold=0).collect())
+    local = sorted(tuple(r) for r in k_truss(e, k=4).collect())
+    assert dist == local == []  # deep peel dissolves both triangles
+
+
+# --- community_metrics: m == 0 guard + decimal modularity --------------------
+
+
+def test_community_metrics_edgeless_with_labels(spark):
+    from eve_graph_spark.operators.graph_analytics import community_metrics
+
+    e = _e(spark, [])
+    labels = spark.createDataFrame([(1, 10), (2, 10), (3, 20)],
+                                   "node long, community long")
+    rows = {r["community"]: r for r in community_metrics(e, labels).collect()}
+    assert set(rows) == {10, 20}
+    for r in rows.values():
+        assert r["modularity_fp"] == 0 and r["conductance_fp"] == 0
+        assert r["internal"] == 0 and r["outgoing"] == 0 and r["incoming"] == 0
+
+
+def test_community_metrics_values_unchanged_by_decimal_path(spark):
+    # The decimal(38,0) rewrite must be value-identical on small inputs:
+    # triangle in community 10 + one cross edge to community 20.
+    from eve_graph_spark.operators.graph_analytics import community_metrics
+
+    e = _e(spark, [(1, 2), (2, 3), (3, 1), (1, 4)])
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20)], "node long, community long")
+    rows = {r["community"]: r for r in community_metrics(e, labels).collect()}
+    # community 10: internal=3, outgoing=1, incoming=0, m=4
+    # modularity = 3/4 - (4*3)/16 = 0  -> 0 fp
+    assert rows[10]["modularity_fp"] == 0
+    # community 20: internal=0, outgoing=0, incoming=1
+    # modularity = 0 - (0*1)/16 = 0
+    assert rows[20]["modularity_fp"] == 0
+    # conductance of 10: outgoing/min(vol=4, m-4=0) -> denom 0 -> 0
+    assert rows[10]["conductance_fp"] == 0
+
+
+# --- node_similarity: similarityMetric top-k parity --------------------------
+
+
+def _wedge_graph(spark):
+    # out-neighbor sets: 1 -> {10, 11, 12}; 2 -> {10, 11}; 3 -> {10, 20, 21, 22}
+    rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11),
+            (3, 10), (3, 20), (3, 21), (3, 22)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_node_similarity_metric_validation(spark):
+    from eve_graph_spark.operators.graph_analytics import node_similarity
+
+    e = _wedge_graph(spark)
+    with pytest.raises(ValueError, match="jaccard\\|overlap\\|cosine"):
+        node_similarity(e, metric="euclidean")
+    with pytest.raises(ValueError, match="include_all_metrics"):
+        node_similarity(e, top_k=1, metric="overlap")
+
+
+def test_node_similarity_overlap_topk_reorders(spark):
+    from eve_graph_spark.operators.graph_analytics import node_similarity
+
+    # Divergence needs dmin asymmetry: add node 4 -> {10} (degree 1) so
+    # overlap = inter/dmin saturates at 1 for every pair touching node 4
+    # while jaccard still discriminates by union size.
+    e = _wedge_graph(spark)
+    e2 = spark.createDataFrame(
+        [(r["src"], r["dst"]) for r in e.collect()] + [(4, 10)],
+        "src long, dst long",
+    )
+    jac = {
+        r["node"]: r["other"]
+        for r in node_similarity(e2, top_k=1, include_all_metrics=True).collect()
+    }
+    ovl = {
+        r["node"]: r["other"]
+        for r in node_similarity(
+            e2, top_k=1, include_all_metrics=True, metric="overlap").collect()
+    }
+    # node 3's neighbors: pairs (3,2): jac 1/5, ovl 1/2 ; (3,4): jac 1/4, ovl 1
+    # jaccard top-1 -> 4 (1/4 > 1/5); overlap top-1 -> 4 (1 > 1/2)... both 4.
+    # node 1: (1,2) jac 2/3 ovl 1 ; (1,3) jac 1/6 ovl 1/3 ; (1,4) inter=1,
+    # union=3, jac 1/3, ovl 1/min(3,1)=1 — ties with (1,2) on overlap,
+    # tie-break other asc -> 2. jaccard top-1 -> 2 as well.
+    # node 4: (4,1) jac 1/3 ovl 1 ; (4,2) jac 1/2 ovl 1 ; (4,3) jac 1/4 ovl 1
+    # jaccard top-1 -> 2 ; overlap all tie at 1 -> tie-break -> 1. DIVERGES.
+    assert jac[4] == 2
+    assert ovl[4] == 1
+
+
+def test_node_similarity_cosine_topk_runs(spark):
+    from eve_graph_spark.operators.graph_analytics import node_similarity
+
+    e = _wedge_graph(spark)
+    out = node_similarity(e, top_k=2, include_all_metrics=True,
+                          metric="cosine").collect()
+    assert all(r["rank"] <= 2 for r in out) and len(out) > 0
