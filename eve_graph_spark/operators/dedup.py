@@ -82,6 +82,46 @@ def shingles_expr(text_col: str, k: int = 3) -> Column:
     return F.expr(_shingles_sql(text_col, k))
 
 
+def shingle_digests_expr(text_col: str, k: int = 3) -> Column:
+    """Distinct 64-bit xxhash64 digests of the k-word shingles — the
+    TEXT-FREE verify representation (round 10). Jaccard/containment over
+    digest SETS equals the shingle-set value except when two distinct
+    shingles of the same pair's union collide: E[collisions per pair]
+    ≈ C(|A∪B|, 2)/2^64 ≈ 2e-13 for 1k-shingle docs — negligible at any
+    corpus scale. The win: the verify pair-join shuffles fixed 8-byte
+    longs instead of shingle strings (~4-6× smaller rows; the 5M-doc
+    stress corpus's verify shuffle dropped ~10×, SCALE.md)."""
+    return F.expr(
+        f"array_distinct(transform({_shingles_sql(text_col, k)}, s -> xxhash64(s)))"
+    )
+
+
+def portable_shingle_digests_sql(text_col: str, k: int = 3) -> str:
+    """Portable (md5-56-bit mod P) flavor of shingle_digests_expr — the
+    same digest family the portable MinHash signatures use, so a DuckDB
+    oracle replays digest-set Jaccard bit-for-bit. P = 2^31-1 makes
+    within-pair collisions ~C(n,2)/2^31 (≈2e-4 for 1k-shingle unions);
+    the oracle computes over the SAME digests, so parity is exact even
+    when a collision perturbs the value."""
+    return f"array_distinct({portable_shingle_hash_sql(_shingles_sql(text_col, k))})"
+
+
+def _verify_sets(df: DataFrame, text_col: str, id_col: str, k: int,
+                 digest: str | None) -> DataFrame:
+    """(id, sh) verify-side per-doc set: shingle strings (digest=None,
+    exact), xxhash64 digests ('xxhash64', production) or portable md5
+    digests ('portable', oracle-replayable)."""
+    if digest is None:
+        return df.select(F.col(id_col), shingles_expr(text_col, k).alias("sh"))
+    if digest == "xxhash64":
+        return df.select(F.col(id_col), shingle_digests_expr(text_col, k).alias("sh"))
+    if digest == "portable":
+        return df.select(
+            F.col(id_col), F.expr(portable_shingle_digests_sql(text_col, k)).alias("sh")
+        )
+    raise ValueError(f"digest must be None|'xxhash64'|'portable', got {digest!r}")
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 16, k: int = 3) -> DataFrame:
     """(id, sig array<long>): sig[j] = min over shingles of
@@ -144,10 +184,16 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", k: int = 3,
+                  digest: str | None = None) -> DataFrame:
     """Exact k-shingle Jaccard for given (id_a, id_b) pairs — the verify
-    stage after LSH candidate generation."""
-    sh = df.select(F.col(id_col), shingles_expr(text_col, k).alias("sh"))
+    stage after LSH candidate generation.
+
+    digest=None verifies over shingle STRINGS (exact); 'xxhash64' /
+    'portable' verify over digest sets (see shingle_digests_expr) — the
+    text-free form the at-scale pipelines use so the pair join never
+    shuffles strings."""
+    sh = _verify_sets(df, text_col, id_col, k, digest)
     out = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -164,10 +210,17 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, num_hashes: int = 16,
                   bands: int = 4, rows_per_band: int = 4, k: int = 3) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact Jaccard
-    filter ≥ threshold. Returns verified duplicate pairs (id_a < id_b)."""
+    filter ≥ threshold. Returns verified duplicate pairs (id_a < id_b).
+
+    Verification runs over xxhash64 digest sets (r10): the pair join
+    shuffles 8-byte longs, never shingle strings — same Jaccard up to a
+    ~2e-13/pair collision bound (shingle_digests_expr)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    return jaccard_pairs(df, cands, text_col, id_col, k).filter(F.col("jaccard") >= threshold)
+    return (
+        jaccard_pairs(df, cands, text_col, id_col, k, digest="xxhash64")
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # --- portable MinHash (oracle-checkable) ------------------------------------
@@ -263,12 +316,14 @@ def portable_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str =
 
 def containment_for_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 3,
-                          contained_threshold: float = 0.8) -> DataFrame:
+                          contained_threshold: float = 0.8,
+                          digest: str | None = None) -> DataFrame:
     """Asymmetric shingle containment |A∩B|/|A| and /|B| for given
     (id_a, id_b) pairs — catches subset/quote relationships that symmetric
     Jaccard under-scores. Returns (id_a, id_b, containment_a,
-    containment_b, is_contained)."""
-    sh = df.select(F.col(id_col), shingles_expr(text_col, k).alias("sh"))
+    containment_b, is_contained). `digest` as in jaccard_pairs: digest-set
+    containment keeps the pair join text-free at scale."""
+    sh = _verify_sets(df, text_col, id_col, k, digest)
     j = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -287,9 +342,17 @@ def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: st
                                bands: int = 4, rows_per_band: int = 2, k: int = 3) -> DataFrame:
     """Near-dup pairs with exact-Jaccard verification — identical pipeline
     shape to `minhash_dedup`, portable hashes. Returns (id_a, id_b,
-    jaccard) with id_a < id_b."""
+    jaccard) with id_a < id_b.
+
+    Verification runs over portable md5 digest sets (r10): text never
+    crosses an exchange — the verify join shuffles (id, array<long>)
+    only, and the DuckDB oracle replays the SAME digests, so parity is
+    exact even on the rare mod-2^31 collision."""
     cands = portable_lsh_candidates(df, text_col, id_col, num_hashes, bands, rows_per_band, k)
-    return jaccard_pairs(df, cands, text_col, id_col, k).filter(F.col("jaccard") >= threshold)
+    return (
+        jaccard_pairs(df, cands, text_col, id_col, k, digest="portable")
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -114,6 +114,15 @@ _MODIFIED_THIS_ROUND = {
     # (long form wrapped past m ≈ 3M edges) — value-identical at fixture
     # scale, but the expression changed, so re-verify externally.
     "community_conductance",
+    # r10: near-dup verification went TEXT-FREE — Jaccard/containment over
+    # distinct shingle-DIGEST sets (the pair join shuffles 8-byte longs,
+    # never strings; oracles replay the same digests). Values can shift on
+    # rare mod-2^31 collisions, so hashes are re-pinned this round.
+    "minhash_near_dups_portable",
+    "minhash_near_dups",
+    "containment_pairs_lsh",
+    "dedup_pipeline_documents",
+    "dedup_survivors_quality",
 }
 
 
@@ -2163,13 +2172,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM mbanded a JOIN mbanded b USING (band, bucket)
         WHERE a.doc_id < b.doc_id
-    )
+    ),
+    -- r10: verification is TEXT-FREE — Jaccard over the distinct DIGEST
+    -- sets (the same md5-mod-P family the signatures use), replaying
+    -- dedup.jaccard_pairs(digest='portable') exactly, collisions included
+    mdg AS (SELECT doc_id, list_distinct(hs) AS dg FROM mhs)
     SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-    FROM mcand c JOIN msh x ON x.doc_id = c.id_a JOIN msh y ON y.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+           CAST(len(list_intersect(x.dg, y.dg)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.dg, y.dg))) AS jaccard
+    FROM mcand c JOIN mdg x ON x.doc_id = c.id_a JOIN mdg y ON y.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(x.dg, y.dg)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.dg, y.dg))) >= 0.5
     """,
 )
 def minhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3118,11 +3131,16 @@ _MINHASH_PAIRS_FOR_CC = f"""
         FROM mbanded a JOIN mbanded b USING (band, bucket)
         WHERE a.doc_id < b.doc_id
     ),
+    mdgcc AS (
+        -- r10 text-free verify: Jaccard over distinct digest sets, the
+        -- same digests the signatures hashed — see jaccard_pairs(digest=)
+        SELECT doc_id, list_distinct(hs) AS dg FROM mhs
+    ),
     mpairs AS (
         SELECT c.id_a, c.id_b
-        FROM mcand c JOIN msh x ON x.doc_id = c.id_a JOIN msh y ON y.doc_id = c.id_b
-        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+        FROM mcand c JOIN mdgcc x ON x.doc_id = c.id_a JOIN mdgcc y ON y.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(x.dg, y.dg)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.dg, y.dg))) >= 0.5
     )
 """
 
@@ -5492,14 +5510,18 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM cbanded a JOIN cbanded b USING (band, bucket)
         WHERE a.doc_id < b.doc_id
-    )
+    ),
+    -- r10 text-free verify: containment over distinct digest sets (same
+    -- md5-mod-P digests as the signatures) — containment_for_pairs(
+    -- digest='portable'), replayed exactly, collisions included
+    cdg AS (SELECT doc_id, list_distinct(hs) AS dg FROM chs)
     SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) AS containment_a,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh) AS containment_b,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) >= 0.8
-               OR CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh) >= 0.8
+           CAST(len(list_intersect(x.dg, y.dg)) AS DOUBLE) / len(x.dg) AS containment_a,
+           CAST(len(list_intersect(x.dg, y.dg)) AS DOUBLE) / len(y.dg) AS containment_b,
+           CAST(len(list_intersect(x.dg, y.dg)) AS DOUBLE) / len(x.dg) >= 0.8
+               OR CAST(len(list_intersect(x.dg, y.dg)) AS DOUBLE) / len(y.dg) >= 0.8
                AS is_contained
-    FROM ccand c JOIN csh x ON x.doc_id = c.id_a JOIN csh y ON y.doc_id = c.id_b
+    FROM ccand c JOIN cdg x ON x.doc_id = c.id_a JOIN cdg y ON y.doc_id = c.id_b
     """.replace("{bands_sql}", portable_band_buckets_sql("sig", 8, 1, one_based=True)),
 )
 def containment_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5517,7 +5539,7 @@ def containment_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     cands = portable_lsh_candidates(docs, bands=8, rows_per_band=1)
-    return containment_for_pairs(docs, cands)
+    return containment_for_pairs(docs, cands, digest="portable")
 
 
 @register(

@@ -231,3 +231,81 @@ def test_node_similarity_cosine_topk_runs(spark):
     out = node_similarity(e, top_k=2, include_all_metrics=True,
                           metric="cosine").collect()
     assert all(r["rank"] <= 2 for r in out) and len(out) > 0
+
+
+# --- text-free near-dup verification (r10: digest-set Jaccard/containment) ---
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_digest_jaccard_matches_string_jaccard(spark):
+    # On a collision-free corpus, Jaccard over digest sets equals Jaccard
+    # over shingle-string sets EXACTLY — both portable and xxhash64 paths.
+    from eve_graph_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "completely different text with no shared shingles at all here",
+        "the quick brown fox jumps over the lazy dog tonight",  # exact dup of 0
+    ])
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "id_a long, id_b long")
+    base = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs, pairs).collect()}
+    for digest in ("portable", "xxhash64"):
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in jaccard_pairs(docs, pairs, digest=digest).collect()}
+        assert got == base, digest
+    assert base[(0, 3)] == 1.0 and base[(0, 2)] == 0.0
+
+
+def test_digest_containment_matches_string_containment(spark):
+    from eve_graph_spark.operators.dedup import containment_for_pairs
+
+    docs = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta",  # contained prefix
+        "unrelated words entirely disjoint from the others",
+    ])
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    base = {(r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"], r["is_contained"])
+            for r in containment_for_pairs(docs, pairs).collect()}
+    for digest in ("portable", "xxhash64"):
+        got = {(r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"], r["is_contained"])
+               for r in containment_for_pairs(docs, pairs, digest=digest).collect()}
+        assert got == base, digest
+    assert base[(0, 1)][2] is True and base[(0, 2)][2] is False
+
+
+def test_verify_pair_join_is_text_free(spark):
+    # The PLAN pin for the round-10 seam fix: the near-dup verify stage's
+    # pair join must not carry the text column (or shingle strings) — only
+    # digest arrays. Assert no string-typed set column survives into the
+    # join output schema.
+    from eve_graph_spark.operators.dedup import jaccard_pairs, portable_minhash_near_dups
+
+    docs = _docs(spark, [f"doc number {i} with shared words plus token{i % 7}"
+                         for i in range(40)])
+    out = portable_minhash_near_dups(docs, threshold=0.1)
+    # schema-level: verify output carries no text
+    assert "text" not in out.columns
+    # plan-level: the optimized plan of the digest verify never projects
+    # the shingle-STRING array (array<string>); only array<bigint> sets
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    plan = jaccard_pairs(docs, pairs, digest="portable")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "array<string>" not in plan.replace("ArrayType(StringType", "array<string>")
+
+
+def test_bad_digest_value_raises(spark):
+    from eve_graph_spark.operators.dedup import jaccard_pairs
+    import pytest as _pt
+
+    docs = _docs(spark, ["a b c d"])
+    pairs = spark.createDataFrame([(0, 0)], "id_a long, id_b long")
+    with _pt.raises(ValueError, match="digest must be"):
+        jaccard_pairs(docs, pairs, digest="sha1")
