@@ -6634,6 +6634,104 @@ def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- approx-quantile twins (r10 verdict item 4) -------------------------------
+# The exact-rank family above (exact_median_price / winsorize_events /
+# robust_anomaly_mad) shuffles and SORTS the full fact table per group —
+# correct, oracle-exact, and the documented 100 TB trade in SCALE.md. These
+# twins make the documented swap real: percentile_approx (Spark's
+# Greenwald-Khanna summary, O(accuracy) memory per group, partial-merge
+# map-side, NO sort shuffle) replaces the rank pass. The sketch estimate
+# can't hash-match any other engine, so correctness follows the `sketches`
+# precedent: `quantile_approx_check` pins the GK guarantee itself (rank
+# error ≤ n/accuracy) against exact ranks, and `winsorize_events_approx`
+# is the production-shaped bench twin (rows-only, like ann_ivf_production).
+
+
+@register(
+    "quantile_approx_check",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p05_within_bound,
+           TRUE AS p50_within_bound,
+           TRUE AS p95_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def quantile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bound check for the approx-quantile swap: percentile_approx(value,
+    # p, accuracy=10000) guarantees an element whose RANK is within
+    # n/accuracy of ceil(p*n) (Greenwald-Khanna invariant). The check
+    # recomputes each estimate's true rank window with one conditional
+    # aggregation pass (count of value < v / value <= v) and asserts
+    # ceil(p*n) falls inside [cnt_lt + 1 - err, cnt_le + err],
+    # err = n/accuracy. The oracle emits the group keys, exact counts and
+    # TRUE literals — a wrong estimate flips a boolean and breaks the
+    # hash, exactly the `sketches` contract. (The check pass is why this
+    # query costs MORE than the exact form; the production twin below is
+    # the one the bench compares.)
+    acc = 10000
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    est = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.05, 0.5, 0.95], acc).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type", "n",
+        F.col("q")[0].alias("q05"), F.col("q")[1].alias("q50"), F.col("q")[2].alias("q95"),
+    )
+    j = ev.join(F.broadcast(est), "event_type")
+    checks = j.groupBy("event_type", "n", "q05", "q50", "q95").agg(
+        *[
+            agg.alias(name)
+            for p, qc in ((5, "q05"), (50, "q50"), (95, "q95"))
+            for name, agg in (
+                (f"lt{p}", F.sum(F.when(F.col("value") < F.col(qc), 1).otherwise(0))),
+                (f"le{p}", F.sum(F.when(F.col("value") <= F.col(qc), 1).otherwise(0))),
+            )
+        ]
+    )
+    err = (F.col("n") / F.lit(acc)) + F.lit(1.0)  # +1 absorbs rank-rounding
+    def _ok(p: int) -> F.Column:
+        target = F.ceil(F.col("n") * F.lit(p / 100.0))
+        return (
+            (target >= F.col(f"lt{p}") + 1 - err) & (target <= F.col(f"le{p}") + err)
+        )
+    return checks.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        _ok(5).alias("p05_within_bound"),
+        _ok(50).alias("p50_within_bound"),
+        _ok(95).alias("p95_within_bound"),
+    )
+
+
+@register("winsorize_events_approx")  # sketch values are engine-specific → rows-only
+def winsorize_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Production twin of winsorize_events: p05/p95 via percentile_approx
+    # instead of the exact rank window. Two narrow scans (GK partial-agg
+    # bounds, then broadcast-join clip counts) and ZERO sort shuffles —
+    # at 100 TB this replaces the full-fact window sort with two
+    # map-combined passes. The GK rank-error guarantee this relies on is
+    # hash-pinned by quantile_approx_check; the wall-clock delta vs the
+    # exact form is recorded per-round in SCALE.md.
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.05, 0.95], 10000).alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "event_type", "n", F.col("q")[0].alias("lo"), F.col("q")[1].alias("hi")
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long").alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long").alias("n_clipped_high"),
+        )
+        .select("event_type", "n", "lo", "hi", "n_clipped_low", "n_clipped_high")
+    )
+
+
 @register(
     "route_avoiding_risky",
     _graph_cte(
