@@ -137,6 +137,159 @@ def _brute_force_topk_fixed_point(embeddings: DataFrame, q: DataFrame, k: int,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _unit_list(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5 or 1.0
+    return [x / n for x in vec]
+
+
+def _cents_1row(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    # centroids as ONE broadcastable row holding a sorted struct array.
+    # Keeping centroid values in DATA (not literals) means the argmax
+    # expression tree is identical across Lloyd iterations, so codegen
+    # compiles once and is cache-hit afterwards.
+    rows = [(int(c), _unit_list(v)) for c, v in cents]
+    return (
+        spark.createDataFrame(rows, "cell long, cvec array<double>")
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("cell", "cvec"))).alias("__cents"))
+    )
+
+
+def _with_cell(vecs: DataFrame, cents: list[tuple[int, list[float]]], vcol: str) -> DataFrame:
+    # narrow argmax: score all centroids in one transform, then pick the
+    # first maximum (ties → lowest cell id; __cents is sorted by cell)
+    scores = F.transform(F.col("__cents"), lambda s: dot_expr(F.col(vcol), s["cvec"]))
+    pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    cell = F.element_at(F.transform(F.col("__cents"), lambda s: s["cell"]), pos)
+    return (
+        vecs.crossJoin(F.broadcast(_cents_1row(vecs.sparkSession, cents)))
+        .withColumn("cell", cell)
+        .drop("__cents")
+    )
+
+
+def _ivf_train_assign(embeddings: DataFrame, n_centroids: int,
+                      lloyd_iterations: int, id_col: str,
+                      vec_col: str) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Distributed IVF training: deterministic seed (n_centroids smallest
+    ids), fixed Lloyd iterations, narrow argmax assignment. Returns
+    (assigned (id, vec, cell) DataFrame, final cents as (cell, mean) list)
+    — the body ivf_topk always ran, factored out (r10) so ivf_index can
+    build the persistable assignment with the identical op sequence."""
+    seed = (
+        embeddings.orderBy(id_col).limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed)
+    ]
+    dim = len(cents[0][1])
+
+    def _vec_sum(col: F.Column) -> F.Column:
+        # element-wise sum of an array column via collect_list + zip_with
+        # fold — one compact expression instead of `dim` aggregate columns
+        return F.aggregate(
+            F.collect_list(col),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        )
+
+    for _ in range(lloyd_iterations):
+        assigned = _with_cell(embeddings.select(id_col, vec_col), cents, vec_col)
+        # new centroid = dimension-wise mean, two-phase so the collect_list
+        # buffers stay partition-bounded at scale: fold per (cell,
+        # partition) first, then combine the per-partition partials
+        partials = assigned.groupBy("cell", F.spark_partition_id().alias("__pid")).agg(
+            F.count(F.lit(1)).alias("__n"),
+            _vec_sum(F.col(vec_col).cast("array<double>")).alias("__vsum"),
+        )
+        sums = partials.groupBy("cell").agg(
+            F.sum("__n").alias("__n"), _vec_sum(F.col("__vsum")).alias("__vsum")
+        ).collect()
+        cents = sorted(
+            (r["cell"], [s / r["__n"] for s in r["__vsum"]]) for r in sums
+        )
+    assigned = _with_cell(embeddings.select(id_col, vec_col), cents, vec_col)
+    return assigned, cents
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """Build the persistable plain-IVF index: the corpus WITH its cell
+    assignment — (id, vec, cell) — plus the centroid model. Persist with
+    sinks.write_ivf_index (cell-partitioned parquet): probing then scans
+    only the n_probe matching partitions (SCALE.md "embeddings bucketed
+    by IVF cell id"). Same training op sequence as ivf_topk's in-session
+    path (_ivf_train_assign), so a query against the persisted index
+    returns the identical top-k (pinned in tests)."""
+    assigned, cents = _ivf_train_assign(
+        embeddings, n_centroids, lloyd_iterations, id_col, vec_col
+    )
+    model = {
+        "cents": [v for _, v in cents],
+        "cell_ids": [int(c) for c, _ in cents],
+    }
+    return assigned.select(id_col, vec_col, "cell"), model
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    model: dict,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Plain-IVF query against a PERSISTED index (ivf_index →
+    sinks.write_ivf_index → read_ivf_index): no training pass, and the
+    probe applies a LITERAL cell filter — on a cell-partitioned table
+    that is static partition pruning, so the scan touches n_probe
+    partitions of the corpus, never all of it (plan-pinned in tests).
+    Query vectors are fetched by id (pushdown-pruned scan), probe cells
+    chosen by the same (-score, cell) order as ivf_topk."""
+    import numpy as np
+
+    spark = index.sparkSession
+    qrows = (
+        index.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col).collect()
+    )
+    ucents = _unit_rows_np(np.array(model["cents"], dtype=np.float64))
+    cell_ids = model["cell_ids"]
+    qdata = []
+    for r in qrows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        cscore = ucents @ qv
+        order = sorted(range(len(cell_ids)), key=lambda i: (-cscore[i], cell_ids[i]))
+        for i in order[:n_probe]:
+            qdata.append((int(r[id_col]), int(cell_ids[i]),
+                          [float(x) for x in r[vec_col]]))
+    if not qdata:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, cosine double, rank int"
+        )
+    qdf = spark.createDataFrame(qdata, "query_id long, cell long, qvec array<double>")
+    probe_cells = sorted({c for _, c, _ in qdata})
+    pairs = (
+        index.filter(F.col("cell").isin(probe_cells))  # static partition pruning
+        .join(F.broadcast(qdf), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = pairs.select(
+        "query_id", F.col(id_col),
+        cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -177,76 +330,15 @@ def ivf_topk(
             embeddings, query_ids, k, n_centroids, n_probe, lloyd_iterations,
             id_col, vec_col,
         )
-    def _unit(vec: list[float]) -> list[float]:
-        n = sum(x * x for x in vec) ** 0.5 or 1.0
-        return [x / n for x in vec]
-
-    spark = embeddings.sparkSession
-
-    def _cents_1row(cents: list[tuple[int, list[float]]]) -> DataFrame:
-        # centroids as ONE broadcastable row holding a sorted struct array.
-        # Keeping centroid values in DATA (not literals) means the argmax
-        # expression tree is identical across Lloyd iterations, so codegen
-        # compiles once and is cache-hit afterwards.
-        rows = [(int(c), _unit(v)) for c, v in cents]
-        return (
-            spark.createDataFrame(rows, "cell long, cvec array<double>")
-            .groupBy()
-            .agg(F.sort_array(F.collect_list(F.struct("cell", "cvec"))).alias("__cents"))
-        )
-
-    def _with_cell(vecs: DataFrame, cents: list[tuple[int, list[float]]], vcol: str) -> DataFrame:
-        # narrow argmax: score all centroids in one transform, then pick the
-        # first maximum (ties → lowest cell id; __cents is sorted by cell)
-        scores = F.transform(F.col("__cents"), lambda s: dot_expr(F.col(vcol), s["cvec"]))
-        pos = F.array_position(scores, F.array_max(scores)).cast("int")
-        cell = F.element_at(F.transform(F.col("__cents"), lambda s: s["cell"]), pos)
-        return (
-            vecs.crossJoin(F.broadcast(_cents_1row(cents)))
-            .withColumn("cell", cell)
-            .drop("__cents")
-        )
-
-    seed = (
-        embeddings.orderBy(id_col).limit(n_centroids)
-        .select(id_col, vec_col)
-        .collect()
+    assigned, cents = _ivf_train_assign(
+        embeddings, n_centroids, lloyd_iterations, id_col, vec_col
     )
-    cents = [
-        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed)
-    ]
-    dim = len(cents[0][1])
-    def _vec_sum(col: F.Column) -> F.Column:
-        # element-wise sum of an array column via collect_list + zip_with
-        # fold — one compact expression instead of `dim` aggregate columns
-        return F.aggregate(
-            F.collect_list(col),
-            F.array_repeat(F.lit(0.0), dim),
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        )
-
-    for _ in range(lloyd_iterations):
-        assigned = _with_cell(embeddings.select(id_col, vec_col), cents, vec_col)
-        # new centroid = dimension-wise mean, two-phase so the collect_list
-        # buffers stay partition-bounded at scale: fold per (cell,
-        # partition) first, then combine the per-partition partials
-        partials = assigned.groupBy("cell", F.spark_partition_id().alias("__pid")).agg(
-            F.count(F.lit(1)).alias("__n"),
-            _vec_sum(F.col(vec_col).cast("array<double>")).alias("__vsum"),
-        )
-        sums = partials.groupBy("cell").agg(
-            F.sum("__n").alias("__n"), _vec_sum(F.col("__vsum")).alias("__vsum")
-        ).collect()
-        cents = sorted(
-            (r["cell"], [s / r["__n"] for s in r["__vsum"]]) for r in sums
-        )
-    assigned = _with_cell(embeddings.select(id_col, vec_col), cents, vec_col)
     q = assigned.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     # probe cells: n_probe nearest centroids per query (q is a handful of rows)
     qcells = (
-        q.crossJoin(F.broadcast(_cents_1row(cents)))
+        q.crossJoin(F.broadcast(_cents_1row(embeddings.sparkSession, cents)))
         .select("query_id", "qvec", F.explode("__cents").alias("__s"))
         .select(
             "query_id", "qvec",
@@ -538,9 +630,15 @@ def ivf_pq_topk(
     qdf = spark.createDataFrame(
         qdata, f"query_id long, cell long, __lut array<array<double>>"
     )
-    # stage 1: ADC over the narrow index — codes ride the scan, vectors don't
+    # stage 1: ADC over the narrow index — codes ride the scan, vectors
+    # don't. The LITERAL probe-cell filter is semantically redundant with
+    # the join (qdf holds only probed cells) but is what lets a PERSISTED
+    # cell-partitioned index prune statically: the scan reads n_probe
+    # partitions, not the whole index (r10, plan-pinned in tests).
+    probe_cells = sorted({c for _, c, _ in qdata})
     approx = (
-        index.join(F.broadcast(qdf), "cell")
+        index.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(qdf), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id", id_col,

@@ -123,6 +123,12 @@ _MODIFIED_THIS_ROUND = {
     "containment_pairs_lsh",
     "dedup_pipeline_documents",
     "dedup_survivors_quality",
+    # r10: IVF training factored into _ivf_train_assign (op-identical) and
+    # the PQ probe gained a literal probe-cell filter (static partition
+    # pruning on persisted indexes; semantically redundant with the join).
+    # Values unchanged, plans touched — re-verify externally.
+    "ann_ivf_topk",
+    "ann_ivf_pq_topk",
 }
 
 

@@ -53,3 +53,37 @@ def overwrite_snapshot(df: DataFrame, path: str) -> None:
 
 def read_back(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_ivf_index(index: DataFrame, model: dict, path: str) -> None:
+    """Persist an ANN index as a CELL-PARTITIONED parquet table plus a
+    model.json sidecar (SCALE.md layout: "embeddings bucketed by IVF cell
+    id"). `index` is ivf_pq_index's (id, cell, codes) or ivf_index's
+    (id, vec, cell); `model` carries the centroids/codebooks the query
+    path needs driver-side.
+
+    Partitioning by cell is what makes the probe stage's literal
+    cell-filter (ivf_topk_from_index / ivf_pq_topk) STATIC partition
+    pruning: a query scans n_probe directories of the index, never the
+    corpus — the FAISS deployment shape expressed as a parquet layout.
+    The model sidecar is centroid-sized (KBs); on an object store it
+    rides next to the partition directories.
+    """
+    import json
+    from pathlib import Path
+
+    index.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
+    p = Path(path) / "model.json"
+    p.write_text(json.dumps(model))
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a write_ivf_index layout: (index DataFrame, model dict). The
+    returned frame is partition-pruned by any literal `cell` predicate —
+    the probe paths rely on that."""
+    import json
+    from pathlib import Path
+
+    index = spark.read.parquet(f"{path}/index")
+    model = json.loads((Path(path) / "model.json").read_text())
+    return index, model

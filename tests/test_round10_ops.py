@@ -309,3 +309,64 @@ def test_bad_digest_value_raises(spark):
     pairs = spark.createDataFrame([(0, 0)], "id_a long, id_b long")
     with _pt.raises(ValueError, match="digest must be"):
         jaccard_pairs(docs, pairs, digest="sha1")
+
+
+# --- IVF index persistence (r10: write → reload → identical top-k) -----------
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
+    from eve_graph_spark.operators.similarity import (
+        ivf_index, ivf_topk, ivf_topk_from_index,
+    )
+    from eve_graph_spark.sinks import read_ivf_index, write_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]
+    idx, model = ivf_index(emb)
+    write_ivf_index(idx, model, str(tmp_path / "ivf"))
+    idx2, model2 = read_ivf_index(spark, str(tmp_path / "ivf"))
+
+    got = ivf_topk_from_index(idx2, model2, qids, k=5)
+    want = ivf_topk(emb, qids, k=5, driver_local_threshold=0)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    # The plan pin for the deployment story: probing a persisted
+    # cell-partitioned index must scan ONLY the probed cells' partitions —
+    # the literal cell filter shows up as a non-empty PartitionFilters on
+    # the index scan.
+    from eve_graph_spark.operators.similarity import ivf_index, ivf_topk_from_index
+    from eve_graph_spark.sinks import read_ivf_index, write_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(2).collect()]
+    idx, model = ivf_index(emb)
+    write_ivf_index(idx, model, str(tmp_path / "ivf2"))
+    idx2, model2 = read_ivf_index(spark, str(tmp_path / "ivf2"))
+    df = ivf_topk_from_index(idx2, model2, qids, k=5, n_probe=2)
+    plan = df._jdf.queryExecution().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf, "no partitioned scan in the plan"
+    assert any("cell" in f and " IN " in f.upper() for f in pf), pf
+
+
+def test_ivf_pq_index_persist_roundtrip(spark, sf_dir, tmp_path):
+    from eve_graph_spark.operators.similarity import ivf_pq_index, ivf_pq_topk
+    from eve_graph_spark.sinks import read_ivf_index, write_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]
+    idx, model = ivf_pq_index(emb)
+    write_ivf_index(idx, model, str(tmp_path / "pq"))
+    idx2, model2 = read_ivf_index(spark, str(tmp_path / "pq"))
+
+    got = ivf_pq_topk(emb, qids, k=5, index=idx2, model=model2)
+    want = ivf_pq_topk(emb, qids, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
