@@ -358,3 +358,54 @@ def wormhole_stream_handler(engine: GraphEngine, stats_out: dict | None = None):
         engine.refresh_wormholes_incremental(batch_df)
 
     return handle
+
+
+def risk_stream_handler(engine: GraphEngine, stats_out: dict | None = None):
+    """foreachBatch handler for the reference's OTHER refresh cadence — the
+    ~30-minute kills/jumps risk loop (README.md:32-33, sync.rs:296-321) —
+    completing the streaming story next to `wormhole_stream_handler`: each
+    micro-batch of the system-activity feed
+    (`system_id, ship_kills, ship_jumps[, poll_id]`) drives
+    `GraphEngine.refresh_risk`, i.e. activity update (W6/W7) → galaxy
+    baseline (F2) → per-system risk (F1) → inbound-edge write (W8) → risk
+    projection rebuild (G6).
+
+    Unlike the wormhole loop there is NO smaller correct delta: the galaxy
+    baseline is a global Σkills/Σjumps, so every system's risk — and every
+    edge of the risk projection — legitimately moves with each poll. The
+    full recompute IS the reference semantics (sync.rs:296-321 re-derives
+    every system's risk each cycle); what the streaming wiring must add is
+    bounded lineage, so after each applied poll the engine's systems and
+    jumps tables are re-anchored with an eager localCheckpoint — N polls
+    cost N × one-refresh work, never a growing join chain (the r7
+    wormhole-overlay lesson, measured in
+    scripts/measure_incremental_refresh.py).
+
+    Full-state-per-poll semantics match `wormhole_stream_handler`: the ESI
+    activity endpoints return the whole galaxy's counters per fetch, so a
+    catch-up micro-batch spanning several polls applies only its LATEST
+    poll (older polls are superseded state; systems absent from the feed
+    zero out via keyed_update's default — exactly the batch path).
+    `stats_out["polls"]` accumulates applied poll_ids for offset-resume
+    tests.
+    """
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if "poll_id" in batch_df.columns:
+            last = batch_df.agg(F.max("poll_id")).collect()[0][0]
+            if last is None:
+                return  # no polls in this batch
+            batch_df = batch_df.filter(F.col("poll_id") == last).drop("poll_id")
+            if stats_out is not None:
+                stats_out.setdefault("polls", []).append(int(last))
+        elif batch_df.isEmpty():
+            return
+        engine.refresh_risk(
+            batch_df.select("system_id", "ship_kills"),
+            batch_df.select("system_id", "ship_jumps"),
+        )
+        # anchor: constant lineage depth across polls
+        engine.systems = engine.systems.localCheckpoint(eager=True)
+        engine.jumps = engine.jumps.localCheckpoint(eager=True)
+
+    return handle

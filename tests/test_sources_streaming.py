@@ -563,3 +563,150 @@ def test_eve_scout_stream_reader_offsets_replay(spark, tmp_path):
         _EveScoutStreamReader(
             _parse_datatype_string("poll_id long, id string"), {"path": str(polls)}
         )
+
+
+# --- streaming risk refresh (r9 verdict item 6) ------------------------------
+
+def _activity_poll(path, poll_id, rows):
+    """One activity-feed poll file: full-state per-system counters."""
+    import json as _json
+
+    path.write_text("\n".join(
+        _json.dumps({"system_id": sid, "ship_kills": k, "ship_jumps": j,
+                     "poll_id": poll_id})
+        for sid, k, j in rows
+    ))
+
+
+def _run_activity_stream(spark, poll_dir, ckpt, handler):
+    stream = (
+        spark.readStream.schema(
+            "system_id long, ship_kills long, ship_jumps long, poll_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(poll_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+
+def _risk_proj_rows(engine):
+    from eve_graph_spark.api import JUMP_RISK
+
+    return sorted(
+        (r["src"], r["dst"], r["weight"])
+        for r in engine.registry.get(JUMP_RISK).collect()
+    )
+
+
+def test_risk_stream_two_polls_reranks_routes_and_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """r9 verdict item 6 end-to-end: two activity micro-batches through the
+    file stream drive refresh_risk per poll (one file per micro-batch via
+    maxFilesPerTrigger=1); the risk projection after each poll is
+    bit-identical to the batch refresh_risk path, and the safest route
+    re-ranks when poll 1 makes the poll-0 route's transit system hot."""
+    from eve_graph_spark.api import risk_stream_handler
+
+    eng = _fixture_engine(spark, sf_dir)
+    names = {
+        r["system_id"]: r["name"] for r in eng.systems.collect()
+    }
+    all_ids = sorted(names)
+    a, b, mid = names[0], names[2], names[1]
+
+    polls = tmp_path / "activity"
+    polls.mkdir()
+    ckpt = tmp_path / "ckpt_risk"
+    # poll 0: system 1 is quiet (risk ~0.01), everything else mildly hot —
+    # the 0->2 safest route transits 1
+    _activity_poll(polls / "poll-000.json", 0,
+                   [(i, 1 if i == 1 else 2, 100 if i == 1 else 4)
+                    for i in all_ids])
+    stats: dict = {}
+    _run_activity_stream(spark, polls, ckpt, risk_stream_handler(eng, stats))
+    assert stats["polls"] == [0]
+
+    route0 = eng.safest_route(a, b)
+    assert mid in route0  # the quiet system carries the route
+
+    # batch parity after poll 0
+    def batch_engine(poll_rows_list):
+        ref = _fixture_engine(spark, sf_dir)
+        for rows in poll_rows_list:
+            feed = spark.createDataFrame(
+                [(sid, k, j) for sid, k, j in rows],
+                "system_id long, ship_kills long, ship_jumps long",
+            )
+            ref.refresh_risk(
+                feed.select("system_id", "ship_kills"),
+                feed.select("system_id", "ship_jumps"),
+            )
+        return ref
+
+    p0 = [(i, 1 if i == 1 else 2, 100 if i == 1 else 4) for i in all_ids]
+    ref0 = batch_engine([p0])
+    assert _risk_proj_rows(eng) == _risk_proj_rows(ref0)
+    assert route0 == ref0.safest_route(a, b)
+
+    # poll 1 arrives: system 1 goes hot (risk ~1e6) — resumed run applies
+    # only the new poll, and the route re-ranks around it
+    p1 = [(i, 1000 if i == 1 else 2, 1 if i == 1 else 4) for i in all_ids]
+    _activity_poll(polls / "poll-001.json", 1, p1)
+    stats2: dict = {}
+    _run_activity_stream(spark, polls, ckpt, risk_stream_handler(eng, stats2))
+    assert stats2["polls"] == [1]
+
+    route1 = eng.safest_route(a, b)
+    assert mid not in route1 and route1 != route0  # re-ranked off system 1
+    ref1 = batch_engine([p0, p1])
+    assert _risk_proj_rows(eng) == _risk_proj_rows(ref1)
+    assert route1 == ref1.safest_route(a, b)
+
+
+def test_risk_stream_catchup_batch_applies_latest_poll_only(
+    spark, sf_dir, tmp_path
+):
+    """A catch-up micro-batch holding BOTH polls applies only the latest
+    (full-state feed: older polls are superseded counters), matching a
+    batch engine that saw only poll 1."""
+    from eve_graph_spark.api import risk_stream_handler
+
+    eng = _fixture_engine(spark, sf_dir)
+    all_ids = sorted(r["system_id"] for r in eng.systems.collect())
+    p0 = [(i, 1, 100) for i in all_ids]
+    p1 = [(i, (i * 5) % 7 + 1, (i * 3) % 5 + 1) for i in all_ids]
+
+    polls = tmp_path / "activity_catchup"
+    polls.mkdir()
+    _activity_poll(polls / "poll-000.json", 0, p0)
+    _activity_poll(polls / "poll-001.json", 1, p1)
+
+    stream = spark.readStream.schema(
+        "system_id long, ship_kills long, ship_jumps long, poll_id long"
+    ).json(str(polls))  # no maxFilesPerTrigger: ONE batch with both polls
+    stats: dict = {}
+    q = (
+        stream.writeStream.foreachBatch(risk_stream_handler(eng, stats))
+        .option("checkpointLocation", str(tmp_path / "ckpt_catchup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert stats["polls"] == [1]
+
+    ref = _fixture_engine(spark, sf_dir)
+    feed = spark.createDataFrame(
+        p1, "system_id long, ship_kills long, ship_jumps long"
+    )
+    ref.refresh_risk(
+        feed.select("system_id", "ship_kills"),
+        feed.select("system_id", "ship_jumps"),
+    )
+    assert _risk_proj_rows(eng) == _risk_proj_rows(ref)
