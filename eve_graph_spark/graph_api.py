@@ -298,14 +298,17 @@ class PropertyGraph:
         return k1_coloring(self.edges, max_rounds=maxRounds,
                            src_col="src", dst_col="dst")
 
-    def sllpa(self, rounds: int = 5, minCount: int = 2) -> DataFrame:  # noqa: N803
+    def sllpa(self, rounds: int = 5, minCount: int = 2,  # noqa: N803
+              weightCol: str | None = None) -> DataFrame:  # noqa: N803
         """(node, label, cnt) — GDS gds.sllpa parity: overlapping
         community memberships via speaker-listener label propagation
-        (graph_analytics.sllpa)."""
+        (graph_analytics.sllpa). weightCol weights the listen votes
+        (weighted SLPA, Xie & Szymanski — the relationshipWeightProperty
+        knob)."""
         from eve_graph_spark.operators.graph_analytics import sllpa
 
         return sllpa(self.edges, rounds=rounds, min_count=minCount,
-                     src_col="src", dst_col="dst")
+                     src_col="src", dst_col="dst", weight_col=weightCol)
 
     def find(self, pattern: str) -> DataFrame:
         """GraphFrames motif finding: `find("(a)-[e]->(b); (b)-[e2]->(c)")`

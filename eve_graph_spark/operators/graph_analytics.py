@@ -3413,9 +3413,9 @@ def k1_coloring(edges: DataFrame, max_rounds: int = 12,
 # --- SLLPA overlapping communities (GDS gds.sllpa parity) ---------------------
 
 def _sllpa_local(adj_rows: list, rounds: int, min_count: int, spark) -> DataFrame:
-    adj: dict[int, list[int]] = {}
+    adj: dict[int, list[tuple[int, int]]] = {}
     for r in adj_rows:
-        adj.setdefault(r["u"], []).append(r["v"])
+        adj.setdefault(r["u"], []).append((r["v"], r["wfp"]))
     nodes = sorted(adj)
     mem: dict[int, dict[int, int]] = {v: {v: 1} for v in nodes}
     for it in range(rounds):
@@ -3425,8 +3425,8 @@ def _sllpa_local(adj_rows: list, rounds: int, min_count: int, spark) -> DataFram
         listened = {}
         for v in nodes:
             recv: dict[int, int] = {}
-            for u in adj[v]:
-                recv[spoken[u]] = recv.get(spoken[u], 0) + 1
+            for u, wfp in adj[v]:
+                recv[spoken[u]] = recv.get(spoken[u], 0) + wfp
             if it % 2 == 0:
                 listened[v] = min(recv, key=lambda lbl: (-recv[lbl], lbl))
             else:
@@ -3442,6 +3442,7 @@ def _sllpa_local(adj_rows: list, rounds: int, min_count: int, spark) -> DataFram
 
 def sllpa(edges: DataFrame, rounds: int = 5, min_count: int = 2,
           src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+          weight_col: str | None = None,
           driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """GDS `gds.sllpa` parity (speaker-listener label propagation, Xie et
     al. — OVERLAPPING community detection): each round every node SPEAKS
@@ -3452,20 +3453,39 @@ def sllpa(edges: DataFrame, rounds: int = 5, min_count: int = 2,
     (bridge nodes keep both sides' labels), which the single-label
     LPA/Louvain family cannot express.
 
+    `weight_col=` (r10, relationshipWeightProperty knob parity with the
+    louvain/LPA family) weights the LISTEN step: a neighbor's spoken
+    label votes with the edge's 1e-6 fixed-point weight (undirected
+    weight = MIN across collapsed directed edges, the MST/louvain
+    convention) instead of 1 — the weighted SLPA form (Xie & Szymanski).
+    Memory increments stay 1 per round (memory counts are membership
+    evidence, not vote mass). weight_col=None reduces to integer votes
+    of 1 bit-exactly.
+
     Deterministic: synchronous rounds, integer counts, min-label ties —
     the SQL oracle replays every round. Memory is (node, label, cnt)
     rows, at most `rounds`+1 labels per node; each round costs one
     (node)-keyed argmax window, one neighbor join + (node, label) count
     shuffle, and one memory-merge shuffle.
     """
-    e = _edge_frame(edges, src_col, dst_col)
+    wexpr = (
+        F.lit(1).cast("long") if weight_col is None
+        else F.floor(F.col(weight_col).cast("double") * MST_SCALE + F.lit(0.5))
+        .cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        wexpr.alias("wfp"),
+    )
     und = (
         e.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"),
+                "wfp")
+        .groupBy("a", "b").agg(F.min("wfp").alias("wfp"))
     )
-    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v"), "wfp").unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"), "wfp")
     )
     if _fits_driver(adj, driver_threshold):
         return _sllpa_local(adj.collect(), rounds, min_count, edges.sparkSession)
@@ -3486,7 +3506,7 @@ def sllpa(edges: DataFrame, rounds: int = 5, min_count: int = 2,
         recv = (
             adj.join(spoken, "v")
             .groupBy(F.col("u").alias("node"), F.col("spoken").alias("label"))
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("wfp").alias("c"))  # wfp=1 unweighted → exact count
         )
         # alternating tie-break (min on even rounds, max on odd): a fixed
         # min-tie would let the globally smallest label win EVERY balanced

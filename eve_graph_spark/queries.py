@@ -129,6 +129,9 @@ _MODIFIED_THIS_ROUND = {
     # Values unchanged, plans touched — re-verify externally.
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
+    # r10: sllpa listen-vote agg went count(1) -> sum(wfp) (wfp=1 unweighted,
+    # values bit-identical; plan touched) for the weighted knob.
+    "sllpa_overlapping",
 }
 
 
@@ -8106,9 +8109,9 @@ sl{i}_spoken AS MATERIALIZED (
 ),
 sl{i}_listen AS MATERIALIZED (
     SELECT node, label FROM (
-        SELECT a.u AS node, s.spoken AS label, COUNT(*) AS c,
+        SELECT a.u AS node, s.spoken AS label, {vote} AS c,
                ROW_NUMBER() OVER (PARTITION BY a.u
-                                  ORDER BY COUNT(*) DESC, s.spoken {tie}) AS rn
+                                  ORDER BY {vote} DESC, s.spoken {tie}) AS rn
         FROM sl_adj a JOIN sl{i}_spoken s ON s.v = a.v
         GROUP BY a.u, s.spoken
     ) t WHERE rn = 1
@@ -8140,7 +8143,7 @@ slmem{i} AS MATERIALIZED (
         ),
         """
         + ",".join(
-            _SLLPA_ROUND_SQL.format(i=i, prev=i - 1,
+            _SLLPA_ROUND_SQL.format(i=i, prev=i - 1, vote="COUNT(*)",
                                     tie="ASC" if (i - 1) % 2 == 0 else "DESC")
             for i in range(1, 6)
         )
@@ -8159,6 +8162,50 @@ def sllpa_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mesh = build_mesh_edges(spark, sf_dir)
     return sllpa(mesh, rounds=5, min_count=2)
+
+
+@register(
+    "sllpa_weighted",
+    _graph_cte(
+        """,
+        slw_und AS MATERIALIZED (
+            SELECT LEAST(src_system_id, dst_system_id) AS a,
+                   GREATEST(src_system_id, dst_system_id) AS b,
+                   MIN(CAST(FLOOR(risk * 1000000 + 0.5) AS BIGINT)) AS wfp
+            FROM fix_jumps WHERE src_system_id <> dst_system_id
+            GROUP BY 1, 2
+        ),
+        sl_adj AS MATERIALIZED (
+            SELECT a AS u, b AS v, wfp FROM slw_und
+            UNION ALL SELECT b AS u, a AS v, wfp FROM slw_und
+        ),
+        slmem0 AS MATERIALIZED (
+            SELECT u AS node, u AS label, CAST(1 AS BIGINT) AS cnt
+            FROM (SELECT DISTINCT u FROM sl_adj) n
+        ),
+        """
+        + ",".join(
+            _SLLPA_ROUND_SQL.format(i=i, prev=i - 1, vote="SUM(a.wfp)",
+                                    tie="ASC" if (i - 1) % 2 == 0 else "DESC")
+            for i in range(1, 6)
+        )
+        + """
+        SELECT node, label, CAST(cnt AS BIGINT) AS cnt FROM slmem5 WHERE cnt >= 2
+        """
+    ),
+)
+def sllpa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted SLLPA (r9 verdict item 8): the LISTEN step votes with 1e-6
+    # fixed-point risk weights (undirected weight = MIN across collapsed
+    # directed edges, the louvain/MST convention) on the risk-weighted
+    # jump graph — the weighted SLPA form (Xie & Szymanski); memory
+    # increments stay 1, memberships = memory counts >= 2. Same
+    # deterministic synchronous rounds/tie devices as sllpa_overlapping,
+    # so the unrolled SQL oracle replays every round exactly.
+    from eve_graph_spark.operators.graph_analytics import sllpa
+
+    jumps = build_jumps(spark, sf_dir)
+    return sllpa(jumps, rounds=5, min_count=2, weight_col="risk")
 
 
 _KNN_EDGES_SQL = """

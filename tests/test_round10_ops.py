@@ -370,3 +370,81 @@ def test_ivf_pq_index_persist_roundtrip(spark, sf_dir, tmp_path):
     got = ivf_pq_topk(emb, qids, k=5, index=idx2, model=model2)
     want = ivf_pq_topk(emb, qids, k=5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# --- weighted SLLPA (r10: relationshipWeightProperty knob) -------------------
+
+
+def _wedges(spark, triples):
+    rows = list(triples) + [(b, a, w) for a, b, w in triples]
+    return spark.createDataFrame(
+        rows, "src_system_id long, dst_system_id long, risk double"
+    )
+
+
+def test_sllpa_weighted_flips_listened_label(spark):
+    # node 0 hears three first-round speakers: label 9 over a HEAVY edge
+    # (10.0), labels 1 and 2 over light ones (1.0). Unweighted listening
+    # ties all three at one vote → min label 1; weighted listening picks
+    # 9 (vote 10 vs 1) — rounds=1/min_count=1 exposes the listen step's
+    # vote mass directly, with no memory-echo dynamics in the way.
+    from eve_graph_spark.operators.graph_analytics import sllpa
+
+    e = _wedges(spark, [(0, 9, 10.0), (0, 1, 1.0), (0, 2, 1.0),
+                        (9, 8, 10.0), (1, 2, 1.0)])
+    for thresh in (None, 0):  # driver-local and distributed paths agree
+        kw = {} if thresh is None else {"driver_threshold": 0}
+        unw = {r["node"]: r["label"]
+               for r in sllpa(e, rounds=1, min_count=1, **kw).collect()
+               if r["node"] == 0 and r["label"] != 0}
+        wgt = {r["node"]: r["label"]
+               for r in sllpa(e, rounds=1, min_count=1, weight_col="risk",
+                              **kw).collect()
+               if r["node"] == 0 and r["label"] != 0}
+        assert unw[0] == 1  # count tie -> min label
+        assert wgt[0] == 9  # heavy edge out-votes two light ones
+
+
+def test_sllpa_weighted_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import sllpa
+
+    ka = [(a, b, 2.5) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = _wedges(spark, ka + [(20, 1, 7.0), (20, 2, 0.5), (5, 20, 1.25),
+                             (5, 6, 3.0), (6, 7, 0.75), (7, 5, 2.0)])
+    loc = sorted(tuple(r) for r in sllpa(e, weight_col="risk").collect())
+    dist = sorted(
+        tuple(r)
+        for r in sllpa(e, weight_col="risk", driver_threshold=0).collect()
+    )
+    assert loc == dist
+    assert loc  # non-vacuous
+
+
+def test_sllpa_unweighted_votes_unchanged_by_wfp_path(spark):
+    # the sum(wfp)-with-wfp=1 rewrite must be bit-identical to the old
+    # count(*) listen votes — pin a known overlapping result
+    from eve_graph_spark.operators.graph_analytics import sllpa
+
+    k4a = [(a, b, 99.0) for a in range(1, 5) for b in range(1, 5) if a < b]
+    k4b = [(a, b, 0.1) for a in range(10, 14) for b in range(10, 14) if a < b]
+    e = _wedges(spark, k4a + k4b + [(20, 1, 1.0), (20, 2, 1.0),
+                                    (20, 10, 1.0), (20, 11, 1.0)])
+    mem: dict = {}
+    for r in sllpa(e).collect():  # weight_col=None: weights ignored
+        mem.setdefault(r["node"], {})[r["label"]] = r["cnt"]
+    assert set(mem[20]) == {1, 10}
+    assert set(mem[1]) == {1} and set(mem[10]) == {10}
+
+
+def test_property_graph_sllpa_weighted(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(1, 4)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 1, 5.0), (2, 3, 1.0), (3, 2, 1.0),
+         (1, 3, 2.0), (3, 1, 2.0)],
+        "src long, dst long, weight double",
+    )
+    out = PropertyGraph(v, e).sllpa(weightCol="weight")
+    assert out.columns == ["node", "label", "cnt"]
+    assert out.count() >= 3
