@@ -770,6 +770,83 @@ def exact_lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def lsh_index(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_fixed_point: bool = True,
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """Build the persistable hyperplane-LSH index: the corpus tagged with
+    its bucket id (sign bits against `n_planes` deterministic
+    hyperplanes), plus the model dict (the planes) the query path needs
+    driver-side. Persist with sinks.write_lsh_index (bucket-partitioned);
+    query with lsh_topk_from_index. Defaults to the exact fixed-point
+    bucket bits so a reloaded index reproduces lsh_bucketed_topk
+    (exact_fixed_point=True) bit-for-bit."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucket = (
+        exact_lsh_bucket_expr(F.col(vec_col), planes)
+        if exact_fixed_point
+        else lsh_bucket_expr(F.col(vec_col), planes)
+    )
+    idx = embeddings.select(id_col, vec_col, bucket.alias("bucket"))
+    model = {
+        "planes": planes, "n_planes": n_planes, "dim": dim,
+        "exact_fixed_point": exact_fixed_point, "seed": seed,
+    }
+    return idx, model
+
+
+def lsh_topk_from_index(
+    index: DataFrame,
+    model: dict,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH ANN against a PERSISTED index (lsh_index → sinks.write_lsh_index
+    → read_lsh_index): query rows are fetched by id (pushdown-pruned
+    scan), then candidates come from a LITERAL bucket filter — on the
+    bucket-partitioned layout that is static partition pruning, so a
+    query scans its buckets' directories, never the corpus (plan-pinned
+    in tests). Scoring matches lsh_bucketed_topk for the model's
+    exact_fixed_point mode."""
+    spark = index.sparkSession
+    qrows = (
+        index.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col, "bucket").collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, cosine double, rank int"
+        )
+    qdf = spark.createDataFrame(
+        [(int(r[id_col]), [float(x) for x in r[vec_col]], int(r["bucket"]))
+         for r in qrows],
+        "query_id long, qvec array<double>, bucket long",
+    )
+    probe_buckets = sorted({int(r["bucket"]) for r in qrows})
+    pairs = (
+        index.filter(F.col("bucket").isin(probe_buckets))  # static pruning
+        .join(F.broadcast(qdf), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    cos = (
+        (fixed_dot(F.col("qvec"), F.col(vec_col))
+         / (F.sqrt(fixed_dot(F.col("qvec"), F.col("qvec")))
+            * F.sqrt(fixed_dot(F.col(vec_col), F.col(vec_col)))))
+        if model.get("exact_fixed_point", True)
+        else cosine_expr(F.col("qvec"), F.col(vec_col))
+    )
+    scored = pairs.select("query_id", F.col(id_col), cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -69,12 +69,30 @@ def write_ivf_index(index: DataFrame, model: dict, path: str) -> None:
     The model sidecar is centroid-sized (KBs); on an object store it
     rides next to the partition directories.
     """
+    write_ann_index(index, model, path, partition_col="cell")
+
+
+def write_ann_index(index: DataFrame, model: dict, path: str,
+                    partition_col: str) -> None:
+    """Shared ANN-index layout: `partition_col`-partitioned parquet plus a
+    model.json sidecar. IVF/IVF-PQ partition by coarse `cell`
+    (write_ivf_index), hyperplane LSH by `bucket` (write_lsh_index) —
+    either way a probe's literal partition-key filter is static partition
+    pruning, the property both query-from-index paths plan-pin."""
     import json
     from pathlib import Path
 
-    index.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
+    index.write.mode("overwrite").partitionBy(partition_col).parquet(f"{path}/index")
     p = Path(path) / "model.json"
     p.write_text(json.dumps(model))
+
+
+def write_lsh_index(index: DataFrame, model: dict, path: str) -> None:
+    """Persist a hyperplane-LSH ANN index (similarity.lsh_index) as a
+    BUCKET-PARTITIONED parquet table + model.json (the hyperplanes) —
+    the "embeddings bucketed by LSH bucket" layout promise. A query
+    reads exactly its bucket's directory (`lsh_topk_from_index`)."""
+    write_ann_index(index, model, path, partition_col="bucket")
 
 
 def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
@@ -87,3 +105,9 @@ def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     index = spark.read.parquet(f"{path}/index")
     model = json.loads((Path(path) / "model.json").read_text())
     return index, model
+
+
+# the read path is layout-agnostic (parquet dir + model sidecar): the same
+# loader serves every write_ann_index layout
+read_ann_index = read_ivf_index
+read_lsh_index = read_ivf_index

@@ -448,3 +448,41 @@ def test_property_graph_sllpa_weighted(spark):
     out = PropertyGraph(v, e).sllpa(weightCol="weight")
     assert out.columns == ["node", "label", "cnt"]
     assert out.count() >= 3
+
+
+# --- LSH index persistence (r10: the "bucketed by LSH bucket" layout) --------
+
+
+def test_lsh_index_persist_roundtrip(spark, sf_dir, tmp_path):
+    from eve_graph_spark.operators.similarity import (
+        lsh_bucketed_topk, lsh_index, lsh_topk_from_index,
+    )
+    from eve_graph_spark.sinks import read_lsh_index, write_lsh_index
+
+    emb = _emb(spark, sf_dir)
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]
+    idx, model = lsh_index(emb)
+    write_lsh_index(idx, model, str(tmp_path / "lsh"))
+    idx2, model2 = read_lsh_index(spark, str(tmp_path / "lsh"))
+
+    got = lsh_topk_from_index(idx2, model2, qids, k=5)
+    want = lsh_bucketed_topk(emb, qids, k=5, exact_fixed_point=True)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_lsh_persisted_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    from eve_graph_spark.operators.similarity import lsh_index, lsh_topk_from_index
+    from eve_graph_spark.sinks import read_lsh_index, write_lsh_index
+
+    emb = _emb(spark, sf_dir)
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(2).collect()]
+    idx, model = lsh_index(emb)
+    write_lsh_index(idx, model, str(tmp_path / "lsh2"))
+    idx2, model2 = read_lsh_index(spark, str(tmp_path / "lsh2"))
+    df = lsh_topk_from_index(idx2, model2, qids, k=5)
+    plan = df._jdf.queryExecution().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf, "no partitioned scan in the plan"
+    assert any("bucket" in f and " IN " in f.upper() for f in pf), pf
