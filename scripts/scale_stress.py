@@ -192,6 +192,179 @@ def graph_stress(spark: SparkSession, layers: int, width: int,
     return 1 if errs else 0
 
 
+def mst_stress(spark: SparkSession, n_nodes: int, extra_per_node: int,
+               budget: int) -> int:
+    """Borůvka MST at stress scale (VERDICT r9 item 3): the round-9
+    distributed kernels were smoke-tested at 60k-200k edges; this runs
+    `minimum_spanning_forest`'s distributed path (driver_threshold=0) on a
+    ~2.4M-edge hash-random graph — past the 2M driver threshold, i.e. the
+    regime where production would actually take this path — and asserts
+    BIT-PARITY against the driver-local Kruskal twin plus the exact forest
+    rank (connected graph → exactly n_nodes-1 edges).
+
+    Graph: a ring (i, i+1 mod n) guarantees connectivity; `extra_per_node`
+    hash-scattered extra edges per node make the min-pick contention real.
+    Weights are hash-derived in (0, 1) with ~1e6 distinct values — the
+    random-weight regime where Borůvka needs its full O(log V) rounds
+    (components contract geometrically, not in one shot like uniform
+    weights on a path) — and both paths read the SAME materialized edge
+    frame, so parity is a pure algorithm check.
+    """
+    from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
+
+    ring = spark.range(n_nodes).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % n_nodes).alias("dst"),
+    )
+    extra = (
+        spark.range(n_nodes)
+        .crossJoin(spark.range(extra_per_node).select(F.col("id").alias("j")))
+        .select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 2654435761 + (F.col("j") + 1) * 40503 + 7)
+             % n_nodes).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    w = (((F.col("src") * 1000003 + F.col("dst") * 7919) % 999983) + 1) / 1000000.0
+    edges = (
+        ring.unionByName(extra)
+        .select("src", "dst", w.cast("double").alias("risk"))
+        .repartition(64)
+        .localCheckpoint(eager=True)  # both paths read identical bytes
+    )
+    n_edges = edges.count()
+
+    errs: list[str] = []
+    before = set(completed_stage_metrics(spark))
+    t0 = time.time()
+    dist_forest = minimum_spanning_forest(
+        edges, src_col="src", dst_col="dst", driver_threshold=0
+    ).localCheckpoint(eager=True)
+    n_forest = dist_forest.count()
+    took = round(time.time() - t0, 1)
+    stages = completed_stage_metrics(spark)
+    shuffle_rows = sum(
+        s.get("shuffleWriteRecords", 0)
+        for sid, s in stages.items() if sid not in before
+    )
+
+    if n_forest != n_nodes - 1:
+        errs.append(f"forest rank {n_forest} != n-1 = {n_nodes - 1}")
+    if took > budget:
+        errs.append(f"wall {took}s over budget {budget}s")
+
+    t0 = time.time()
+    local_forest = minimum_spanning_forest(
+        edges, src_col="src", dst_col="dst", driver_threshold=10**8
+    )
+    local_sec = round(time.time() - t0, 1)
+    diff = (
+        dist_forest.exceptAll(local_forest).count()
+        + local_forest.exceptAll(dist_forest).count()
+    )
+    if diff != 0:
+        errs.append(f"distributed vs driver-local twin differ on {diff} edges")
+    total_fp = dist_forest.agg(F.sum("weight_fp")).collect()[0][0]
+
+    print(json.dumps({
+        "graph": f"ring+{extra_per_node}/node hash-random", "n_nodes": n_nodes,
+        "n_edges": n_edges, "forest_edges": n_forest,
+        "forest_weight_fp": total_fp, "sec": took, "budget_sec": budget,
+        "local_twin_sec": local_sec, "shuffle_rows": shuffle_rows,
+        "errs": errs,
+    }))
+    print(json.dumps({"result": "FAIL" if errs else "PASS", "failures": errs}))
+    return 1 if errs else 0
+
+
+def louvain_stress(spark: SparkSession, n_cliques: int, clique_size: int,
+                   budget: int) -> int:
+    """Louvain at stress scale (VERDICT r9 item 3): a planted
+    ring-of-cliques at ~2M edges, run through the distributed path
+    (driver_threshold=0), asserting planted-community recovery — the
+    label-quality check the 60k-edge smoke can't make interesting.
+
+    Planted structure: `n_cliques` cliques of `clique_size` nodes
+    (clique c owns nodes [c*s, (c+1)*s)), one ring edge between
+    consecutive cliques for connectivity. Every node has s-1 intra-clique
+    neighbors vs at most 2 ring neighbors, so modularity-optimizing local
+    moves must (a) never merge labels across cliques (kin(own clique
+    community) >> 1 from round 1 on) and (b) converge each clique to one
+    label within ~3 synchronous rounds (parity-alternating moves: evens
+    coalesce onto the min-id non-boundary singleton, odds join the
+    majority community next round). Asserted exactly: no label spans two
+    planted cliques, >= 99% of nodes carry their clique's plurality
+    label, and the community count lands in [n_cliques, 1.1*n_cliques].
+    """
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    s = clique_size
+    pairs = [(i, j) for i in range(s) for j in range(i + 1, s)]
+    pair_df = spark.createDataFrame(pairs, "i int, j int")
+    intra = (
+        spark.range(n_cliques).crossJoin(pair_df)
+        .select(
+            (F.col("id") * s + F.col("i")).alias("src"),
+            (F.col("id") * s + F.col("j")).alias("dst"),
+        )
+    )
+    ring = spark.range(n_cliques).select(
+        (F.col("id") * s).alias("src"),
+        (((F.col("id") + 1) % n_cliques) * s).alias("dst"),
+    )
+    edges = intra.unionByName(ring).repartition(64).localCheckpoint(eager=True)
+    n_edges = edges.count()
+
+    errs: list[str] = []
+    before = set(completed_stage_metrics(spark))
+    t0 = time.time()
+    out = louvain(edges, rounds=5, src_col="src", dst_col="dst",
+                  driver_threshold=0).localCheckpoint(eager=True)
+    took = round(time.time() - t0, 1)
+    stages = completed_stage_metrics(spark)
+    shuffle_rows = sum(
+        s2.get("shuffleWriteRecords", 0)
+        for sid, s2 in stages.items() if sid not in before
+    )
+
+    labeled = out.select(
+        "node", "community", F.floor(F.col("node") / s).alias("clique")
+    )
+    span = (
+        labeled.groupBy("community")
+        .agg(F.countDistinct("clique").alias("n_cliques"))
+        .filter(F.col("n_cliques") > 1).count()
+    )
+    if span:
+        errs.append(f"{span} communities span more than one planted clique")
+    plur = (
+        labeled.groupBy("clique", "community").count()
+        .groupBy("clique").agg(F.max("count").alias("plurality"))
+        .agg(F.sum("plurality")).collect()[0][0]
+    )
+    n_nodes = n_cliques * s
+    purity = plur / n_nodes
+    if purity < 0.99:
+        errs.append(f"plurality purity {purity:.4f} < 0.99")
+    n_comm = labeled.select("community").distinct().count()
+    if not (n_cliques <= n_comm <= int(1.1 * n_cliques)):
+        errs.append(f"community count {n_comm} outside [{n_cliques}, "
+                    f"{int(1.1 * n_cliques)}]")
+    if took > budget:
+        errs.append(f"wall {took}s over budget {budget}s")
+
+    print(json.dumps({
+        "graph": f"{n_cliques} cliques x {s}", "n_nodes": n_nodes,
+        "n_edges": n_edges, "sec": took, "budget_sec": budget,
+        "purity": round(purity, 6), "communities": n_comm,
+        "cross_clique_labels": span, "shuffle_rows": shuffle_rows,
+        "errs": errs,
+    }))
+    print(json.dumps({"result": "FAIL" if errs else "PASS", "failures": errs}))
+    return 1 if errs else 0
+
+
 def multi_source_stress(spark: SparkSession, layers: int, width: int, k: int,
                         checkpoint_every: int, budget: int) -> int:
     """Multi-source frontier-loop stress (round-6: landmark closeness fix).
@@ -527,6 +700,18 @@ def main() -> int:
                     help="candidates-only probe at REP x5000 docs: digest/"
                          "bucket shuffles only, so it fits the box at 5M "
                          "where the full verify phase cannot")
+    ap.add_argument("--mst", action="store_true",
+                    help="Borůvka MST stress: 2.4M-edge hash-random graph "
+                         "through the distributed path, bit-parity vs the "
+                         "driver-local Kruskal twin (r9 verdict item 3)")
+    ap.add_argument("--louvain", action="store_true",
+                    help="Louvain stress: 2M-edge planted ring-of-cliques "
+                         "through the distributed path, asserting planted-"
+                         "community recovery (r9 verdict item 3)")
+    ap.add_argument("--mst-nodes", type=int, default=400_000)
+    ap.add_argument("--mst-extra", type=int, default=5)
+    ap.add_argument("--louvain-cliques", type=int, default=2600)
+    ap.add_argument("--louvain-clique-size", type=int, default=40)
     ap.add_argument("--graph-layers", type=int, default=1000)
     ap.add_argument("--graph-width", type=int, default=32)
     ap.add_argument("--graph-sources", type=int, default=16)
@@ -548,6 +733,11 @@ def main() -> int:
         return pairs_cand_only(spark, args.pairs_cand_only)
     if args.pairs is not None:
         return pairs_stress(spark, args.pairs or [100, 500])
+    if args.mst:
+        return mst_stress(spark, args.mst_nodes, args.mst_extra, GRAPH_BUDGET_SEC)
+    if args.louvain:
+        return louvain_stress(spark, args.louvain_cliques,
+                              args.louvain_clique_size, GRAPH_BUDGET_SEC)
     if args.graph:
         return graph_stress(spark, args.graph_layers, args.graph_width,
                             args.graph_checkpoint_every, GRAPH_BUDGET_SEC)
