@@ -253,13 +253,25 @@ class PropertyGraph:
         return dag_longest_paths(self.edges, weight_col=weightCol,
                                  src_col="src", dst_col="dst")
 
-    def louvain(self, rounds: int = 4) -> DataFrame:
-        """(node, community) — GDS gds.louvain maxLevels=1 parity:
-        deterministic synchronous modularity-optimizing local moves
-        (graph_analytics.louvain)."""
-        from eve_graph_spark.operators.graph_analytics import louvain
+    def louvain(self, rounds: int = 4, maxLevels: int = 1,  # noqa: N803
+                weightCol: str | None = None) -> DataFrame:  # noqa: N803
+        """(node, community) — GDS gds.louvain parity: deterministic
+        synchronous modularity-optimizing local moves
+        (graph_analytics.louvain); maxLevels > 1 stacks levels with
+        community aggregation between them
+        (graph_analytics.louvain_multilevel, the GDS maxLevels knob);
+        weightCol is relationshipWeightProperty."""
+        from eve_graph_spark.operators.graph_analytics import (
+            louvain,
+            louvain_multilevel,
+        )
 
-        return louvain(self.edges, rounds=rounds, src_col="src", dst_col="dst")
+        if maxLevels > 1:
+            return louvain_multilevel(self.edges, levels=maxLevels,
+                                      rounds=rounds, src_col="src",
+                                      dst_col="dst", weight_col=weightCol)
+        return louvain(self.edges, rounds=rounds, src_col="src",
+                       dst_col="dst", weight_col=weightCol)
 
     def kTruss(self, k: int = 3) -> DataFrame:  # noqa: N802
         """(src, dst, support) — GDS gds.ktruss parity: maximal subgraph

@@ -2885,14 +2885,22 @@ def k_truss(edges: DataFrame, k: int = 3,
 
 # --- Louvain phase-1 (GDS gds.louvain maxLevels=1 parity) --------------------
 
-def _louvain_local(adj_rows: list, rounds: int, spark) -> DataFrame:
+def _louvain_local(adj_rows: list, rounds: int, spark,
+                   self_rows: list = ()) -> DataFrame:
     """Driver fast path — the SAME synchronous alternating-parity rounds
-    over Python dicts. All-integer gains, so bit-identical to the loop."""
+    over Python dicts. All-integer gains, so bit-identical to the loop.
+    `self_rows` are (node, wself) self-loop weights: they contribute to a
+    node's degree (×2) and to m, never to any kin (a self-loop moves with
+    its node, so its internal mass is identical in every candidate
+    community and cancels out of the argmax — the standard aggregated-
+    graph convention)."""
     adj: dict[int, list[tuple[int, int]]] = {}
     for r in adj_rows:
         adj.setdefault(r["u"], []).append((r["v"], r["wfp"]))
-    nodes = sorted(adj)
-    deg = {v: sum(w for _, w in adj[v]) for v in nodes}
+    wself = {r["node"]: r["wself"] for r in self_rows}
+    nodes = sorted(set(adj) | set(wself))
+    deg = {v: sum(w for _, w in adj.get(v, ())) + 2 * wself.get(v, 0)
+           for v in nodes}
     m = sum(deg.values()) // 2
     comm = {v: v for v in nodes}
     for it in range(rounds):
@@ -2902,7 +2910,7 @@ def _louvain_local(adj_rows: list, rounds: int, spark) -> DataFrame:
         new_comm = {}
         for v in nodes:
             kin: dict[int, int] = {}
-            for u, w in adj[v]:
+            for u, w in adj.get(v, ()):
                 kin[comm[u]] = kin.get(comm[u], 0) + w
             kin.setdefault(comm[v], 0)
             best_c, best_g = None, None
@@ -2926,6 +2934,7 @@ def _louvain_local(adj_rows: list, rounds: int, spark) -> DataFrame:
 def louvain(edges: DataFrame, rounds: int = 4,
             src_col: str = "src_system_id", dst_col: str = "dst_system_id",
             weight_col: str | None = None,
+            pre_scaled_weights: bool = False,
             driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """GDS `gds.louvain` (maxLevels=1) parity: modularity-optimizing local
     moves on the undirected projection, made deterministic and
@@ -2947,17 +2956,29 @@ def louvain(edges: DataFrame, rounds: int = 4,
     oracle contract is unchanged. weight_col=None reduces to edge counts
     bit-exactly.
 
-    One level only (no graph aggregation phase), the GDS maxLevels=1
-    behaviour; at 100 TB each round is: one community-keyed degree sum
+    One level of local moves (the GDS maxLevels=1 behaviour);
+    `louvain_multilevel` stacks levels with community aggregation between
+    them (GDS maxLevels>1). Self-loops — which aggregated graphs carry as
+    intra-community mass — contribute to a node's degree (×2) and to m,
+    never to any kin: a self-loop moves with its node, so its internal
+    mass is identical in every candidate community and cancels out of the
+    argmax (the standard aggregated-graph convention; r10).
+    `pre_scaled_weights=True` reads weight_col as ALREADY-fixed-point
+    longs (aggregated super-edge weights), skipping the 1e-6 rounding.
+
+    At 100 TB each round is: one community-keyed degree sum
     (community-count cells), one (node, neighbor-community) count shuffle
     (Σ degrees rows — the LPA shape), one per-node argmax window. Labels
     localCheckpoint per round.
     """
-    wexpr = (
-        F.lit(1).cast("long") if weight_col is None
-        else F.floor(F.col(weight_col).cast("double") * MST_SCALE + F.lit(0.5))
-        .cast("long")
-    )
+    if pre_scaled_weights:
+        wexpr = F.col(weight_col).cast("long")
+    elif weight_col is None:
+        wexpr = F.lit(1).cast("long")
+    else:
+        wexpr = F.floor(
+            F.col(weight_col).cast("double") * MST_SCALE + F.lit(0.5)
+        ).cast("long")
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -2972,15 +2993,32 @@ def louvain(edges: DataFrame, rounds: int = 4,
                 "wfp")
         .groupBy("a", "b").agg(F.min("wfp").alias("wfp"))
     )
+    sl = (
+        e.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("node")).agg(F.min("wfp").alias("wself"))
+    )
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v"), "wfp").unionByName(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"), "wfp")
     )
     if _fits_driver(adj, driver_threshold):
-        return _louvain_local(adj.collect(), rounds, edges.sparkSession)
+        return _louvain_local(adj.collect(), rounds, edges.sparkSession,
+                              sl.collect())
 
-    deg = adj.groupBy("u").agg(F.sum("wfp").alias("k"))
-    m = und.agg(F.sum("wfp")).collect()[0][0]
+    deg = (
+        adj.groupBy("u").agg(F.sum("wfp").alias("k_adj"))
+        .join(sl.select(F.col("node").alias("u"), "wself"), "u", "full_outer")
+        .select(
+            "u",
+            (F.coalesce(F.col("k_adj"), F.lit(0))
+             + 2 * F.coalesce(F.col("wself"), F.lit(0))).alias("k"),
+        )
+    )
+    m_und = und.agg(F.sum("wfp")).collect()[0][0] or 0
+    m_self = sl.agg(F.sum("wself")).collect()[0][0] or 0
+    m = m_und + m_self
     comm = deg.select(F.col("u").alias("node"), F.col("u").alias("comm"))
+    if m == 0:
+        return comm.select("node", F.col("comm").alias("community"))
     from pyspark.sql import Window
 
     for it in range(rounds):
@@ -3038,6 +3076,101 @@ def louvain(edges: DataFrame, rounds: int = 4,
             .localCheckpoint(eager=True)
         )
     return comm.select("node", F.col("comm").alias("community"))
+
+
+def community_aggregate(edges: DataFrame, labels: DataFrame,
+                        weight_col: str | None = None,
+                        src_col: str = "src_system_id",
+                        dst_col: str = "dst_system_id",
+                        pre_scaled_weights: bool = False) -> DataFrame:
+    """Louvain phase-2 graph aggregation: one super-node per community,
+    super-edge weight = Σ of the collapsed undirected edge weights between
+    the two communities; intra-community mass lands on the diagonal as a
+    SELF-LOOP row (src == dst) — exactly what the self-loop-aware louvain
+    kernel consumes (degree ×2 / m contributions). `labels` is
+    (node, community). Returns (src, dst, wfp) with wfp already in fixed
+    point (feed back via pre_scaled_weights=True).
+
+    Scale shape: collapse (one groupBy over |E|), two broadcast-or-shuffle
+    label joins, one (community, community) sum — the output is
+    community²-bounded but in practice ~|communities|·avg-degree rows,
+    shrinking geometrically per level like MST's contraction graphs.
+    """
+    if pre_scaled_weights:
+        wexpr = F.col(weight_col).cast("long")
+    elif weight_col is None:
+        wexpr = F.lit(1).cast("long")
+    else:
+        wexpr = F.floor(
+            F.col(weight_col).cast("double") * MST_SCALE + F.lit(0.5)
+        ).cast("long")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        wexpr.alias("wfp"),
+    )
+    # same undirected collapse as louvain (MIN across directed/parallel
+    # edges; self-loop weight = MIN across its duplicates) so aggregating
+    # the ORIGINAL graph by a cumulative mapping at any level equals
+    # aggregating the previous level's super-graph
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"),
+                "wfp")
+        .groupBy("a", "b").agg(F.min("wfp").alias("wfp"))
+    )
+    sl = (
+        e.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("src").alias("b"), "wfp")
+        .groupBy("a", "b").agg(F.min("wfp").alias("wfp"))
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    return (
+        und.unionByName(sl)
+        .join(la, "a").join(lb, "b")
+        .select(F.least("ca", "cb").alias("src"),
+                F.greatest("ca", "cb").alias("dst"), "wfp")
+        .groupBy("src", "dst").agg(F.sum("wfp").alias("wfp"))
+    )
+
+
+def louvain_multilevel(edges: DataFrame, levels: int = 2, rounds: int = 4,
+                       src_col: str = "src_system_id",
+                       dst_col: str = "dst_system_id",
+                       weight_col: str | None = None,
+                       driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
+    """GDS `gds.louvain` with maxLevels > 1: alternate local-move phases
+    (the deterministic synchronous `louvain`) with graph AGGREGATION
+    (`community_aggregate`) — after each level every community becomes one
+    super-node, intra-community mass becomes self-loops, and the next
+    level's local moves run on the shrunken super-graph, merging
+    communities the flat pass cannot (a level-1 fixpoint where no single
+    node gains by moving can still admit whole-community merges).
+    Returns (node, community) where community is the FINAL level's label,
+    mapped back through every level — deterministic, so the unrolled SQL
+    oracle replays levels exactly.
+
+    Each aggregation shrinks the graph like MST's contraction: level L+1
+    runs on ~|communities_L| super-nodes, so levels beyond the first cost
+    a vanishing fraction of level 1. Runs a FIXED level count (no early
+    break) — deterministic plan shape, and a converged level is a cheap
+    no-op pass over an already-tiny graph."""
+    mapping = louvain(edges, rounds=rounds, src_col=src_col, dst_col=dst_col,
+                      weight_col=weight_col, driver_threshold=driver_threshold)
+    for _ in range(1, levels):
+        mapping = mapping.localCheckpoint(eager=True)
+        agg = community_aggregate(edges, mapping, weight_col=weight_col,
+                                  src_col=src_col, dst_col=dst_col)
+        up = louvain(agg, rounds=rounds, src_col="src", dst_col="dst",
+                     weight_col="wfp", pre_scaled_weights=True,
+                     driver_threshold=driver_threshold)
+        mapping = mapping.join(
+            up.select(F.col("node").alias("community"),
+                      F.col("community").alias("next_c")),
+            "community",
+        ).select("node", F.col("next_c").alias("community"))
+    return mapping
 
 
 # --- ArticleRank (GDS gds.articleRank parity) --------------------------------

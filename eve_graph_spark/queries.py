@@ -132,6 +132,12 @@ _MODIFIED_THIS_ROUND = {
     # r10: sllpa listen-vote agg went count(1) -> sum(wfp) (wfp=1 unweighted,
     # values bit-identical; plan touched) for the weighted knob.
     "sllpa_overlapping",
+    # r10: louvain gained self-loop-aware degrees/m for the multilevel
+    # aggregation phase (no fixture graph carries self-loops, values
+    # bit-identical; plans gained the self-loop split/outer-join).
+    "louvain_communities",
+    "louvain_weighted",
+    "knn_graph_communities",
 }
 
 
@@ -7737,6 +7743,147 @@ def _louvain_rounds_cte(rounds: int, src_sql: str, prefix: str = ", ") -> str:
         ) b ON b.node = g0.node
     )""")
     return "".join(steps)
+
+
+def _louvain_sl_rounds_cte(rounds: int, src_sql: str, n: str) -> str:
+    """Self-loop-aware Louvain round chain (r10, the aggregated-graph
+    form): like _louvain_rounds_cte but `src_sql` may carry a == b rows —
+    self-loops contribute to a node's degree (×2) and to m, never to any
+    kin (they move with the node, so their internal mass cancels out of
+    the argmax). CTE names are prefixed with `n` so a multilevel query
+    can stack chains."""
+    steps = [f"""
+    {n}_und AS MATERIALIZED (
+        SELECT a, b, MIN(wfp) AS wfp FROM ({src_sql}) s WHERE a <> b GROUP BY a, b
+    ),
+    {n}_self AS MATERIALIZED (
+        SELECT a AS node, MIN(wfp) AS wself FROM ({src_sql}) s WHERE a = b GROUP BY a
+    ),
+    {n}_adj AS MATERIALIZED (
+        SELECT a AS u, b AS v, wfp FROM {n}_und
+        UNION ALL SELECT b AS u, a AS v, wfp FROM {n}_und
+    ),
+    {n}_deg AS MATERIALIZED (
+        SELECT COALESCE(d.u, sl.node) AS u,
+               COALESCE(d.k, 0) + 2 * COALESCE(sl.wself, 0) AS k
+        FROM (SELECT u, SUM(wfp) AS k FROM {n}_adj GROUP BY u) d
+        FULL OUTER JOIN {n}_self sl ON sl.node = d.u
+    ),
+    {n}_m AS (
+        SELECT (SELECT COALESCE(SUM(wfp), 0) FROM {n}_und)
+             + (SELECT COALESCE(SUM(wself), 0) FROM {n}_self) AS m
+    ),
+    {n}0 AS MATERIALIZED (SELECT u AS node, u AS comm FROM {n}_deg)"""]
+    for i in range(1, rounds + 1):
+        it = i - 1
+        steps.append(f"""
+    , {n}{i}_stot AS MATERIALIZED (
+        SELECT l.comm AS c, SUM(d.k) AS stot
+        FROM {n}{it} l JOIN {n}_deg d ON d.u = l.node GROUP BY 1
+    ),
+    {n}{i}_nc AS MATERIALIZED (
+        SELECT e.u AS node, l.comm AS c, SUM(e.wfp) AS kin
+        FROM {n}_adj e JOIN {n}{it} l ON l.node = e.v GROUP BY 1, 2
+    ),
+    {n}{i}_cand AS MATERIALIZED (
+        SELECT node, c, kin FROM {n}{i}_nc
+        UNION ALL
+        SELECT l.node, l.comm, CAST(0 AS BIGINT) FROM {n}{it} l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {n}{i}_nc x WHERE x.node = l.node AND x.c = l.comm
+        )
+    ),
+    {n}{i}_gain AS MATERIALIZED (
+        SELECT cand.node, cand.c, l.comm,
+               2 * (SELECT m FROM {n}_m) * cand.kin
+               - d.k * (st.stot - CASE WHEN cand.c = l.comm THEN d.k ELSE 0 END) AS g
+        FROM {n}{i}_cand cand
+        JOIN {n}{it} l ON l.node = cand.node
+        JOIN {n}_deg d ON d.u = cand.node
+        JOIN {n}{i}_stot st ON st.c = cand.c
+    ),
+    {n}{i} AS MATERIALIZED (
+        SELECT g0.node,
+               CASE WHEN (g0.node + {it}) % 2 = 0 AND b.g > g0.g
+                    THEN b.c ELSE g0.comm END AS comm
+        FROM (SELECT node, comm, g FROM {n}{i}_gain WHERE c = comm) g0
+        JOIN (
+            SELECT node, c, g FROM (
+                SELECT node, c, g,
+                       ROW_NUMBER() OVER (PARTITION BY node ORDER BY g DESC, c) AS rn
+                FROM {n}{i}_gain
+            ) r WHERE rn = 1
+        ) b ON b.node = g0.node
+    )""")
+    return "".join(steps)
+
+
+# ring of 25 triangles derived from nation (clique c of nationkey c owns
+# nodes 3c..3c+2; one ring edge 3c -> 3((c+1) mod 25)): m = 100 puts the
+# clique count past the sqrt(2m) ~ 14 resolution limit, so level-2
+# community merges provably activate (Fortunato & Barthelemy) — the shape
+# where maxLevels=1 and maxLevels=2 MUST differ.
+_ML_RING_SRC = """
+    SELECT LEAST(3*n + i, 3*n + j) AS a, GREATEST(3*n + i, 3*n + j) AS b,
+           CAST(1 AS BIGINT) AS wfp
+    FROM (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation),
+         (VALUES (0, 1), (0, 2), (1, 2)) t(i, j)
+    UNION ALL
+    SELECT LEAST(3*n, 3*((n + 1) % (SELECT COUNT(*) FROM nation))) AS a,
+           GREATEST(3*n, 3*((n + 1) % (SELECT COUNT(*) FROM nation))) AS b,
+           CAST(1 AS BIGINT) AS wfp
+    FROM (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation)
+"""
+
+# level-2 input: the level-1 graph aggregated by the lv4 labels — inter-
+# community mass on (LEAST, GREATEST), intra-community mass on the
+# diagonal as self-loops
+_ML_AGG_SRC = """
+    SELECT LEAST(la.comm, lb.comm) AS a, GREATEST(la.comm, lb.comm) AS b,
+           SUM(u.wfp) AS wfp
+    FROM lv_und u
+    JOIN lv4 la ON la.node = u.a
+    JOIN lv4 lb ON lb.node = u.b
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "louvain_multilevel_ring",
+    _graph_cte(
+        _louvain_rounds_cte(4, _ML_RING_SRC)
+        + ", " + _louvain_sl_rounds_cte(4, _ML_AGG_SRC, "mv").lstrip().lstrip(",")
+        + """
+        SELECT l1.node, l2.comm AS community
+        FROM lv4 l1 JOIN mv4 l2 ON l2.node = l1.comm
+        """
+    ),
+)
+def louvain_multilevel_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.louvain maxLevels=2 parity (r10): local moves -> community
+    # aggregation (intra-community mass becomes SELF-LOOPS; degree x2 / m
+    # contributions, never kin — they cancel out of the argmax) -> local
+    # moves on the super-graph -> map back. The ring of 25 triangles sits
+    # past the sqrt(2m) resolution limit, so level 2 provably merges
+    # cliques a flat pass cannot (25 -> fewer communities; pinned
+    # non-equal to louvain over the same edges in tests). All-integer
+    # arithmetic end to end — the oracle replays both levels exactly.
+    from eve_graph_spark.operators.graph_analytics import louvain_multilevel
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("n")
+    )
+    cnt = nation.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (1, 2)], "i long, j long")
+    intra = nation.crossJoin(F.broadcast(pairs)).select(
+        (F.col("n") * 3 + F.col("i")).alias("src_system_id"),
+        (F.col("n") * 3 + F.col("j")).alias("dst_system_id"),
+    )
+    ring = nation.crossJoin(F.broadcast(cnt)).select(
+        (F.col("n") * 3).alias("src_system_id"),
+        (((F.col("n") + 1) % F.col("cnt")) * 3).alias("dst_system_id"),
+    )
+    return louvain_multilevel(intra.unionByName(ring), levels=2, rounds=4)
 
 
 @register("louvain_communities", _louvain_unrolled_sql(4))

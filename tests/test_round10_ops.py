@@ -486,3 +486,102 @@ def test_lsh_persisted_probe_prunes_partitions(spark, sf_dir, tmp_path):
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf, "no partitioned scan in the plan"
     assert any("bucket" in f and " IN " in f.upper() for f in pf), pf
+
+
+# --- multi-level Louvain (r10: GDS maxLevels > 1) -----------------------------
+
+
+def _ring_of_triangles(spark, n_cliques):
+    tris = [(3 * c + i, 3 * c + j)
+            for c in range(n_cliques) for i in range(3) for j in range(3) if i < j]
+    ring = [(3 * c, 3 * ((c + 1) % n_cliques)) for c in range(n_cliques)]
+    return spark.createDataFrame(
+        tris + ring, "src_system_id long, dst_system_id long"
+    )
+
+
+def test_community_aggregate_supergraph_exact(spark):
+    from eve_graph_spark.operators.graph_analytics import community_aggregate
+
+    lbl = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 100), (3, 200), (4, 200), (5, 200)],
+        "node long, community long",
+    )
+    tiny = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (2, 3), (1, 4)],
+        "src_system_id long, dst_system_id long",
+    )
+    got = sorted(tuple(r) for r in community_aggregate(tiny, lbl).collect())
+    # 3 intra edges in 100 -> self-loop (100,100,3); 2 cross edges; 2 intra in 200
+    assert got == [(100, 100, 3), (100, 200, 2), (200, 200, 2)]
+
+
+def test_louvain_multilevel_levels1_equals_flat(spark):
+    from eve_graph_spark.operators.graph_analytics import louvain, louvain_multilevel
+
+    e = _ring_of_triangles(spark, 8)
+    flat = sorted(tuple(r) for r in louvain(e, rounds=4).collect())
+    l1 = sorted(tuple(r) for r in louvain_multilevel(e, levels=1, rounds=4).collect())
+    assert flat == l1
+
+
+def test_louvain_multilevel_merges_past_resolution_limit(spark):
+    # 25 triangles in a ring: m = 100, so the clique count (25) exceeds the
+    # sqrt(2m) ~ 14 resolution limit (Fortunato & Barthelemy) — a flat pass
+    # finds every triangle, level 2 MUST merge some of them (whole-community
+    # moves a single-node pass cannot make).
+    from eve_graph_spark.operators.graph_analytics import louvain, louvain_multilevel
+
+    e = _ring_of_triangles(spark, 25)
+    n_flat = louvain(e, rounds=4).select("community").distinct().count()
+    ml = louvain_multilevel(e, levels=2, rounds=4)
+    n_ml = ml.select("community").distinct().count()
+    assert n_flat == 25
+    assert n_ml < 25
+    # and it is still a partition of all 75 nodes
+    assert ml.count() == 75 and ml.select("node").distinct().count() == 75
+
+
+def test_louvain_multilevel_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import louvain_multilevel
+
+    e = _ring_of_triangles(spark, 8)
+    loc = sorted(tuple(r) for r in louvain_multilevel(e, levels=2, rounds=3).collect())
+    dist = sorted(
+        tuple(r)
+        for r in louvain_multilevel(e, levels=2, rounds=3,
+                                    driver_threshold=0).collect()
+    )
+    assert loc == dist
+
+
+def test_louvain_self_loops_degree_and_m_parity(spark):
+    # self-loops must not crash either path and must agree between them;
+    # they contribute to degree/m only, so on a graph where they are the
+    # only difference, communities still form on the real edges
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    rows = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+            (1, 1), (5, 5)]
+    e = spark.createDataFrame(rows, "src_system_id long, dst_system_id long")
+    loc = sorted(tuple(r) for r in louvain(e, rounds=4).collect())
+    dist = sorted(
+        tuple(r) for r in louvain(e, rounds=4, driver_threshold=0).collect()
+    )
+    assert loc == dist
+    assert len(loc) == 6  # self-loops add no phantom nodes
+
+
+def test_property_graph_louvain_max_levels(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    tris = [(3 * c + i, 3 * c + j)
+            for c in range(25) for i in range(3) for j in range(3) if i < j]
+    ring = [(3 * c, 3 * ((c + 1) % 25)) for c in range(25)]
+    v = spark.createDataFrame([(i,) for i in range(75)], "id long")
+    e = spark.createDataFrame(tris + ring, "src long, dst long")
+    g = PropertyGraph(v, e)
+    flat = g.louvain(rounds=4)
+    deep = g.louvain(rounds=4, maxLevels=2)
+    assert flat.select("community").distinct().count() == 25
+    assert deep.select("community").distinct().count() < 25
