@@ -273,6 +273,17 @@ class PropertyGraph:
         return louvain(self.edges, rounds=rounds, src_col="src",
                        dst_col="dst", weight_col=weightCol)
 
+    def leiden(self, rounds: int = 4, maxLevels: int = 2,  # noqa: N803
+               weightCol: str | None = None) -> DataFrame:  # noqa: N803
+        """(node, community) — GDS gds.leiden counterpart, deterministic:
+        louvain local moves + the Leiden refinement (every returned
+        community induces a CONNECTED subgraph) + self-loop aggregation
+        per level (graph_analytics.leiden)."""
+        from eve_graph_spark.operators.graph_analytics import leiden
+
+        return leiden(self.edges, levels=maxLevels, rounds=rounds,
+                      src_col="src", dst_col="dst", weight_col=weightCol)
+
     def kTruss(self, k: int = 3) -> DataFrame:  # noqa: N802
         """(src, dst, support) — GDS gds.ktruss parity: maximal subgraph
         where every edge closes >= k-2 in-subgraph triangles

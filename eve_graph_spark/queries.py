@@ -7886,6 +7886,86 @@ def louvain_multilevel_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_multilevel(intra.unionByName(ring), levels=2, rounds=4)
 
 
+def _refine_cte(name: str, und: str, labels: str) -> str:
+    """Leiden refinement replay: min-label connected components over the
+    intra-community edges of `und` under `labels` (node, comm) — members
+    with no intra edge become singletons. Emits `{name}` = (node, comm)."""
+    return f"""
+    {name}_intra AS MATERIALIZED (
+        SELECT u.a, u.b FROM {und} u
+        JOIN {labels} la ON la.node = u.a
+        JOIN {labels} lb ON lb.node = u.b
+        WHERE la.comm = lb.comm
+    ),
+    {name}_dir AS (
+        SELECT a, b FROM {name}_intra
+        UNION ALL SELECT b AS a, a AS b FROM {name}_intra
+    ),
+    {name}_seeds AS (
+        SELECT DISTINCT a AS node FROM {name}_dir
+    ),
+    {name}_walk(node, label) AS (
+        SELECT node, node FROM {name}_seeds
+        UNION
+        SELECT d.b, w.label FROM {name}_walk w JOIN {name}_dir d ON d.a = w.node
+    ),
+    {name} AS MATERIALIZED (
+        SELECT node, MIN(label) AS comm FROM {name}_walk GROUP BY node
+        UNION ALL
+        SELECT l.node, l.node FROM {labels} l
+        WHERE NOT EXISTS (SELECT 1 FROM {name}_seeds sd WHERE sd.node = l.node)
+    )"""
+
+
+# level-2 leiden input: the level-1 graph aggregated by the REFINED labels
+_LEIDEN_AGG_SRC = """
+    SELECT LEAST(la.comm, lb.comm) AS a, GREATEST(la.comm, lb.comm) AS b,
+           SUM(u.wfp) AS wfp
+    FROM lv_und u
+    JOIN rf1 la ON la.node = u.a
+    JOIN rf1 lb ON lb.node = u.b
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "leiden_communities",
+    _graph_cte(
+        _louvain_rounds_cte(4, _ML_RING_SRC)
+        + ", " + _refine_cte("rf1", "lv_und", "lv4").lstrip()
+        + ", " + _louvain_sl_rounds_cte(4, _LEIDEN_AGG_SRC, "mv").lstrip().lstrip(",")
+        + ", " + _refine_cte("rf2", "mv_und", "mv4").lstrip()
+        + """
+        SELECT l1.node, r2.comm AS community
+        FROM rf1 l1 JOIN rf2 r2 ON r2.node = l1.comm
+        """
+    ),
+)
+def leiden_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.leiden counterpart (r10), deterministic: per level, louvain
+    # local moves -> REFINEMENT (split internally-disconnected communities
+    # via min-label CC over intra-community edges — the Leiden guarantee
+    # Louvain cannot make) -> self-loop aggregation; two levels on the
+    # resolution-limit ring of 25 triangles. Fully unrolled: both louvain
+    # chains plus BOTH refinement passes replay as recursive CTEs.
+    from eve_graph_spark.operators.graph_analytics import leiden
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("n")
+    )
+    cnt = nation.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (1, 2)], "i long, j long")
+    intra = nation.crossJoin(F.broadcast(pairs)).select(
+        (F.col("n") * 3 + F.col("i")).alias("src_system_id"),
+        (F.col("n") * 3 + F.col("j")).alias("dst_system_id"),
+    )
+    ring = nation.crossJoin(F.broadcast(cnt)).select(
+        (F.col("n") * 3).alias("src_system_id"),
+        (((F.col("n") + 1) % F.col("cnt")) * 3).alias("dst_system_id"),
+    )
+    return leiden(intra.unionByName(ring), levels=2, rounds=4)
+
+
 @register("louvain_communities", _louvain_unrolled_sql(4))
 def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GDS gds.louvain (maxLevels=1) parity on the mesh graph (regions are

@@ -585,3 +585,71 @@ def test_property_graph_louvain_max_levels(spark):
     deep = g.louvain(rounds=4, maxLevels=2)
     assert flat.select("community").distinct().count() == 25
     assert deep.select("community").distinct().count() < 25
+
+
+# --- Leiden (r10: refinement guarantee + multilevel) --------------------------
+
+
+def test_refine_splits_disconnected_community(spark):
+    from eve_graph_spark.operators.graph_analytics import refine_communities
+
+    # community 7 contains {1,2,3,9} but 9 has no intra-community edge —
+    # the Leiden refinement must split it out as a singleton
+    e = spark.createDataFrame([(1, 2), (2, 3), (9, 10)],
+                              "src_system_id long, dst_system_id long")
+    lbl = spark.createDataFrame([(1, 7), (2, 7), (3, 7), (9, 7), (10, 20)],
+                                "node long, community long")
+    got = {r["node"]: r["community"]
+           for r in refine_communities(e, lbl).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9, 10: 10}
+
+
+def test_refine_keeps_connected_communities_intact(spark):
+    from eve_graph_spark.operators.graph_analytics import refine_communities
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                              "src_system_id long, dst_system_id long")
+    lbl = spark.createDataFrame([(1, 5), (2, 5), (3, 5)],
+                                "node long, community long")
+    got = {r["node"]: r["community"]
+           for r in refine_communities(e, lbl).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}  # one piece, min-id label
+
+
+def test_leiden_guarantee_every_community_connected(spark):
+    # the invariant that names the algorithm: leiden's output must be a
+    # fixpoint of refinement (no community splits further)
+    from eve_graph_spark.operators.graph_analytics import leiden, refine_communities
+
+    e = _ring_of_triangles(spark, 25)
+    out = leiden(e, levels=2, rounds=4)
+    refd = refine_communities(e, out)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, refd.collect()))
+    # and level-2 merging still happened (communities < 25 cliques)
+    assert out.select("community").distinct().count() < 25
+    assert out.count() == 75
+
+
+def test_leiden_distributed_matches_local(spark):
+    from eve_graph_spark.operators.graph_analytics import leiden
+
+    e = _ring_of_triangles(spark, 8)
+    loc = sorted(tuple(r) for r in leiden(e, levels=2, rounds=3).collect())
+    dist = sorted(
+        tuple(r)
+        for r in leiden(e, levels=2, rounds=3, driver_threshold=0).collect()
+    )
+    assert loc == dist
+
+
+def test_property_graph_leiden(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src long, dst long",
+    )
+    out = PropertyGraph(v, e).leiden(rounds=3, maxLevels=2)
+    assert out.columns == ["node", "community"]
+    assert out.count() == 6
