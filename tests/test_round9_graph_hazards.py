@@ -62,7 +62,11 @@ def test_self_loops_are_inert_in_undirected_operators(spark):
     )
 
     # triangle + a self-loop on every node: the undirected canonicalizers
-    # filter src != dst, so results match the loop-free graph exactly
+    # filter src != dst, so results match the loop-free graph exactly.
+    # louvain left this list in r10: self-loops now contribute to degree
+    # (x2) and m — the aggregated-graph convention multilevel Louvain/
+    # Leiden require — so they are deliberately NOT inert there (never
+    # phantom nodes though; see test_round10_ops self-loop pins).
     tri = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
     loops = [(v, v) for v in (1, 2, 3)]
     clean = _e(spark, tri)
@@ -70,9 +74,12 @@ def test_self_loops_are_inert_in_undirected_operators(spark):
     for op in (
         lambda d: sorted(tuple(r) for r in local_clustering_coefficient(d).collect()),
         lambda d: sorted(tuple(r) for r in k_truss(d, k=3).collect()),
-        lambda d: sorted(tuple(r) for r in louvain(d, rounds=2).collect()),
     ):
         assert op(dirty) == op(clean)
+    # louvain with self-loops: same node set, no phantom entries, and the
+    # self-loop mass shifts degrees/m uniformly here (symmetric triangle)
+    got = louvain(dirty, rounds=2)
+    assert sorted(r["node"] for r in got.collect()) == [1, 2, 3]
     wtri = [(a, b, 1.0) for a, b in tri] + [(v, v, 0.001) for v in (1, 2, 3)]
     wclean = [(a, b, 1.0) for a, b in tri]
     sch = "src_system_id long, dst_system_id long, risk double"
