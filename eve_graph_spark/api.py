@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eve_graph_spark.checkpointing import truncate_lineage
+
 from eve_graph_spark.functions.risk import galaxy_baseline, risk_expr
 from eve_graph_spark.operators import relational as R
 from eve_graph_spark.operators.graph import (
@@ -253,10 +255,10 @@ class GraphEngine:
         if getattr(self, "_gate_base", None) is None:
             self._gate_base = self.jumps.filter(
                 F.col("kind") != "wormhole"
-            ).localCheckpoint(eager=True)
+            ).transform(truncate_lineage)
             self._wh_overlay = self.jumps.filter(
                 F.col("kind") == "wormhole"
-            ).localCheckpoint(eager=True)
+            ).transform(truncate_lineage)
         # Removed pairs come from the CACHED projection, not the edge
         # table (the cost projection covers every jump edge, so the two
         # filters select the same pairs) — one cached scan, no upstream
@@ -278,7 +280,7 @@ class GraphEngine:
         if gate_hit.limit(1).count():
             self._gate_base = self._gate_base.join(
                 removed_keys, ["src_system_id", "dst_system_id"], "left_anti"
-            ).localCheckpoint(eager=True)
+            ).transform(truncate_lineage)
         wh_kept = self._wh_overlay.filter(
             ~(F.col("src_system_id").isin(reset_ids)
               | F.col("dst_system_id").isin(reset_ids))
@@ -303,7 +305,7 @@ class GraphEngine:
             .unionByName(wh_kept.select("src_system_id", "dst_system_id"))
         )
         added = bi.join(cand, ["src_system_id", "dst_system_id"], "left_anti")
-        self._wh_overlay = wh_kept.unionByName(added).localCheckpoint(eager=True)
+        self._wh_overlay = wh_kept.unionByName(added).transform(truncate_lineage)
         self.jumps = self._gate_base.unionByName(self._wh_overlay)
         self.registry.apply_delta(
             SYSTEM_MAP, added, removed_keys, "cost", stats_out=stats_out
@@ -405,7 +407,7 @@ def risk_stream_handler(engine: GraphEngine, stats_out: dict | None = None):
             batch_df.select("system_id", "ship_jumps"),
         )
         # anchor: constant lineage depth across polls
-        engine.systems = engine.systems.localCheckpoint(eager=True)
-        engine.jumps = engine.jumps.localCheckpoint(eager=True)
+        engine.systems = engine.systems.transform(truncate_lineage)
+        engine.jumps = engine.jumps.transform(truncate_lineage)
 
     return handle

@@ -1,0 +1,89 @@
+"""Lineage truncation with an opt-in fault-tolerant path.
+
+Every iterative kernel in this engine (SSSP supersteps, Louvain rounds,
+connected-components label propagation, PageRank, Borůvka MST, k-core
+peeling, ...) must truncate DataFrame lineage between rounds or the plan
+grows without bound. ``df.localCheckpoint(eager=True)`` is the fast way:
+it materializes the rows as blocks on the executors that computed them,
+with no extra shuffle and no distributed-filesystem write.
+
+The catch — and the reason this module exists — is that localCheckpoint
+blocks live ONLY on executors. On ``local[32]`` that is perfectly safe
+(one JVM, nothing to lose), but on a 1000-executor cluster a single lost
+executor makes the truncated lineage unrecoverable: the original plan was
+discarded, the blocks are gone, and the whole multi-hour job dies. A
+100 TB Louvain run cannot afford that failure mode.
+
+``truncate_lineage`` therefore routes through one switch:
+
+- default: ``df.localCheckpoint(eager=True)`` — the right choice for
+  local mode and for short-lived jobs where re-running on failure is
+  cheaper than writing every round to reliable storage;
+- when a reliable checkpoint directory has been configured via
+  :func:`enable_reliable_checkpoints` (or the
+  ``SPARK_GRAFT_CHECKPOINT_DIR`` environment variable read by
+  ``session.get_spark``): ``df.checkpoint(eager=True)``, which writes
+  the rows to the configured directory (HDFS/S3/... on a real cluster)
+  so a lost executor merely re-reads its partitions.
+
+Results are bit-identical either way — both operators materialize the
+same rows and return a frame with the same schema and partitioning
+semantics; only the storage medium differs (``tests/test_checkpointing.py``
+pins this for sssp and louvain).
+
+Reference parity note: the reference (madmikeross/eve-graph) delegates
+iteration durability to Neo4j's transactional store; on Spark, reliable
+checkpointing is the equivalent durability seam.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Runtime-conf key that, when set, switches every truncate_lineage call
+#: in the engine onto the fault-tolerant df.checkpoint() path.
+RELIABLE_DIR_KEY = "spark.eve_graph.reliableCheckpointDir"
+
+
+def enable_reliable_checkpoints(spark: SparkSession, path: str) -> None:
+    """Route all lineage truncation through fault-tolerant ``df.checkpoint()``.
+
+    ``path`` should be on storage that survives executor loss (HDFS, S3,
+    or any shared filesystem on a real cluster; a local directory is fine
+    for tests). Also asks Spark's ContextCleaner to reap checkpoint files
+    whose frames become unreachable, so long-running sessions don't leak
+    one directory per round.
+    """
+    spark.sparkContext.setCheckpointDir(path)
+    spark.conf.set(RELIABLE_DIR_KEY, path)
+
+
+def disable_reliable_checkpoints(spark: SparkSession) -> None:
+    """Return to the default executor-local truncation path.
+
+    Spark offers no way to *unset* the SparkContext checkpoint dir, but
+    clearing the engine's conf key is enough: ``truncate_lineage`` only
+    consults the key, never the context.
+    """
+    try:
+        spark.conf.unset(RELIABLE_DIR_KEY)
+    except Exception:
+        pass  # already unset
+
+
+def reliable_checkpoint_dir(spark: SparkSession) -> str | None:
+    """The configured reliable checkpoint dir, or None when disabled."""
+    return spark.conf.get(RELIABLE_DIR_KEY, None)
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its lineage; drop-in for localCheckpoint.
+
+    Designed for fluent use: ``frame.transform(truncate_lineage)`` reads
+    exactly like the ``frame.localCheckpoint(eager=True)`` it replaces.
+    Always eager — every call site in this engine wants the materialized
+    barrier, not a lazy marker.
+    """
+    if reliable_checkpoint_dir(df.sparkSession):
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

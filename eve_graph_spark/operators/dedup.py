@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eve_graph_spark.checkpointing import truncate_lineage
+
 
 def exact_dedup(
     df: DataFrame,
@@ -424,7 +426,7 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "do
         # and must not drag this stage into the O(diameter) regime
         # (r6 verdict item 4)
         cc = connected_components(sym, src_col="s", dst_col="d")
-        cc = cc.localCheckpoint(eager=True)
+        cc = cc.transform(truncate_lineage)
     finally:
         sym.unpersist()
     # No broadcast hints anywhere below: rep→cluster and member→rep are

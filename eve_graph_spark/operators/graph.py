@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from eve_graph_spark.checkpointing import truncate_lineage
+
 BROADCAST_FRONTIER_MAX = 2_000_000  # rows; beyond this, shuffle-join the frontier
 
 # Driver-threshold probe memo: every driver-local fast path costs a
@@ -165,7 +167,7 @@ class ProjectionRegistry:
             cur = cur.unionByName(add)
         n_since = self._deltas_since_anchor.get(name, 0) + 1
         if n_since >= self.CHECKPOINT_EVERY_DELTAS:
-            new = cur.repartition("src").localCheckpoint(eager=True)
+            new = cur.repartition("src").transform(truncate_lineage)
             n_since = 0
         else:
             new = cur.repartition("src").persist()
@@ -340,7 +342,7 @@ def sssp(
             .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
             .select("node", "dist", "pred")
         )
-        improved = improved.localCheckpoint(eager=True)
+        improved = improved.transform(truncate_lineage)
         if target_id is None:
             frontier_rows = improved.count()
             frontier_min = target_dist = None
@@ -362,7 +364,7 @@ def sssp(
             .unionByName(improved)
         )
         if (it + 1) % checkpoint_every == 0:
-            dist = dist.localCheckpoint(eager=True)
+            dist = dist.transform(truncate_lineage)
             n_ckpts += 1
         if target_id is not None:
             if target_dist is not None:
@@ -478,7 +480,7 @@ def multi_source_sssp(
             .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
             .select("source", "node", "dist", "pred")
         )
-        improved = improved.localCheckpoint(eager=True)
+        improved = improved.transform(truncate_lineage)
         frontier_rows = improved.count()
         n_iters = it + 1
         if frontier_rows == 0:
@@ -493,7 +495,7 @@ def multi_source_sssp(
             "left_anti",
         ).unionByName(improved)
         if (it + 1) % checkpoint_every == 0:
-            dist = dist.localCheckpoint(eager=True)
+            dist = dist.transform(truncate_lineage)
             n_ckpts += 1
     if stats_out is not None:
         stats_out["iterations"] = n_iters
@@ -679,7 +681,7 @@ def _banned_multi_sweep(
             .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
             .select("jid", "node", "dist", "pred")
         )
-        improved = improved.localCheckpoint(eager=True)
+        improved = improved.transform(truncate_lineage)
         n_iters = it + 1
         if improved.isEmpty():
             frontier_rows = 0
@@ -691,7 +693,7 @@ def _banned_multi_sweep(
             "left_anti",
         ).unionByName(improved)
         if (it + 1) % checkpoint_every == 0:
-            dist = dist.localCheckpoint(eager=True)
+            dist = dist.transform(truncate_lineage)
         # per-jid TARGET early-exit (the single-pair cut sssp() carries,
         # r6): every sweep here is a single-target query — once a jid's
         # target has settled at dist T, frontier rows with dist >= T can
@@ -708,7 +710,7 @@ def _banned_multi_sweep(
             )
             .filter(F.col("__td").isNull() | (F.col("dist") < F.col("__td")))
             .select("jid", "node", "dist", "pred")
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_lineage)
         frontier_rows = frontier.count()
         if frontier_rows == 0:
             break

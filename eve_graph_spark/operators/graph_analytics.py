@@ -22,6 +22,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eve_graph_spark.checkpointing import truncate_lineage
+
 from eve_graph_spark.operators.graph import multi_source_sssp
 
 DRIVER_MAX_EDGES = 2_000_000
@@ -96,13 +98,13 @@ def _star_components(e: DataFrame, max_iterations: int,
         .distinct()
     )
     cur = e.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(truncate_lineage)
     cur_count = cur.count()
     n_rounds = 0
     for it in range(max_iterations):
         a = _star_phase(_star_symmetrize(cur), large=True)
         b = _star_phase(_star_symmetrize(a), large=False)
-        b = b.localCheckpoint(eager=True)
+        b = b.transform(truncate_lineage)
         b_count = b.count()
         n_rounds = it + 1
         same = b_count == cur_count and (
@@ -157,7 +159,7 @@ def _label_components(e: DataFrame, max_iterations: int, checkpoint_every: int,
                 (F.col("cand") < F.col("component")).alias("__improved"),
             )
         )
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.transform(truncate_lineage)
         changed = merged.filter(F.col("__improved")).limit(1).count()
         labels = merged.drop("__improved")
         n_iters = it + 1
@@ -165,7 +167,7 @@ def _label_components(e: DataFrame, max_iterations: int, checkpoint_every: int,
             converged = True
             break
         if (it + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.transform(truncate_lineage)
     if stats_out is not None:
         stats_out["iterations"] = stats_out.get("iterations", 0) + n_iters
         stats_out["label_supersteps"] = n_iters
@@ -444,7 +446,7 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
              ).alias("rank"),
         )
         if (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(truncate_lineage)
     return ranks
 
 
@@ -747,14 +749,14 @@ def strongly_connected_components(edges: DataFrame,
                          "node", "left_semi")
                 .join(live.select(F.col("dst").alias("node")).distinct(),
                       "node", "left_semi")
-                .localCheckpoint()
+                .transform(truncate_lineage)
             )
             trivial = rem.join(core, "node", "left_anti")
             if trivial.limit(1).count() == 0:
                 return core, acc
             tagged = trivial.select("node", F.col("node").cast("long").alias("scc"))
             acc = tagged if acc is None else acc.union(tagged)
-            acc = acc.localCheckpoint()
+            acc = acc.transform(truncate_lineage)
             rem = core
 
     remaining, out = _trim(remaining, out)
@@ -788,19 +790,19 @@ def strongly_connected_components(edges: DataFrame,
                 .join(remaining, "node", "left_semi")
                 .join(seen, ["dir", "node"], "left_anti")
                 .distinct()
-                .localCheckpoint()
+                .transform(truncate_lineage)
             )
             if nxt.limit(1).count() == 0:
                 break
-            seen = seen.union(nxt).localCheckpoint()
+            seen = seen.union(nxt).transform(truncate_lineage)
             frontier = nxt
         fwd = seen.filter(F.col("dir") == 0).select("node")
         bwd = seen.filter(F.col("dir") == 1).select("node")
-        comp = fwd.join(bwd, "node", "left_semi").localCheckpoint()
+        comp = fwd.join(bwd, "node", "left_semi").transform(truncate_lineage)
         rep = comp.agg(F.min("node").alias("m")).collect()[0]["m"]
         tagged = comp.select("node", F.lit(rep).cast("long").alias("scc"))
         out = tagged if out is None else out.union(tagged)
-        nxt_remaining = remaining.join(comp, "node", "left_anti").localCheckpoint()
+        nxt_remaining = remaining.join(comp, "node", "left_anti").transform(truncate_lineage)
         remaining.unpersist()
         # Re-trim after each peel: removing an SCC can expose new trivial
         # SCCs (its DAG neighbors), keeping pivot rounds ≈ #non-trivial SCCs.
@@ -907,7 +909,7 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src_system_id",
             cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         if nxt.limit(1).count() == 0:
             return spark.createDataFrame([], "node long")
@@ -1008,7 +1010,7 @@ def label_propagation(edges: DataFrame, iterations: int = 5,
                     "__changed"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         changed = merged.filter(F.col("__changed")).limit(1).count()
         labels = merged.drop("__changed")
@@ -1111,7 +1113,7 @@ def bfs_sigma(edges: DataFrame, source_ids: list[int] | None,
             (msgs["source"] == F.col("__s")) & (msgs["node"] == F.col("__n")),
             "left_anti",
         ).select("source", "node", "dist", "sigma")
-        fresh = fresh.localCheckpoint(eager=True)
+        fresh = fresh.transform(truncate_lineage)
         n_new = fresh.count()
         n_iters = it + 1
         if n_new == 0:
@@ -1119,7 +1121,7 @@ def bfs_sigma(edges: DataFrame, source_ids: list[int] | None,
         frontier = fresh
         visited = visited.unionByName(fresh)
         if (it + 1) % checkpoint_every == 0:
-            visited = visited.localCheckpoint(eager=True)
+            visited = visited.transform(truncate_lineage)
             n_ckpts += 1
     if stats_out is not None:
         stats_out["iterations"] = n_iters
@@ -1236,7 +1238,7 @@ def dijkstra_sigma(edges: DataFrame, source_ids: list[int] | None,
         max_iterations=max_iterations, checkpoint_every=checkpoint_every,
         driver_threshold=0, stats_out=stats_out,
     ).select("source", "node", "dist")
-    d = d.localCheckpoint(eager=True)
+    d = d.transform(truncate_lineage)
 
     # per-source shortest-path DAG: edge (u, v) is on a shortest path from
     # `source` iff dist(u) + w == dist(v) — exact equality, see docstring
@@ -1255,7 +1257,7 @@ def dijkstra_sigma(edges: DataFrame, source_ids: list[int] | None,
             F.col("dst").alias("__gv"),
         )
     )
-    dag = dag.localCheckpoint(eager=True)
+    dag = dag.transform(truncate_lineage)
 
     # longest-path depth: max-propagation to fixpoint, O(max depth) rounds
     depth = d.filter(F.col("dist") == 0.0).select(
@@ -1278,7 +1280,7 @@ def dijkstra_sigma(edges: DataFrame, source_ids: list[int] | None,
             .filter(F.col("__old").isNull() | (F.col("cand") > F.col("__old")))
             .select("source", "node", F.col("cand").alias("depth"))
         )
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.transform(truncate_lineage)
         n_depth_iters = it + 1
         if merged.limit(1).count() == 0:
             break
@@ -1288,7 +1290,7 @@ def dijkstra_sigma(edges: DataFrame, source_ids: list[int] | None,
                        "left_anti")
             .unionByName(merged)
         )
-        depth = depth.localCheckpoint(eager=True)
+        depth = depth.transform(truncate_lineage)
     if stats_out is not None:
         stats_out["depth_iterations"] = n_depth_iters
     max_depth = depth.agg(F.max("depth").alias("m")).collect()[0]["m"] or 0
@@ -1309,7 +1311,7 @@ def dijkstra_sigma(edges: DataFrame, source_ids: list[int] | None,
         )
         sigma = sigma.unionByName(contrib)
         if level % checkpoint_every == 0:
-            sigma = sigma.localCheckpoint(eager=True)
+            sigma = sigma.transform(truncate_lineage)
     out = (
         d.join(depth, ["source", "node"])
         .join(sigma, ["source", "node"])
@@ -1410,7 +1412,7 @@ def _weighted_betweenness_distributed(ew: DataFrame, source_ids: list[int],
         ew, source_ids, weight_col="w", src_col="src", dst_col="dst",
         driver_threshold=0, checkpoint_every=checkpoint_every,
     )
-    vs = vs.localCheckpoint(eager=True)
+    vs = vs.transform(truncate_lineage)
     du = vs.select("source", F.col("node").alias("src"), F.col("dist").alias("__du"))
     dv = vs.select("source", F.col("node").alias("dst"), F.col("dist").alias("__dv"))
     # reserved dag names — see dijkstra_sigma: joins against same-lineage
@@ -1425,7 +1427,7 @@ def _weighted_betweenness_distributed(ew: DataFrame, source_ids: list[int],
             F.col("dst").alias("__gv"),
         )
     )
-    dag = dag.localCheckpoint(eager=True)
+    dag = dag.transform(truncate_lineage)
     max_depth = vs.agg(F.max("depth").alias("m")).collect()[0]["m"] or 0
     u_sigma = vs.select("source", F.col("node").alias("node"), F.col("sigma").alias("sigma_u"))
     acc: DataFrame | None = None
@@ -1455,10 +1457,10 @@ def _weighted_betweenness_distributed(ew: DataFrame, source_ids: list[int],
                 ).alias("delta")
             )
         )
-        contribs = contribs.localCheckpoint(eager=True)
+        contribs = contribs.transform(truncate_lineage)
         acc = contribs if acc is None else acc.unionByName(contribs)
         if (max_depth - level + 1) % checkpoint_every == 0:
-            acc = acc.localCheckpoint(eager=True)
+            acc = acc.transform(truncate_lineage)
     if acc is None:
         return all_nodes.select("node", F.lit(0.0).alias("betweenness"))
     per_source = acc.groupBy("source", "node").agg(F.sum("delta").alias("delta"))
@@ -1545,7 +1547,7 @@ def betweenness_centrality(edges: DataFrame, src_col: str = "src_system_id",
 
     vs = bfs_sigma(e, source_ids, src_col="src", dst_col="dst",
                    driver_threshold=0, checkpoint_every=checkpoint_every)
-    vs = vs.localCheckpoint(eager=True)
+    vs = vs.transform(truncate_lineage)
     max_dist = vs.agg(F.max("dist").alias("m")).collect()[0]["m"] or 0
 
     # Backward pass: process distance levels descending. delta rows are
@@ -1581,10 +1583,10 @@ def betweenness_centrality(edges: DataFrame, src_col: str = "src_system_id",
                 ).alias("delta")
             )
         )
-        contribs = contribs.localCheckpoint(eager=True)
+        contribs = contribs.transform(truncate_lineage)
         acc = acc.unionByName(contribs)
         if (max_dist - level + 1) % checkpoint_every == 0:
-            acc = acc.localCheckpoint(eager=True)
+            acc = acc.transform(truncate_lineage)
     per_source = acc.groupBy("source", "node").agg(F.sum("delta").alias("delta"))
     return (
         per_source.filter(F.col("source") != F.col("node"))
@@ -1702,7 +1704,7 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2, steps: int = 4,
             .select("walk_id", F.col("best.dst").alias("node"))
         )
         if i % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(truncate_lineage)
         outs.append(cur.select("walk_id", F.lit(i).cast("int").alias("step"), "node"))
     result = outs[0]
     for df in outs[1:]:
@@ -1726,7 +1728,7 @@ def _exclusion_reach(e: DataFrame, seeds: DataFrame, key_cols: list[str],
     for it in range(max_iterations):
         joined = reached.join(e, reached.node == e.src)
         new = joined.filter(edge_filter).select(*key_cols, F.col("dst").alias("node"))
-        merged = reached.union(new).distinct().localCheckpoint(eager=True)
+        merged = reached.union(new).distinct().transform(truncate_lineage)
         cnt = merged.count()
         if cnt == prev:
             break
@@ -1967,7 +1969,7 @@ def node2vec_walks(edges: DataFrame, walks_per_node: int = 2, steps: int = 4,
             .select("walk_id", F.col("best.cur").alias("prev"), F.col("best.dst").alias("node"))
         )
         if i % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(truncate_lineage)
         outs.append(cur.select("walk_id", F.lit(i).cast("int").alias("step"), "node"))
     result = outs[0]
     for df in outs[1:]:
@@ -2028,7 +2030,7 @@ def set_exclusion_reach(edges: DataFrame, seeds: DataFrame, excluded: DataFrame,
             .select("k", F.col("dst").alias("node"))
             .join(excluded, ["k", "node"], "left_anti")
         )
-        merged = reached.union(new).distinct().localCheckpoint(eager=True)
+        merged = reached.union(new).distinct().transform(truncate_lineage)
         cnt = merged.count()
         if cnt == prev:
             break
@@ -2261,7 +2263,7 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 3,
             ).otherwise(F.lit(0.0)).alias("score"),
         )
         if (it + 1) % checkpoint_every == 0:
-            x = x.localCheckpoint(eager=True)
+            x = x.transform(truncate_lineage)
     return x
 
 
@@ -2345,8 +2347,8 @@ def hits(edges: DataFrame, iterations: int = 2,
         auth = _norm_step(hub, forward=True)
         hub = _norm_step(auth, forward=False)
         if (it + 1) % checkpoint_every == 0:
-            hub = hub.localCheckpoint(eager=True)
-            auth = auth.localCheckpoint(eager=True)
+            hub = hub.transform(truncate_lineage)
+            auth = auth.transform(truncate_lineage)
     return (
         hub.select("node", F.col("score").alias("hub"))
         .join(auth.select("node", F.col("score").alias("authority")), "node")
@@ -2602,7 +2604,7 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "risk",
         lb = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
         live = (
             und.join(la, "a").join(lb, "b").filter(F.col("ca") != F.col("cb"))
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_lineage)
         if live.limit(1).count() == 0:
             converged = True
             break
@@ -2617,7 +2619,7 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "risk",
             .distinct()
         )
         chosen = pick if chosen is None else chosen.union(pick).distinct()
-        chosen = chosen.localCheckpoint(eager=True)
+        chosen = chosen.transform(truncate_lineage)
         # contract: connected components over the chosen component edges.
         # connected_components assumes a SYMMETRIC edge set (its min-label /
         # star paths propagate along edge direction) — the driver union-find
@@ -2636,7 +2638,7 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "risk",
         labels = (
             labels.join(relabel, "comp", "left")
             .select("node", F.coalesce(F.col("newcomp"), F.col("comp")).alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     if not converged:
         # Components at least halve per Borůvka round, so max_rounds=16
@@ -2738,7 +2740,7 @@ def dag_longest_paths(edges: DataFrame, weight_col: str | None = None,
     ).distinct()
     cur = nodes.select(
         "node", F.lit(0).cast("long").alias("lvl"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     prev_sig = None
     for it in range(max_iterations):
         inc = (
@@ -2757,7 +2759,7 @@ def dag_longest_paths(edges: DataFrame, weight_col: str | None = None,
         # the fixpoint probe below is an action every step, so checkpoint
         # every step too — lineage stays O(1) and the probe reads the
         # materialized blocks instead of recomputing the chain
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.transform(truncate_lineage)
         sig = cur.agg(F.sum("lvl"), F.sum("dist")).collect()[0]
         sig = (sig[0], sig[1])
         if sig == prev_sig:
@@ -2842,7 +2844,7 @@ def k_truss(edges: DataFrame, k: int = 3,
     und = _truss_canon(e)
     if _fits_driver(und, driver_threshold):
         return _k_truss_local(und.collect(), k, edges.sparkSession)
-    cur = und.localCheckpoint(eager=True)
+    cur = und.transform(truncate_lineage)
     n_prev = cur.count()
     converged = False
     for _ in range(max_rounds):
@@ -2851,7 +2853,7 @@ def k_truss(edges: DataFrame, k: int = 3,
             cur.join(sup, ["a", "b"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         n = cur.count()
         if n == n_prev:
@@ -3073,7 +3075,7 @@ def louvain(edges: DataFrame, rounds: int = 4,
                     F.col("best_c"),
                 ).otherwise(F.col("comm")).alias("comm"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return comm.select("node", F.col("comm").alias("community"))
 
@@ -3159,7 +3161,7 @@ def louvain_multilevel(edges: DataFrame, levels: int = 2, rounds: int = 4,
     mapping = louvain(edges, rounds=rounds, src_col=src_col, dst_col=dst_col,
                       weight_col=weight_col, driver_threshold=driver_threshold)
     for _ in range(1, levels):
-        mapping = mapping.localCheckpoint(eager=True)
+        mapping = mapping.transform(truncate_lineage)
         agg = community_aggregate(edges, mapping, weight_col=weight_col,
                                   src_col=src_col, dst_col=dst_col)
         up = louvain(agg, rounds=rounds, src_col="src", dst_col="dst",
@@ -3248,7 +3250,7 @@ def leiden(edges: DataFrame, levels: int = 2, rounds: int = 4,
                                  dst_col=dst_col,
                                  driver_threshold=driver_threshold)
     for _ in range(1, levels):
-        mapping = mapping.localCheckpoint(eager=True)
+        mapping = mapping.transform(truncate_lineage)
         agg = community_aggregate(edges, mapping, weight_col=weight_col,
                                   src_col=src_col, dst_col=dst_col)
         up = louvain(agg, rounds=rounds, src_col="src", dst_col="dst",
@@ -3340,7 +3342,7 @@ def article_rank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
              ).alias("rank"),
         )
         if (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(truncate_lineage)
     return ranks
 
 
@@ -3479,14 +3481,14 @@ def fastrp_embeddings(edges: DataFrame, dim: int = FASTRP_DIM, iterations: int =
                 .otherwise(F.lit(0.0)).alias(f"x{j}")
                 for j in range(dim)
             ],
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_lineage)
         if acc is None:
             acc = x.select("node", *[F.col(f"x{j}").alias(f"a{j}") for j in range(dim)])
         else:
             acc = acc.join(x, "node").select(
                 "node",
                 *[(F.col(f"a{j}") + F.col(f"x{j}")).alias(f"a{j}") for j in range(dim)],
-            ).localCheckpoint(eager=True)
+            ).transform(truncate_lineage)
     fnorm2 = F.col("a0") * F.col("a0")
     for j in range(1, dim):
         fnorm2 = fnorm2 + F.col(f"a{j}") * F.col(f"a{j}")
@@ -3578,7 +3580,7 @@ def k1_coloring(edges: DataFrame, max_rounds: int = 12,
     ).cast("long")
     nodes = adj.select("u").distinct().select(
         F.col("u").alias("node"), prio_expr.alias("prio")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     colored = nodes.sparkSession.createDataFrame([], "node long, color long")
     uncolored = nodes
     deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
@@ -3623,9 +3625,9 @@ def k1_coloring(edges: DataFrame, max_rounds: int = 12,
             .groupBy("node")
             .agg(F.min("k").alias("color"))
         )
-        colored = colored.unionByName(mex).localCheckpoint(eager=True)
+        colored = colored.unionByName(mex).transform(truncate_lineage)
         uncolored = uncolored.join(mex.select("node"), "node", "left_anti") \
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
     n_left = uncolored.count()
     if n_left:
         raise RuntimeError(
@@ -3719,7 +3721,7 @@ def sllpa(edges: DataFrame, rounds: int = 5, min_count: int = 2,
     mem = adj.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label"),
         F.lit(1).cast("long").alias("cnt"),
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     w_mem = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for it in range(rounds):
         spoken = (
@@ -3748,6 +3750,6 @@ def sllpa(edges: DataFrame, rounds: int = 5, min_count: int = 2,
             mem.unionByName(listened)
             .groupBy("node", "label")
             .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return mem.filter(F.col("cnt") >= min_count).select("node", "label", "cnt")

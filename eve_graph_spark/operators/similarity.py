@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eve_graph_spark.checkpointing import truncate_lineage
+
 FIXED_POINT_SCALE = 1_000_000_000  # products are in [-1,1]·dim → fits long
 
 
@@ -602,7 +604,7 @@ def ivf_pq_topk(
         # materialized table: lineage is truncated, so the only
         # embeddings scan left in the query plan is the final re-rank's
         # id fetch.
-        index = index.localCheckpoint(eager=True)
+        index = index.transform(truncate_lineage)
     m, d = model["m"], model["d"]
     qrows = (
         embeddings.filter(F.col(id_col).isin(query_ids))

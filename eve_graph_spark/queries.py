@@ -17,6 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eve_graph_spark.checkpointing import truncate_lineage
+
 from eve_graph_spark.functions.risk import risk_expr
 from eve_graph_spark.operators import relational as R
 from eve_graph_spark.operators.dedup import portable_band_buckets_sql
@@ -1030,7 +1032,7 @@ def betweenness_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python-RDD-backed plan pays a Python-worker deserialization pass —
     # one eager localCheckpoint materializes JVM blocks instead (625
     # rows), turning all four scans JVM-side (~3x on this query's bench)
-    vs = bfs_sigma(jumps, None).localCheckpoint(eager=True)
+    vs = bfs_sigma(jumps, None).transform(truncate_lineage)
     nodes = vs.filter(F.col("dist") == 0).select("node")
     sv = vs.select(
         F.col("source").alias("s"), F.col("node").alias("v"),
@@ -1147,7 +1149,7 @@ def betweenness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one eager localCheckpoint turns the four pair-join scans JVM-side
     # (same rationale as betweenness_centrality)
     vs = dijkstra_sigma(wedges, None, weight_col="w",
-                        src_col="src", dst_col="dst").localCheckpoint(eager=True)
+                        src_col="src", dst_col="dst").transform(truncate_lineage)
     nodes = vs.filter(F.col("dist") == 0).select("node")
     sv = vs.select(
         F.col("source").alias("s"), F.col("node").alias("v"),
@@ -4066,7 +4068,7 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         spend.repartitionByRange(k, "spend_fp", "o_custkey")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -5167,7 +5169,7 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         t.repartitionByRange(k, F.col("quality").desc(), F.col("doc_id"))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     sums = sorted(
         (r["__pid"], r["s"])
@@ -5641,7 +5643,7 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         t.repartitionByRange(k, "q", "doc_id")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     cnts = sorted(
         (r["__pid"], r["cnt"])

@@ -37,4 +37,13 @@ def get_spark(app_name: str = "eve-graph-spark", shuffle_partitions: int | None 
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        # Opt-in fault tolerance for iterative kernels: on a real cluster,
+        # point this at HDFS/S3 so a lost executor re-reads checkpointed
+        # rounds instead of killing the job (see checkpointing.py).
+        from eve_graph_spark.checkpointing import enable_reliable_checkpoints
+
+        enable_reliable_checkpoints(spark, ckpt_dir)
+    return spark

@@ -1,0 +1,124 @@
+"""Reliable-checkpoint option for iterative kernels (r10 verdict item 1).
+
+`truncate_lineage` defaults to executor-local `localCheckpoint` (fast, but
+blocks die with an executor). When a reliable dir is configured the same
+call sites write fault-tolerant `df.checkpoint()` files instead — results
+must be bit-identical either way, and the checkpoint files must actually
+land in the configured directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from eve_graph_spark.checkpointing import (
+    RELIABLE_DIR_KEY,
+    disable_reliable_checkpoints,
+    enable_reliable_checkpoints,
+    reliable_checkpoint_dir,
+    truncate_lineage,
+)
+
+
+def _checkpoint_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in files)
+    return out
+
+
+def _edges(spark, pairs):
+    rows = list(pairs) + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src_system_id long, dst_system_id long")
+
+
+def test_truncate_lineage_routes_to_reliable_dir(spark, tmp_path):
+    df = spark.range(100).withColumnRenamed("id", "n")
+    assert reliable_checkpoint_dir(spark) is None
+    local = truncate_lineage(df)
+    assert local.count() == 100
+
+    enable_reliable_checkpoints(spark, str(tmp_path))
+    try:
+        assert reliable_checkpoint_dir(spark) == str(tmp_path)
+        reliable = truncate_lineage(df)
+        assert reliable.count() == 100
+        # df.checkpoint() must have materialized files under the dir
+        assert _checkpoint_files(str(tmp_path)), "no checkpoint files written"
+        assert sorted(r["n"] for r in reliable.collect()) == sorted(
+            r["n"] for r in local.collect()
+        )
+    finally:
+        disable_reliable_checkpoints(spark)
+    assert reliable_checkpoint_dir(spark) is None
+
+
+def test_sssp_bit_identical_under_reliable_checkpoints(spark, tmp_path):
+    from eve_graph_spark.operators.graph import sssp
+    from eve_graph_spark.sources.graph_fixture import build_jumps
+
+    jumps = build_jumps(spark, "/root/testdata/sf0.001")
+    src = [jumps.select("src_system_id").first()[0]]
+    # driver_threshold=0 forces the distributed superstep loop — the path
+    # that actually calls truncate_lineage every checkpoint_every rounds.
+    base = sorted(
+        map(
+            tuple,
+            sssp(
+                jumps,
+                src,
+                weight_col="risk",
+                src_col="src_system_id",
+                dst_col="dst_system_id",
+                driver_threshold=0,
+            ).collect(),
+        )
+    )
+    enable_reliable_checkpoints(spark, str(tmp_path))
+    try:
+        ckpt = sorted(
+            map(
+                tuple,
+                sssp(
+                    jumps,
+                    src,
+                    weight_col="risk",
+                    src_col="src_system_id",
+                    dst_col="dst_system_id",
+                    driver_threshold=0,
+                ).collect(),
+            )
+        )
+        assert _checkpoint_files(str(tmp_path)), "sssp wrote no checkpoint files"
+    finally:
+        disable_reliable_checkpoints(spark)
+    assert ckpt == base
+
+
+def test_louvain_bit_identical_under_reliable_checkpoints(spark, tmp_path):
+    from eve_graph_spark.operators.graph_analytics import louvain
+
+    k4a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    k4b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    e = _edges(spark, k4a + k4b + [(4, 10)])
+    base = sorted(
+        (r["node"], r["community"])
+        for r in louvain(e, rounds=4, driver_threshold=0).collect()
+    )
+    enable_reliable_checkpoints(spark, str(tmp_path))
+    try:
+        ckpt = sorted(
+            (r["node"], r["community"])
+            for r in louvain(e, rounds=4, driver_threshold=0).collect()
+        )
+        assert _checkpoint_files(str(tmp_path)), "louvain wrote no checkpoint files"
+    finally:
+        disable_reliable_checkpoints(spark)
+    assert ckpt == base
+
+
+def test_disable_is_idempotent_and_key_is_scoped(spark):
+    # unset twice must not raise; key is the engine's own namespace
+    disable_reliable_checkpoints(spark)
+    disable_reliable_checkpoints(spark)
+    assert RELIABLE_DIR_KEY.startswith("spark.eve_graph.")
