@@ -2554,7 +2554,20 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_production")  # approximate top-k, float Lloyd training → rows-only
+@register(
+    "ann_ivf_production",
+    """
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST(10 AS BIGINT) AS n_results,
+           TRUE AS results_distinct,
+           TRUE AS ranks_wellformed,
+           TRUE AS cosines_monotone,
+           TRUE AS self_excluded,
+           TRUE AS cosine_recompute_ok
+    FROM embeddings
+    WHERE vec_id IN (0, 1, 2, 3, 4) AND len(embedding) = 64
+    """,
+)
 def ann_ivf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The PRODUCTION ivf_topk path on its own bench clock (r5 verdict
     # item 2): `ann_ivf_topk` above is the CHECK — it pays an extra exact
@@ -2563,12 +2576,95 @@ def ann_ivf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times what a user actually calls; the recall bound and the
     # driver-local/distributed parity stay pinned by ann_ivf_topk and
     # tests/test_round4_ops.py.
+    #
+    # r10 verdict item 2: no longer rows-only. The raw (query_id, vec_id,
+    # cosine, rank) rows depend on which cells the trained quantizer
+    # probes, so no SQL oracle can reproduce them — but the OUTPUT can
+    # still be pinned without paying the brute-force pass. Per query we
+    # assert (a) exactly k distinct results with ranks 1..k, (b) cosines
+    # nonincreasing in rank, (c) the query itself excluded, and (d) every
+    # returned cosine agrees (±1e-6) with an exact fixed-point recompute
+    # from the raw vectors — a 50-pair join, not a corpus scan. A broken
+    # re-rank, a float drift in the dot product, or a truncated result
+    # list flips a boolean and fails the hash; RECALL stays pinned by
+    # ann_ivf_topk, which exists precisely to pay that check.
     from eve_graph_spark.operators.similarity import ivf_topk
 
     emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
         F.size("embedding") == 64
     )
-    return ivf_topk(emb, ANN_QUERY_IDS, k=10)
+    res = ivf_topk(emb, ANN_QUERY_IDS, k=10)  # query_id, vec_id, cosine, rank
+
+    # exact fixed-point cosine recompute for ONLY the returned pairs:
+    # the involved-id set is <= 5 queries + 50 neighbours, broadcast both.
+    ids = (
+        res.select(F.col("vec_id").alias("vid"))
+        .union(res.select(F.col("query_id").alias("vid")))
+        .distinct()
+    )
+    vecs = emb.join(F.broadcast(ids), emb["vec_id"] == F.col("vid")).select(
+        F.col("vid"), F.col("embedding").alias("vec")
+    )
+    fp = F.lit(10**9)
+    def _sq_fp(v):  # fixed-point squared norm, mirrors the oracle's SUM(FLOOR(...))
+        return (
+            F.aggregate(
+                v,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.floor(x * x * fp + F.lit(0.5)).cast("long"),
+            )
+            / fp
+        )
+    paired = (
+        res.join(
+            F.broadcast(vecs.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(vecs.select(F.col("vid").alias("vec_id"), F.col("vec").alias("cv"))),
+            "vec_id",
+        )
+        .withColumn(
+            "dot_fp",
+            F.aggregate(
+                F.zip_with(
+                    "qv", "cv",
+                    lambda a, b: F.floor(a * b * fp + F.lit(0.5)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / fp,
+        )
+        .withColumn(
+            "cos_fp", F.col("dot_fp") / (F.sqrt(_sq_fp(F.col("qv"))) * F.sqrt(_sq_fp(F.col("cv"))))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    flagged = paired.withColumn("prev_cos", F.lag("cosine").over(w))
+    return (
+        flagged.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            (F.count_distinct("vec_id") == F.count(F.lit(1))).alias("results_distinct"),
+            (
+                (F.min("rank") == 1)
+                & (F.max("rank") == F.count(F.lit(1)))
+                & (F.count_distinct("rank") == F.count(F.lit(1)))
+            ).alias("ranks_wellformed"),
+            F.bool_and(
+                F.col("prev_cos").isNull() | (F.col("cosine") <= F.col("prev_cos"))
+            ).alias("cosines_monotone"),
+            F.bool_and(F.col("vec_id") != F.col("query_id")).alias("self_excluded"),
+            F.bool_and(
+                F.abs(F.col("cosine") - F.col("cos_fp")) < F.lit(1e-6)
+            ).alias("cosine_recompute_ok"),
+        )
+        .select(
+            "query_id", "n_results", "results_distinct", "ranks_wellformed",
+            "cosines_monotone", "self_excluded", "cosine_recompute_ok",
+        )
+    )
 
 
 # =========================================================================
@@ -6661,7 +6757,8 @@ def robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # can't hash-match any other engine, so correctness follows the `sketches`
 # precedent: `quantile_approx_check` pins the GK guarantee itself (rank
 # error ≤ n/accuracy) against exact ranks, and `winsorize_events_approx`
-# is the production-shaped bench twin (rows-only, like ann_ivf_production).
+# is the production-shaped bench twin whose clip boundaries carry their
+# own in-bound booleans (r10 verdict item 2 — no longer rows-only).
 
 
 @register(
@@ -6720,32 +6817,64 @@ def quantile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("winsorize_events_approx")  # sketch values are engine-specific → rows-only
+@register(
+    "winsorize_events_approx",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS low_clip_within_bound,
+           TRUE AS high_clip_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def winsorize_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Production twin of winsorize_events: p05/p95 via percentile_approx
     # instead of the exact rank window. Two narrow scans (GK partial-agg
     # bounds, then broadcast-join clip counts) and ZERO sort shuffles —
     # at 100 TB this replaces the full-fact window sort with two
-    # map-combined passes. The GK rank-error guarantee this relies on is
-    # hash-pinned by quantile_approx_check; the wall-clock delta vs the
-    # exact form is recorded per-round in SCALE.md.
+    # map-combined passes. The wall-clock delta vs the exact form is
+    # recorded per-round in SCALE.md.
+    #
+    # r10 verdict item 2: the OUTPUT is now bound-pinned, not rows-only.
+    # The sketch clip values themselves are engine-specific, so instead of
+    # emitting them raw, the clip pass additionally counts value<=lo and
+    # value<=hi (same single aggregation, two more conditional sums — no
+    # extra pass) and asserts each clip boundary's true rank window
+    # contains the target rank within the GK guarantee (± n/accuracy,
+    # exactly the quantile_approx_check contract). A clip value drifting
+    # OUTSIDE rank tolerance flips a boolean and fails the hash.
+    acc = 10000
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     bounds = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.05, 0.95], 10000).alias("q"),
+        F.percentile_approx("value", [0.05, 0.95], acc).alias("q"),
         F.count(F.lit(1)).cast("long").alias("n"),
     ).select(
         "event_type", "n", F.col("q")[0].alias("lo"), F.col("q")[1].alias("hi")
     )
-    return (
+    clips = (
         ev.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type", "n", "lo", "hi")
         .agg(
             F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
-            .cast("long").alias("n_clipped_low"),
-            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
-            .cast("long").alias("n_clipped_high"),
+            .cast("long").alias("lt_lo"),
+            F.sum(F.when(F.col("value") <= F.col("lo"), 1).otherwise(0))
+            .cast("long").alias("le_lo"),
+            F.sum(F.when(F.col("value") < F.col("hi"), 1).otherwise(0))
+            .cast("long").alias("lt_hi"),
+            F.sum(F.when(F.col("value") <= F.col("hi"), 1).otherwise(0))
+            .cast("long").alias("le_hi"),
         )
-        .select("event_type", "n", "lo", "hi", "n_clipped_low", "n_clipped_high")
+    )
+    err = (F.col("n") / F.lit(acc)) + F.lit(1.0)  # +1 absorbs rank-rounding
+
+    def _ok(p: float, lt: str, le: str) -> F.Column:
+        target = F.ceil(F.col("n") * F.lit(p))
+        return (target >= F.col(lt) + 1 - err) & (target <= F.col(le) + err)
+
+    return clips.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _ok(0.05, "lt_lo", "le_lo").alias("low_clip_within_bound"),
+        _ok(0.95, "lt_hi", "le_hi").alias("high_clip_within_bound"),
     )
 
 
