@@ -112,6 +112,29 @@ def shuffle_row_flags(rows_map: dict[str, int], baseline_rows: dict[str, int]) -
     )
 
 
+def snap_shuffle_pins(
+    rows_map: dict[str, int], baseline_rows: dict[str, int]
+) -> dict[str, int]:
+    """Stabilized pins for BENCH_SHUFFLE_ROWS.json (r10 verdict item 3).
+
+    A few queries carry a memoized driver-threshold probe
+    (fits_driver's limit(N+1).count()) whose ~64-row count shuffle only
+    runs when the probe cache is cold, so their raw reading flips between
+    runs (observed: label_propagation_communities 0 <-> 64) without any
+    plan change. Snap each pin to the committed baseline value whenever
+    the delta sits inside the no-flag envelope (the same 10% + 1k floor
+    `shuffle_row_flags` uses): consecutive bench runs then write
+    byte-identical files, while a genuine plan change — which exceeds the
+    envelope and flags — still records the measured value.
+    """
+    out = dict(rows_map)
+    for n, r in out.items():
+        b = baseline_rows.get(n, -1)
+        if r >= 0 and b >= 0 and abs(r - b) <= max(0.10 * b, 1_000):
+            out[n] = b
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -312,8 +335,16 @@ def main() -> None:
     # truncated is the front matter, and the per-query timings — the one
     # map future rounds must compare — always survive the tail window
     # (r7 lost every timing by emitting shuffle_rows after queries).
+    pinned_rows = dict(shuffle_rows)
+    if base_path.exists():
+        try:
+            _b = json.loads(base_path.read_text())
+            _base_rows = _b.get("shuffle_rows", {}) if _b.get("sf") == sf else {}
+        except (OSError, ValueError):
+            _base_rows = {}
+        pinned_rows = snap_shuffle_pins(pinned_rows, _base_rows)
     Path(_REPO, "BENCH_SHUFFLE_ROWS.json").write_text(
-        json.dumps({"sf": sf, "shuffle_rows": shuffle_rows}, indent=1) + "\n"
+        json.dumps({"sf": sf, "shuffle_rows": pinned_rows}, indent=1) + "\n"
     )
     print(
         json.dumps(

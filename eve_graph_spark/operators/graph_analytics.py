@@ -2887,19 +2887,39 @@ def k_truss(edges: DataFrame, k: int = 3,
 
 # --- Louvain phase-1 (GDS gds.louvain maxLevels=1 parity) --------------------
 
-def _louvain_local(adj_rows: list, rounds: int, spark,
-                   self_rows: list = ()) -> DataFrame:
-    """Driver fast path — the SAME synchronous alternating-parity rounds
-    over Python dicts. All-integer gains, so bit-identical to the loop.
-    `self_rows` are (node, wself) self-loop weights: they contribute to a
-    node's degree (×2) and to m, never to any kin (a self-loop moves with
-    its node, so its internal mass is identical in every candidate
-    community and cancels out of the argmax — the standard aggregated-
-    graph convention)."""
+def _collapse_local(rows) -> tuple[dict, dict]:
+    """Pure-Python mirror of the louvain-family undirected collapse:
+    (src, dst, wfp) tuples → ({(a<b): min wfp}, {node: min self wfp}) —
+    bit-identical to the und/sl groupBy-MIN frames every kernel builds."""
+    und: dict[tuple[int, int], int] = {}
+    sl: dict[int, int] = {}
+    for s, d, w in rows:
+        if s == d:
+            if s not in sl or w < sl[s]:
+                sl[s] = w
+        else:
+            k = (s, d) if s < d else (d, s)
+            if k not in und or w < und[k]:
+                und[k] = w
+    return und, sl
+
+
+def _adj_from_und(und: dict) -> dict:
     adj: dict[int, list[tuple[int, int]]] = {}
-    for r in adj_rows:
-        adj.setdefault(r["u"], []).append((r["v"], r["wfp"]))
-    wself = {r["node"]: r["wself"] for r in self_rows}
+    for (a, b), w in und.items():
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    return adj
+
+
+def _louvain_core(adj: dict, wself: dict, rounds: int) -> dict:
+    """The synchronous alternating-parity local-move rounds over Python
+    dicts — the single source of truth for the louvain / multilevel /
+    leiden driver fast paths. All-integer gains, so bit-identical to the
+    distributed loop. Self-loop weights contribute to a node's degree
+    (×2) and to m, never to any kin — a self-loop moves with its node,
+    so its internal mass cancels out of the argmax (the standard
+    aggregated-graph convention)."""
     nodes = sorted(set(adj) | set(wself))
     deg = {v: sum(w for _, w in adj.get(v, ())) + 2 * wself.get(v, 0)
            for v in nodes}
@@ -2928,9 +2948,53 @@ def _louvain_local(adj_rows: list, rounds: int, spark,
             else:
                 new_comm[v] = comm[v]
         comm = new_comm
-    return spark.createDataFrame(
-        sorted(comm.items()), "node long, community long"
-    )
+    return comm
+
+
+def _aggregate_core(und: dict, sl: dict, labels: dict) -> dict:
+    """Pure-Python mirror of `community_aggregate`: collapsed undirected
+    edges + self-loops + (node → community) → {(csrc<=cdst): Σ wfp}
+    super-edges with intra mass on the diagonal. Endpoints missing from
+    `labels` are dropped, matching the distributed inner joins."""
+    out: dict[tuple[int, int], int] = {}
+    for (a, b), w in und.items():
+        if a in labels and b in labels:
+            ca, cb = labels[a], labels[b]
+            k = (ca, cb) if ca <= cb else (cb, ca)
+            out[k] = out.get(k, 0) + w
+    for n, w in sl.items():
+        if n in labels:
+            c = labels[n]
+            out[(c, c)] = out.get((c, c), 0) + w
+    return out
+
+
+def _refine_core(pairs, labels: dict) -> dict:
+    """Pure-Python mirror of `refine_communities`: keep intra-community
+    undirected pairs, min-label connected components over them, members
+    with no intra edge become singletons. Component ids are min node ids,
+    exactly the distributed CC contract."""
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        if a in labels and labels[a] == labels.get(b):
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    comp: dict[int, int] = {}
+    for start in adj:
+        if start in comp:
+            continue
+        stack = [start]
+        seen = {start}
+        while stack:
+            v = stack.pop()
+            for u in adj[v]:
+                if u not in seen:
+                    seen.add(u)
+                    stack.append(u)
+        mn = min(seen)
+        for v in seen:
+            comp[v] = mn
+    return {n: comp.get(n, n) for n in labels}
 
 
 def louvain(edges: DataFrame, rounds: int = 4,
@@ -2986,6 +3050,19 @@ def louvain(edges: DataFrame, rounds: int = 4,
         F.col(dst_col).cast("long").alias("dst"),
         wexpr.alias("wfp"),
     )
+    # Driver fast path probes the RAW projected frame (not the collapsed
+    # adjacency) so a fixture-scale graph pays ONE collect instead of the
+    # collapse groupBys — the collapse itself runs in _collapse_local,
+    # which is bit-identical to the und/sl frames below (r10 verdict
+    # item 4: the leiden/multilevel fixture wall was Spark job count).
+    if _fits_driver(e, driver_threshold):
+        und_l, sl_l = _collapse_local(
+            (r["src"], r["dst"], r["wfp"]) for r in e.collect()
+        )
+        comm = _louvain_core(_adj_from_und(und_l), sl_l, rounds)
+        return edges.sparkSession.createDataFrame(
+            sorted(comm.items()), "node long, community long"
+        )
     # undirected weight = MIN across the collapsed directed/parallel edges
     # (the MST convention); with weight_col=None this reduces to the
     # unweighted distinct, so existing results are bit-unchanged
@@ -3002,9 +3079,6 @@ def louvain(edges: DataFrame, rounds: int = 4,
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v"), "wfp").unionByName(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"), "wfp")
     )
-    if _fits_driver(adj, driver_threshold):
-        return _louvain_local(adj.collect(), rounds, edges.sparkSession,
-                              sl.collect())
 
     deg = (
         adj.groupBy("u").agg(F.sum("wfp").alias("k_adj"))
@@ -3084,7 +3158,8 @@ def community_aggregate(edges: DataFrame, labels: DataFrame,
                         weight_col: str | None = None,
                         src_col: str = "src_system_id",
                         dst_col: str = "dst_system_id",
-                        pre_scaled_weights: bool = False) -> DataFrame:
+                        pre_scaled_weights: bool = False,
+                        driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """Louvain phase-2 graph aggregation: one super-node per community,
     super-edge weight = Σ of the collapsed undirected edge weights between
     the two communities; intra-community mass lands on the diagonal as a
@@ -3111,6 +3186,16 @@ def community_aggregate(edges: DataFrame, labels: DataFrame,
         F.col(dst_col).cast("long").alias("dst"),
         wexpr.alias("wfp"),
     )
+    if _fits_driver(e, driver_threshold):
+        und_l, sl_l = _collapse_local(
+            (r["src"], r["dst"], r["wfp"]) for r in e.collect()
+        )
+        lab = {r["node"]: r["community"] for r in labels.collect()}
+        sup = _aggregate_core(und_l, sl_l, lab)
+        return edges.sparkSession.createDataFrame(
+            sorted((a, b, w) for (a, b), w in sup.items()),
+            "src long, dst long, wfp long",
+        )
     # same undirected collapse as louvain (MIN across directed/parallel
     # edges; self-loop weight = MIN across its duplicates) so aggregating
     # the ORIGINAL graph by a cumulative mapping at any level equals
@@ -3137,6 +3222,45 @@ def community_aggregate(edges: DataFrame, labels: DataFrame,
     )
 
 
+def _multilevel_local(rows, levels: int, rounds: int, refine: bool, spark) -> DataFrame:
+    """Driver fast path for `louvain_multilevel` / `leiden`: the whole
+    level stack — local moves, (optional) refinement, aggregation, label
+    composition — over Python dicts, ONE collect and ONE createDataFrame
+    total. Each phase mirrors its distributed twin bit-for-bit
+    (`_louvain_core` / `_refine_core` / `_aggregate_core`), so results
+    are identical; only the Spark job count changes (r10 verdict item 4:
+    the fixture wall was ~10 s of pure orchestration overhead)."""
+    und, sl = _collapse_local(rows)
+    comm = _louvain_core(_adj_from_und(und), sl, rounds)
+    mapping = _refine_core(und.keys(), comm) if refine else comm
+    for _ in range(1, levels):
+        sup = _aggregate_core(und, sl, mapping)
+        s_und = {k: w for k, w in sup.items() if k[0] != k[1]}
+        s_sl = {a: w for (a, b), w in sup.items() if a == b}
+        up = _louvain_core(_adj_from_und(s_und), s_sl, rounds)
+        if refine:
+            up = _refine_core(s_und.keys(), up)
+        mapping = {n: up[c] for n, c in mapping.items()}
+    return spark.createDataFrame(
+        sorted(mapping.items()), "node long, community long"
+    )
+
+
+def _louvain_wfp_frame(edges: DataFrame, src_col: str, dst_col: str,
+                       weight_col: str | None) -> DataFrame:
+    wexpr = (
+        F.lit(1).cast("long") if weight_col is None
+        else F.floor(
+            F.col(weight_col).cast("double") * MST_SCALE + F.lit(0.5)
+        ).cast("long")
+    )
+    return edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        wexpr.alias("wfp"),
+    )
+
+
 def louvain_multilevel(edges: DataFrame, levels: int = 2, rounds: int = 4,
                        src_col: str = "src_system_id",
                        dst_col: str = "dst_system_id",
@@ -3158,6 +3282,12 @@ def louvain_multilevel(edges: DataFrame, levels: int = 2, rounds: int = 4,
     a vanishing fraction of level 1. Runs a FIXED level count (no early
     break) — deterministic plan shape, and a converged level is a cheap
     no-op pass over an already-tiny graph."""
+    e = _louvain_wfp_frame(edges, src_col, dst_col, weight_col)
+    if _fits_driver(e, driver_threshold):
+        return _multilevel_local(
+            [(r["src"], r["dst"], r["wfp"]) for r in e.collect()],
+            levels, rounds, refine=False, spark=edges.sparkSession,
+        )
     mapping = louvain(edges, rounds=rounds, src_col=src_col, dst_col=dst_col,
                       weight_col=weight_col, driver_threshold=driver_threshold)
     for _ in range(1, levels):
@@ -3199,6 +3329,16 @@ def refine_communities(edges: DataFrame, labels: DataFrame,
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
+    if _fits_driver(e, driver_threshold):
+        pairs = {
+            (r["src"], r["dst"]) if r["src"] < r["dst"] else (r["dst"], r["src"])
+            for r in e.collect() if r["src"] != r["dst"]
+        }
+        lab = {r["node"]: r["community"] for r in labels.collect()}
+        refined = _refine_core(pairs, lab)
+        return edges.sparkSession.createDataFrame(
+            sorted(refined.items()), "node long, community long"
+        )
     und = (
         e.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
@@ -3244,6 +3384,12 @@ def leiden(edges: DataFrame, levels: int = 2, rounds: int = 4,
     louvain rounds + one intra-edge CC + one aggregation; levels shrink
     geometrically like louvain_multilevel.
     """
+    e = _louvain_wfp_frame(edges, src_col, dst_col, weight_col)
+    if _fits_driver(e, driver_threshold):
+        return _multilevel_local(
+            [(r["src"], r["dst"], r["wfp"]) for r in e.collect()],
+            levels, rounds, refine=True, spark=edges.sparkSession,
+        )
     labels = louvain(edges, rounds=rounds, src_col=src_col, dst_col=dst_col,
                      weight_col=weight_col, driver_threshold=driver_threshold)
     mapping = refine_communities(edges, labels, src_col=src_col,

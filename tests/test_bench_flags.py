@@ -37,3 +37,28 @@ def test_flags_sorted_by_absolute_growth():
         {"small": 10_000, "big": 1_000_000},
     )
     assert [f["query"] for f in got] == ["big", "small"]
+
+
+def test_snap_absorbs_probe_jitter():
+    from bench import snap_shuffle_pins
+
+    # memoized-probe jitter (0 <-> 64) snaps back to the committed pin
+    assert snap_shuffle_pins({"lpa": 64}, {"lpa": 0}) == {"lpa": 0}
+    assert snap_shuffle_pins({"lpa": 0}, {"lpa": 64}) == {"lpa": 64}
+
+
+def test_snap_keeps_real_plan_changes():
+    from bench import snap_shuffle_pins
+
+    # beyond the 10% + 1k envelope the measured value must be recorded
+    assert snap_shuffle_pins({"q": 12_000}, {"q": 10_000}) == {"q": 12_000}
+    assert snap_shuffle_pins({"q": 5_000}, {"q": 10_000}) == {"q": 5_000}
+    # inside the envelope (10% of a large pin) it snaps
+    assert snap_shuffle_pins({"q": 104_000}, {"q": 100_000}) == {"q": 100_000}
+
+
+def test_snap_skips_failed_and_unbaselined():
+    from bench import snap_shuffle_pins
+
+    assert snap_shuffle_pins({"q": -1}, {"q": 0}) == {"q": -1}
+    assert snap_shuffle_pins({"new": 42}, {}) == {"new": 42}
