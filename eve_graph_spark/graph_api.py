@@ -254,13 +254,26 @@ class PropertyGraph:
                                  src_col="src", dst_col="dst")
 
     def louvain(self, rounds: int = 4, maxLevels: int = 1,  # noqa: N803
-                weightCol: str | None = None) -> DataFrame:  # noqa: N803
+                weightCol: str | None = None, gamma: float = 1.0,  # noqa: N803
+                stats_out: dict | None = None) -> DataFrame:
         """(node, community) — GDS gds.louvain parity: deterministic
         synchronous modularity-optimizing local moves
         (graph_analytics.louvain); maxLevels > 1 stacks levels with
         community aggregation between them
         (graph_analytics.louvain_multilevel, the GDS maxLevels knob);
-        weightCol is relationshipWeightProperty."""
+        weightCol is relationshipWeightProperty; gamma is the GDS
+        resolution parameter (>1 → more, smaller communities);
+        stats_out receives the GDS ranIterations/didConverge yield
+        (rounds, moves_per_round, did_converge; per_level when
+        maxLevels > 1).
+
+        Deliberate default divergence from GDS: maxLevels defaults to 1
+        here (10 in GDS). The engine runs a FIXED level/round budget for
+        deterministic, oracle-replayable output instead of GDS's
+        converge-up-to-budget semantics, so stacking 10 levels on an
+        already-converged graph would buy nothing and cost 9 no-op
+        passes; callers wanting GDS-default depth pass maxLevels=10 and
+        read stats_out['did_converge']."""
         from eve_graph_spark.operators.graph_analytics import (
             louvain,
             louvain_multilevel,
@@ -269,20 +282,32 @@ class PropertyGraph:
         if maxLevels > 1:
             return louvain_multilevel(self.edges, levels=maxLevels,
                                       rounds=rounds, src_col="src",
-                                      dst_col="dst", weight_col=weightCol)
+                                      dst_col="dst", weight_col=weightCol,
+                                      gamma=gamma, stats_out=stats_out)
         return louvain(self.edges, rounds=rounds, src_col="src",
-                       dst_col="dst", weight_col=weightCol)
+                       dst_col="dst", weight_col=weightCol,
+                       gamma=gamma, stats_out=stats_out)
 
     def leiden(self, rounds: int = 4, maxLevels: int = 2,  # noqa: N803
-               weightCol: str | None = None) -> DataFrame:  # noqa: N803
+               weightCol: str | None = None, gamma: float = 1.0,  # noqa: N803
+               stats_out: dict | None = None) -> DataFrame:
         """(node, community) — GDS gds.leiden counterpart, deterministic:
         louvain local moves + the Leiden refinement (every returned
         community induces a CONNECTED subgraph) + self-loop aggregation
-        per level (graph_analytics.leiden)."""
+        per level (graph_analytics.leiden); gamma/stats_out as in
+        louvain().
+
+        Deliberate default divergence from GDS: maxLevels defaults to 2
+        (10 in GDS) — two levels already exercise refinement + one
+        aggregation on the fixed budget the deterministic contract needs;
+        pass maxLevels=10 for GDS-default depth and read
+        stats_out['did_converge'] to see whether the extra levels
+        matter."""
         from eve_graph_spark.operators.graph_analytics import leiden
 
         return leiden(self.edges, levels=maxLevels, rounds=rounds,
-                      src_col="src", dst_col="dst", weight_col=weightCol)
+                      src_col="src", dst_col="dst", weight_col=weightCol,
+                      gamma=gamma, stats_out=stats_out)
 
     def kTruss(self, k: int = 3) -> DataFrame:  # noqa: N802
         """(src, dst, support) — GDS gds.ktruss parity: maximal subgraph

@@ -2912,19 +2912,43 @@ def _adj_from_und(und: dict) -> dict:
     return adj
 
 
-def _louvain_core(adj: dict, wself: dict, rounds: int) -> dict:
+def _gamma_rational(gamma: float) -> tuple[int, int]:
+    """GDS resolution parameter γ as an exact small rational (num, den).
+
+    The integer gain stays exact for rational γ by multiplying the whole
+    comparison through the denominator: g = den·2m·kin − num·k·(Σtot −
+    k·[own]). limit_denominator(10^6) recovers the intended decimal
+    (1.1 → 11/10) instead of the float's huge dyadic expansion, keeping
+    the distributed longs far from overflow; γ=1 → (1, 1), which leaves
+    every existing gain bit-identical."""
+    if gamma == 1.0 or gamma == 1:
+        return 1, 1
+    if not (gamma > 0):
+        raise ValueError(f"louvain family: gamma must be > 0, got {gamma!r}")
+    from fractions import Fraction
+
+    fr = Fraction(gamma).limit_denominator(1_000_000)
+    return fr.numerator, fr.denominator
+
+
+def _louvain_core(adj: dict, wself: dict, rounds: int,
+                  gnum: int = 1, gden: int = 1,
+                  stats: dict | None = None) -> dict:
     """The synchronous alternating-parity local-move rounds over Python
     dicts — the single source of truth for the louvain / multilevel /
     leiden driver fast paths. All-integer gains, so bit-identical to the
     distributed loop. Self-loop weights contribute to a node's degree
     (×2) and to m, never to any kin — a self-loop moves with its node,
     so its internal mass cancels out of the argmax (the standard
-    aggregated-graph convention)."""
+    aggregated-graph convention). (gnum, gden) is the resolution γ as an
+    exact rational (`_gamma_rational`); `stats` (optional) receives
+    rounds / moves_per_round / did_converge (see `louvain`)."""
     nodes = sorted(set(adj) | set(wself))
     deg = {v: sum(w for _, w in adj.get(v, ())) + 2 * wself.get(v, 0)
            for v in nodes}
     m = sum(deg.values()) // 2
     comm = {v: v for v in nodes}
+    moves_per_round: list[int] = []
     for it in range(rounds):
         stot: dict[int, int] = {}
         for v in nodes:
@@ -2938,7 +2962,9 @@ def _louvain_core(adj: dict, wself: dict, rounds: int) -> dict:
             best_c, best_g = None, None
             own_g = None
             for c, k in kin.items():
-                g = 2 * m * k - deg[v] * (stot[c] - (deg[v] if c == comm[v] else 0))
+                g = (gden * 2 * m * k
+                     - gnum * deg[v]
+                     * (stot[c] - (deg[v] if c == comm[v] else 0)))
                 if c == comm[v]:
                     own_g = g
                 if best_g is None or g > best_g or (g == best_g and c < best_c):
@@ -2947,7 +2973,14 @@ def _louvain_core(adj: dict, wself: dict, rounds: int) -> dict:
                 new_comm[v] = best_c
             else:
                 new_comm[v] = comm[v]
+        moves_per_round.append(sum(1 for v in nodes if new_comm[v] != comm[v]))
         comm = new_comm
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["moves_per_round"] = moves_per_round
+        # both parities must sit still: a single quiet round can be the
+        # alternating-parity mask, not a fixpoint
+        stats["did_converge"] = sum(moves_per_round[-2:]) == 0
     return comm
 
 
@@ -3001,6 +3034,8 @@ def louvain(edges: DataFrame, rounds: int = 4,
             src_col: str = "src_system_id", dst_col: str = "dst_system_id",
             weight_col: str | None = None,
             pre_scaled_weights: bool = False,
+            gamma: float = 1.0,
+            stats_out: dict | None = None,
             driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """GDS `gds.louvain` (maxLevels=1) parity: modularity-optimizing local
     moves on the undirected projection, made deterministic and
@@ -3036,7 +3071,23 @@ def louvain(edges: DataFrame, rounds: int = 4,
     (community-count cells), one (node, neighbor-community) count shuffle
     (Σ degrees rows — the LPA shape), one per-node argmax window. Labels
     localCheckpoint per round.
+
+    `gamma=` is the GDS resolution parameter (`gds.louvain` gamma,
+    default 1): g(v→c) = 2m·k_in − γ·k·(Σtot − k·[own]). γ>1 penalizes
+    community mass harder → more, smaller communities; γ<1 → fewer,
+    larger. Kept exact by rationalizing γ (`_gamma_rational`) and
+    multiplying the comparison through the denominator — γ=1 reduces to
+    the original integer gain bit-for-bit; γ≠1 runs the gain in
+    decimal(38,0) so the extra ≤10^6 factor cannot overflow longs.
+
+    `stats_out=` (GDS ranIterations/didConverge yield): records `rounds`
+    executed, `moves_per_round`, and `did_converge` — true iff the last
+    TWO rounds moved no node (both parities of the alternating mask must
+    sit still; one quiet round can be the mask, not a fixpoint). On the
+    distributed path the per-round move count costs one diff-count job
+    per round, only when requested.
     """
+    gnum, gden = _gamma_rational(gamma)
     if pre_scaled_weights:
         wexpr = F.col(weight_col).cast("long")
     elif weight_col is None:
@@ -3059,7 +3110,8 @@ def louvain(edges: DataFrame, rounds: int = 4,
         und_l, sl_l = _collapse_local(
             (r["src"], r["dst"], r["wfp"]) for r in e.collect()
         )
-        comm = _louvain_core(_adj_from_und(und_l), sl_l, rounds)
+        comm = _louvain_core(_adj_from_und(und_l), sl_l, rounds,
+                             gnum, gden, stats_out)
         return edges.sparkSession.createDataFrame(
             sorted(comm.items()), "node long, community long"
         )
@@ -3094,9 +3146,14 @@ def louvain(edges: DataFrame, rounds: int = 4,
     m = m_und + m_self
     comm = deg.select(F.col("u").alias("node"), F.col("u").alias("comm"))
     if m == 0:
+        if stats_out is not None:
+            stats_out["rounds"] = 0
+            stats_out["moves_per_round"] = []
+            stats_out["did_converge"] = True
         return comm.select("node", F.col("comm").alias("community"))
     from pyspark.sql import Window
 
+    moves_per_round: list[int] = []
     for it in range(rounds):
         stot = (
             comm.join(deg, comm.node == deg.u)
@@ -3116,19 +3173,31 @@ def louvain(edges: DataFrame, rounds: int = 4,
             "left_anti",
         )
         cand = nc.unionByName(own_zero)
+        if (gnum, gden) == (1, 1):
+            g_expr = (
+                F.lit(2 * m) * F.col("kin")
+                - F.col("k")
+                * (F.col("stot")
+                   - F.when(F.col("c") == F.col("comm"), F.col("k")).otherwise(F.lit(0)))
+            )
+        else:
+            # non-unit γ: rationalized gain in decimal(38,0) — the ≤1e6
+            # denominator/numerator factors would push longs toward
+            # overflow on heavy weighted graphs
+            dec = "decimal(38,0)"
+            g_expr = (
+                F.lit(gden).cast(dec) * F.lit(2 * m).cast(dec)
+                * F.col("kin").cast(dec)
+                - F.lit(gnum).cast(dec) * F.col("k").cast(dec)
+                * (F.col("stot")
+                   - F.when(F.col("c") == F.col("comm"), F.col("k"))
+                   .otherwise(F.lit(0))).cast(dec)
+            )
         gain = (
             cand.join(comm, "node")
             .join(deg.select(F.col("u").alias("node"), "k"), "node")
             .join(stot, "c")
-            .select(
-                "node", "c", "comm",
-                (
-                    F.lit(2 * m) * F.col("kin")
-                    - F.col("k")
-                    * (F.col("stot")
-                       - F.when(F.col("c") == F.col("comm"), F.col("k")).otherwise(F.lit(0)))
-                ).alias("g"),
-            )
+            .select("node", "c", "comm", g_expr.alias("g"))
         )
         w = Window.partitionBy("node").orderBy(F.desc("g"), F.asc("c"))
         best = (
@@ -3139,6 +3208,7 @@ def louvain(edges: DataFrame, rounds: int = 4,
         own = gain.filter(F.col("c") == F.col("comm")).select(
             "node", F.col("g").alias("own_g")
         )
+        prev_comm = comm
         comm = (
             comm.join(best, "node").join(own, "node")
             .select(
@@ -3151,6 +3221,16 @@ def louvain(edges: DataFrame, rounds: int = 4,
             )
             .transform(truncate_lineage)
         )
+        if stats_out is not None:
+            moves_per_round.append(
+                comm.join(
+                    prev_comm.select("node", F.col("comm").alias("__prev")), "node"
+                ).filter(F.col("comm") != F.col("__prev")).count()
+            )
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["moves_per_round"] = moves_per_round
+        stats_out["did_converge"] = sum(moves_per_round[-2:]) == 0
     return comm.select("node", F.col("comm").alias("community"))
 
 
@@ -3222,7 +3302,9 @@ def community_aggregate(edges: DataFrame, labels: DataFrame,
     )
 
 
-def _multilevel_local(rows, levels: int, rounds: int, refine: bool, spark) -> DataFrame:
+def _multilevel_local(rows, levels: int, rounds: int, refine: bool, spark,
+                      gnum: int = 1, gden: int = 1,
+                      stats_out: dict | None = None) -> DataFrame:
     """Driver fast path for `louvain_multilevel` / `leiden`: the whole
     level stack — local moves, (optional) refinement, aggregation, label
     composition — over Python dicts, ONE collect and ONE createDataFrame
@@ -3230,17 +3312,30 @@ def _multilevel_local(rows, levels: int, rounds: int, refine: bool, spark) -> Da
     (`_louvain_core` / `_refine_core` / `_aggregate_core`), so results
     are identical; only the Spark job count changes (r10 verdict item 4:
     the fixture wall was ~10 s of pure orchestration overhead)."""
+    per_level: list[dict] = []
+
+    def _lv_stats() -> dict | None:
+        if stats_out is None:
+            return None
+        per_level.append({})
+        return per_level[-1]
+
     und, sl = _collapse_local(rows)
-    comm = _louvain_core(_adj_from_und(und), sl, rounds)
+    comm = _louvain_core(_adj_from_und(und), sl, rounds, gnum, gden, _lv_stats())
     mapping = _refine_core(und.keys(), comm) if refine else comm
     for _ in range(1, levels):
         sup = _aggregate_core(und, sl, mapping)
         s_und = {k: w for k, w in sup.items() if k[0] != k[1]}
         s_sl = {a: w for (a, b), w in sup.items() if a == b}
-        up = _louvain_core(_adj_from_und(s_und), s_sl, rounds)
+        up = _louvain_core(_adj_from_und(s_und), s_sl, rounds, gnum, gden,
+                           _lv_stats())
         if refine:
             up = _refine_core(s_und.keys(), up)
         mapping = {n: up[c] for n, c in mapping.items()}
+    if stats_out is not None:
+        stats_out["levels"] = levels
+        stats_out["per_level"] = per_level
+        stats_out["did_converge"] = per_level[-1]["did_converge"]
     return spark.createDataFrame(
         sorted(mapping.items()), "node long, community long"
     )
@@ -3265,6 +3360,8 @@ def louvain_multilevel(edges: DataFrame, levels: int = 2, rounds: int = 4,
                        src_col: str = "src_system_id",
                        dst_col: str = "dst_system_id",
                        weight_col: str | None = None,
+                       gamma: float = 1.0,
+                       stats_out: dict | None = None,
                        driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """GDS `gds.louvain` with maxLevels > 1: alternate local-move phases
     (the deterministic synchronous `louvain`) with graph AGGREGATION
@@ -3282,26 +3379,41 @@ def louvain_multilevel(edges: DataFrame, levels: int = 2, rounds: int = 4,
     a vanishing fraction of level 1. Runs a FIXED level count (no early
     break) — deterministic plan shape, and a converged level is a cheap
     no-op pass over an already-tiny graph."""
+    gnum, gden = _gamma_rational(gamma)
     e = _louvain_wfp_frame(edges, src_col, dst_col, weight_col)
     if _fits_driver(e, driver_threshold):
         return _multilevel_local(
             [(r["src"], r["dst"], r["wfp"]) for r in e.collect()],
             levels, rounds, refine=False, spark=edges.sparkSession,
+            gnum=gnum, gden=gden, stats_out=stats_out,
         )
+    per_level: list[dict] = [] if stats_out is not None else None
+    lv = {} if stats_out is not None else None
     mapping = louvain(edges, rounds=rounds, src_col=src_col, dst_col=dst_col,
-                      weight_col=weight_col, driver_threshold=driver_threshold)
+                      weight_col=weight_col, gamma=gamma, stats_out=lv,
+                      driver_threshold=driver_threshold)
+    if stats_out is not None:
+        per_level.append(lv)
     for _ in range(1, levels):
         mapping = mapping.transform(truncate_lineage)
         agg = community_aggregate(edges, mapping, weight_col=weight_col,
                                   src_col=src_col, dst_col=dst_col)
+        lv = {} if stats_out is not None else None
         up = louvain(agg, rounds=rounds, src_col="src", dst_col="dst",
                      weight_col="wfp", pre_scaled_weights=True,
+                     gamma=gamma, stats_out=lv,
                      driver_threshold=driver_threshold)
+        if stats_out is not None:
+            per_level.append(lv)
         mapping = mapping.join(
             up.select(F.col("node").alias("community"),
                       F.col("community").alias("next_c")),
             "community",
         ).select("node", F.col("next_c").alias("community"))
+    if stats_out is not None:
+        stats_out["levels"] = levels
+        stats_out["per_level"] = per_level
+        stats_out["did_converge"] = per_level[-1]["did_converge"]
     return mapping
 
 
@@ -3367,6 +3479,8 @@ def refine_communities(edges: DataFrame, labels: DataFrame,
 def leiden(edges: DataFrame, levels: int = 2, rounds: int = 4,
            src_col: str = "src_system_id", dst_col: str = "dst_system_id",
            weight_col: str | None = None,
+           gamma: float = 1.0,
+           stats_out: dict | None = None,
            driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """GDS `gds.leiden` counterpart, deterministic: per level, synchronous
     modularity local moves (`louvain`) → REFINEMENT (`refine_communities`
@@ -3384,14 +3498,21 @@ def leiden(edges: DataFrame, levels: int = 2, rounds: int = 4,
     louvain rounds + one intra-edge CC + one aggregation; levels shrink
     geometrically like louvain_multilevel.
     """
+    gnum, gden = _gamma_rational(gamma)
     e = _louvain_wfp_frame(edges, src_col, dst_col, weight_col)
     if _fits_driver(e, driver_threshold):
         return _multilevel_local(
             [(r["src"], r["dst"], r["wfp"]) for r in e.collect()],
             levels, rounds, refine=True, spark=edges.sparkSession,
+            gnum=gnum, gden=gden, stats_out=stats_out,
         )
+    per_level: list[dict] = [] if stats_out is not None else None
+    lv = {} if stats_out is not None else None
     labels = louvain(edges, rounds=rounds, src_col=src_col, dst_col=dst_col,
-                     weight_col=weight_col, driver_threshold=driver_threshold)
+                     weight_col=weight_col, gamma=gamma, stats_out=lv,
+                     driver_threshold=driver_threshold)
+    if stats_out is not None:
+        per_level.append(lv)
     mapping = refine_communities(edges, labels, src_col=src_col,
                                  dst_col=dst_col,
                                  driver_threshold=driver_threshold)
@@ -3399,9 +3520,13 @@ def leiden(edges: DataFrame, levels: int = 2, rounds: int = 4,
         mapping = mapping.transform(truncate_lineage)
         agg = community_aggregate(edges, mapping, weight_col=weight_col,
                                   src_col=src_col, dst_col=dst_col)
+        lv = {} if stats_out is not None else None
         up = louvain(agg, rounds=rounds, src_col="src", dst_col="dst",
                      weight_col="wfp", pre_scaled_weights=True,
+                     gamma=gamma, stats_out=lv,
                      driver_threshold=driver_threshold)
+        if stats_out is not None:
+            per_level.append(lv)
         up = refine_communities(agg, up, src_col="src", dst_col="dst",
                                 driver_threshold=driver_threshold)
         mapping = mapping.join(
@@ -3409,6 +3534,10 @@ def leiden(edges: DataFrame, levels: int = 2, rounds: int = 4,
                       F.col("community").alias("next_c")),
             "community",
         ).select("node", F.col("next_c").alias("community"))
+    if stats_out is not None:
+        stats_out["levels"] = levels
+        stats_out["per_level"] = per_level
+        stats_out["did_converge"] = per_level[-1]["did_converge"]
     return mapping
 
 
