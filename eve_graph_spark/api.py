@@ -390,18 +390,39 @@ def risk_stream_handler(engine: GraphEngine, stats_out: dict | None = None):
     zero out via keyed_update's default — exactly the batch path).
     `stats_out["polls"]` accumulates applied poll_ids for offset-resume
     tests.
+
+    Hardening (r10 advice): (a) poll application is MONOTONIC across
+    batches — the file source orders batches by modification time, so a
+    backfilled file with a skewed mtime could otherwise land a stale poll
+    AFTER a fresher one and overwrite newer full-state risk; the handler
+    tracks the last applied poll_id and skips batches at or below it.
+    (b) The applied poll is reduced to ONE row per system_id (max
+    counters — deterministic) before keyed_update, so a poll split across
+    files cannot fan out the systems table through the update join.
+    (c) `stats_out["polls"]` records a poll only AFTER refresh_risk and
+    the checkpoint anchoring succeed — a mid-batch failure must not log
+    the poll as applied.
     """
+    applied: dict[str, int | None] = {"last": None}
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        last = None
         if "poll_id" in batch_df.columns:
             last = batch_df.agg(F.max("poll_id")).collect()[0][0]
             if last is None:
                 return  # no polls in this batch
+            last = int(last)
+            if applied["last"] is not None and last <= applied["last"]:
+                return  # stale or replayed poll — never regress fresher state
             batch_df = batch_df.filter(F.col("poll_id") == last).drop("poll_id")
-            if stats_out is not None:
-                stats_out.setdefault("polls", []).append(int(last))
         elif batch_df.isEmpty():
             return
+        # one row per system_id: a duplicate inside the batch would fan
+        # out the systems table via the update join
+        batch_df = batch_df.groupBy("system_id").agg(
+            F.max("ship_kills").alias("ship_kills"),
+            F.max("ship_jumps").alias("ship_jumps"),
+        )
         engine.refresh_risk(
             batch_df.select("system_id", "ship_kills"),
             batch_df.select("system_id", "ship_jumps"),
@@ -409,5 +430,9 @@ def risk_stream_handler(engine: GraphEngine, stats_out: dict | None = None):
         # anchor: constant lineage depth across polls
         engine.systems = engine.systems.transform(truncate_lineage)
         engine.jumps = engine.jumps.transform(truncate_lineage)
+        if last is not None:
+            applied["last"] = last
+            if stats_out is not None:
+                stats_out.setdefault("polls", []).append(last)
 
     return handle

@@ -710,3 +710,111 @@ def test_risk_stream_catchup_batch_applies_latest_poll_only(
         feed.select("system_id", "ship_jumps"),
     )
     assert _risk_proj_rows(eng) == _risk_proj_rows(ref)
+
+
+def test_risk_stream_stale_poll_never_regresses_fresher_state(
+    spark, sf_dir, tmp_path
+):
+    """r10 advice: batches arrive mtime-ordered, so a backfilled file can
+    deliver an OLDER poll after a newer one — the handler must skip it
+    instead of overwriting fresher full-state risk."""
+    from eve_graph_spark.api import risk_stream_handler
+
+    eng = _fixture_engine(spark, sf_dir)
+    all_ids = sorted(r["system_id"] for r in eng.systems.collect())
+    stats: dict = {}
+    handle = risk_stream_handler(eng, stats)
+
+    fresh = spark.createDataFrame(
+        [(i, 7, 3, 5) for i in all_ids],
+        "system_id long, ship_kills long, ship_jumps long, poll_id long",
+    )
+    handle(fresh, 0)
+    assert stats["polls"] == [5]
+    state_after_fresh = _risk_proj_rows(eng)
+
+    stale = spark.createDataFrame(
+        [(i, 999, 1, 3) for i in all_ids],
+        "system_id long, ship_kills long, ship_jumps long, poll_id long",
+    )
+    handle(stale, 1)  # poll 3 < applied poll 5 -> skipped entirely
+    assert stats["polls"] == [5]
+    assert _risk_proj_rows(eng) == state_after_fresh
+
+    replay = spark.createDataFrame(
+        [(i, 7, 3, 5) for i in all_ids],
+        "system_id long, ship_kills long, ship_jumps long, poll_id long",
+    )
+    handle(replay, 2)  # exact replay of the applied poll -> also skipped
+    assert stats["polls"] == [5]
+
+
+def test_risk_stream_duplicate_rows_in_poll_do_not_fan_out(
+    spark, sf_dir, tmp_path
+):
+    """r10 advice: the same poll split across files can duplicate a
+    system_id inside one batch; the handler reduces to one row per system
+    (max counters) so the update join cannot fan out the systems table."""
+    from eve_graph_spark.api import risk_stream_handler
+
+    eng = _fixture_engine(spark, sf_dir)
+    all_ids = sorted(r["system_id"] for r in eng.systems.collect())
+    n_systems = eng.systems.count()
+    handle = risk_stream_handler(eng, {})
+
+    rows = [(i, 2, 4, 0) for i in all_ids]
+    rows += [(all_ids[0], 9, 1, 0), (all_ids[0], 2, 4, 0)]  # dup system
+    handle(
+        spark.createDataFrame(
+            rows, "system_id long, ship_kills long, ship_jumps long, poll_id long"
+        ),
+        0,
+    )
+    assert eng.systems.count() == n_systems  # no fan-out through the join
+
+    ref = _fixture_engine(spark, sf_dir)
+    feed = spark.createDataFrame(
+        [(i, 9 if i == all_ids[0] else 2, 4) for i in all_ids],
+        "system_id long, ship_kills long, ship_jumps long",
+    )
+    ref.refresh_risk(
+        feed.select("system_id", "ship_kills"),
+        feed.select("system_id", "ship_jumps"),
+    )
+    assert _risk_proj_rows(eng) == _risk_proj_rows(ref)
+
+
+def test_risk_stream_poll_logged_only_after_refresh_succeeds(
+    spark, sf_dir, tmp_path
+):
+    """r10 advice: a mid-batch refresh failure must not record the poll as
+    applied — the retry of the same poll must go through."""
+    from eve_graph_spark.api import risk_stream_handler
+
+    eng = _fixture_engine(spark, sf_dir)
+    all_ids = sorted(r["system_id"] for r in eng.systems.collect())
+    stats: dict = {}
+    handle = risk_stream_handler(eng, stats)
+
+    real_refresh = eng.refresh_risk
+    calls = {"n": 0}
+
+    def flaky(kills, jumps):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient refresh failure")
+        return real_refresh(kills, jumps)
+
+    eng.refresh_risk = flaky
+    batch = spark.createDataFrame(
+        [(i, 3, 2, 7) for i in all_ids],
+        "system_id long, ship_kills long, ship_jumps long, poll_id long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        handle(batch, 0)
+    assert stats.get("polls", []) == []  # failure -> not logged as applied
+
+    handle(batch, 1)  # retry of the SAME poll must not be skipped
+    assert stats["polls"] == [7]
