@@ -90,6 +90,16 @@ class PropertyGraph:
         )
         return triangle_count(sym, src_col="src", dst_col="dst")
 
+    def dfs(self, from_id: int, maxDepth: int | None = None) -> DataFrame:  # noqa: N803
+        """(node, visit_order) — GDS gds.dfs counterpart: deterministic
+        depth-first preorder from `from_id` (smallest unvisited neighbor
+        first; see operators.graph.dfs for the sequential-kernel scale
+        posture). maxDepth bounds descent depth like GDS."""
+        from eve_graph_spark.operators.graph import dfs
+
+        return dfs(self.edges, from_id, src_col="src", dst_col="dst",
+                   max_depth=maxDepth)
+
     def bfs(self, from_id: int, to_id: int) -> list[int]:
         """Unweighted shortest path between two vertex ids (node-id list,
         empty when unreachable) — the GraphFrames bfs result reduced to

@@ -976,6 +976,73 @@ def a_star(
     return dist[target], list(reversed(path))
 
 
+def dfs(edges: DataFrame, source: int,
+        src_col: str = "src_system_id", dst_col: str = "dst_system_id",
+        max_depth: int | None = None,
+        driver_threshold: int = DRIVER_SSSP_MAX_EDGES) -> DataFrame:
+    """GDS `gds.dfs` counterpart: depth-first preorder from `source`,
+    returned as (node, visit_order) with visit_order starting at 1.
+
+    Deterministic spec (GDS's traversal order depends on its internal
+    adjacency layout; ours is pinned so the SQL oracle can replay it):
+    from the current node descend into the SMALLEST unvisited neighbor;
+    when none remains, backtrack — i.e. textbook recursive DFS with
+    ascending-id neighbor order. `max_depth` bounds descent depth from
+    the source (GDS maxDepth): nodes deeper than it are neither visited
+    nor traversed through.
+
+    Scale posture: DFS order is inherently SEQUENTIAL — each step depends
+    on the entire visited set, so no superstep decomposition exists (GDS
+    also computes it single-threaded on the in-memory projection). The
+    kernel therefore runs on the driver for graphs within
+    `driver_threshold` edges and raises loudly beyond it, the same
+    budget-exhaustion convention as MST/k-truss — a silent distributed
+    "DFS" would really be a BFS-ish frontier walk with different
+    semantics. For reachability at scale use `connected_components`; for
+    ordered exploration use `sssp`/`bfs_from`.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    if not fits_driver(e, driver_threshold):
+        raise ValueError(
+            f"dfs: graph exceeds driver_threshold={driver_threshold} edges; "
+            "depth-first order is sequential and cannot be computed "
+            "distributed — use connected_components / sssp for scale paths"
+        )
+    adj: dict[int, list[int]] = {}
+    for r in e.collect():
+        if r["src"] != r["dst"]:
+            adj.setdefault(r["src"], []).append(r["dst"])
+    for k in adj:
+        adj[k] = sorted(set(adj[k]))
+    spark = edges.sparkSession
+    if source not in adj:
+        # GDS semantics: an absent / isolated source visits just itself
+        return spark.createDataFrame([(source, 1)], "node long, visit_order long")
+    visited = [source]
+    vis = {source}
+    stack = [source]
+    while stack:
+        cur = stack[-1]
+        nxt = None
+        if max_depth is None or len(stack) <= max_depth:
+            for u in adj.get(cur, ()):
+                if u not in vis:
+                    nxt = u
+                    break
+        if nxt is None:
+            stack.pop()
+        else:
+            vis.add(nxt)
+            visited.append(nxt)
+            stack.append(nxt)
+    return spark.createDataFrame(
+        [(n, i + 1) for i, n in enumerate(visited)], "node long, visit_order long"
+    )
+
+
 DRIVER_PATH_MAX_NODES = 2_000_000  # below this, collect the whole pred map
 
 

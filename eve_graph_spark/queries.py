@@ -868,6 +868,53 @@ def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dfs_traversal",
+    _graph_cte(
+        """
+        , dfs_edges AS (
+            SELECT DISTINCT src_system_id AS src, dst_system_id AS dst
+            FROM fix_jumps
+        ),
+        dfs_walk(stack, visited) AS (
+            SELECT [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)]
+            UNION ALL
+            SELECT
+              CASE WHEN nxt IS NULL THEN stack[1:len(stack)-1]
+                   ELSE list_append(stack, nxt) END,
+              CASE WHEN nxt IS NULL THEN visited
+                   ELSE list_append(visited, nxt) END
+            FROM (
+              SELECT stack, visited,
+                     (SELECT MIN(e.dst) FROM dfs_edges e
+                      WHERE e.src = stack[len(stack)]
+                        AND NOT list_contains(visited, e.dst)) AS nxt
+              FROM dfs_walk
+            )
+            WHERE len(stack) > 0
+        ),
+        dfs_final AS (SELECT visited FROM dfs_walk WHERE len(stack) = 0),
+        dfs_idx AS (
+            SELECT unnest(range(1, len(visited) + 1)) AS ord FROM dfs_final
+        )
+        SELECT CAST(f.visited[i.ord] AS BIGINT) AS node,
+               CAST(i.ord AS BIGINT) AS visit_order
+        FROM dfs_final f, dfs_idx i
+        """
+    ),
+)
+def dfs_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GDS gds.dfs analogue with a PINNED deterministic order (smallest
+    # unvisited neighbor first), replayed by the oracle as a single-row
+    # recursive state machine (stack + visited arrays, one CTE iteration
+    # per DFS step). DFS is inherently sequential — the engine runs it on
+    # the driver and raises beyond the edge threshold (operators/graph.py
+    # `dfs` docstring has the scale rationale).
+    from eve_graph_spark.operators.graph import dfs
+
+    return dfs(build_jumps(spark, sf_dir, with_risk=False), 0)
+
+
+@register(
     "closeness_centrality",
     _graph_cte(
         """

@@ -190,3 +190,49 @@ def test_property_graph_exposes_gamma_and_stats(spark):
     st2: dict = {}
     g.leiden(rounds=4, maxLevels=2, gamma=2.0, stats_out=st2).collect()
     assert "did_converge" in st2
+
+
+def test_dfs_preorder_known_graph(spark):
+    from eve_graph_spark.operators.graph import dfs
+
+    # 0-1-2 chain plus 0-3: DFS from 0 descends 1,2 then backtracks to 3
+    e = _sym(spark, [(0, 1), (1, 2), (0, 3)])
+    got = sorted(map(tuple, dfs(e, 0).collect()), key=lambda t: t[1])
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_dfs_max_depth_bounds_descent(spark):
+    from eve_graph_spark.operators.graph import dfs
+
+    e = _sym(spark, [(0, 1), (1, 2), (2, 3), (0, 4)])
+    got = sorted(map(tuple, dfs(e, 0, max_depth=1).collect()), key=lambda t: t[1])
+    # depth 1: source + direct neighbors only, ascending order
+    assert got == [(0, 1), (1, 2), (4, 3)]
+
+
+def test_dfs_isolated_source_visits_itself(spark):
+    from eve_graph_spark.operators.graph import dfs
+
+    e = _sym(spark, [(1, 2)])
+    assert [tuple(r) for r in dfs(e, 99).collect()] == [(99, 1)]
+
+
+def test_dfs_raises_beyond_driver_threshold(spark):
+    from eve_graph_spark.operators.graph import dfs
+
+    e = _sym(spark, [(0, 1), (1, 2)])
+    with pytest.raises(ValueError, match="sequential"):
+        dfs(e, 0, driver_threshold=1)
+
+
+def test_property_graph_dfs(spark):
+    from eve_graph_spark.graph_api import PropertyGraph
+
+    e = _sym(spark, [(0, 1), (1, 2), (0, 3)]).selectExpr(
+        "src_system_id as src", "dst_system_id as dst"
+    )
+    v = e.selectExpr("src as id").distinct()
+    got = sorted(
+        map(tuple, PropertyGraph(v, e).dfs(0).collect()), key=lambda t: t[1]
+    )
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
