@@ -154,13 +154,13 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, iterations: int = 2,
     return assign_with_centroids(embeddings, centroids, k, id_col, vec_col, dim)
 
 
-def kmeans_oracle_sql(k: int = 4, iterations: int = 2, dim: int = 64,
-                      table: str = "embeddings", id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> str:
-    """DuckDB replay of kmeans_assign: same init, same integer distance,
-    same argmin encode, same round-half-up centroid update — unrolled one
-    CTE block per iteration. Kept adjacent to the operator so the two move
-    in lockstep (the test suite runs both on the fixtures)."""
+def kmeans_cte_parts(k: int = 4, iterations: int = 2, dim: int = 64,
+                     table: str = "embeddings", id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> tuple[list[str], str]:
+    """The kmeans replay as reusable CTE parts: (parts, final_cte_name)
+    where the final CTE yields (id, cluster). `kmeans_oracle_sql` wraps it
+    for the standalone query; `semantic_dedup`'s oracle composes it with
+    the in-cluster cosine pass."""
     parts = [
         f"""km_e AS (
             SELECT {id_col} AS id, i - 1 AS idx,
@@ -199,5 +199,16 @@ def kmeans_oracle_sql(k: int = 4, iterations: int = 2, dim: int = 64,
                 GROUP BY a.cluster, e.idx
             )"""
             )
+    return parts, f"km_a{iterations}"
+
+
+def kmeans_oracle_sql(k: int = 4, iterations: int = 2, dim: int = 64,
+                      table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """DuckDB replay of kmeans_assign: same init, same integer distance,
+    same argmin encode, same round-half-up centroid update — unrolled one
+    CTE block per iteration. Kept adjacent to the operator so the two move
+    in lockstep (the test suite runs both on the fixtures)."""
+    parts, final = kmeans_cte_parts(k, iterations, dim, table, id_col, vec_col)
     body = ",\n".join(parts)
-    return f"WITH {body}\nSELECT id AS {id_col}, cluster FROM km_a{iterations}"
+    return f"WITH {body}\nSELECT id AS {id_col}, cluster FROM {final}"

@@ -551,3 +551,163 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end", "n_shingles")
     )
+
+
+# --- semantic (embedding-space) dedup ----------------------------------------
+
+SEMDEDUP_FP = 10**9  # fixed-point scale for the pairwise dot/norm integers
+
+
+def semantic_dedup(embeddings: DataFrame, k: int = 4, iterations: int = 2,
+                   tau: float = 0.3, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop documents whose cosine to a kept in-cluster neighbor exceeds
+    `tau` — semantic near-duplicates that MinHash/SimHash (surface-form
+    dedup) cannot see. Returns one row per embedded doc:
+    (id, cluster, n_close, kept) where n_close counts in-cluster
+    neighbors with cosine >= tau and kept is False iff a SMALLER-id
+    in-cluster neighbor sits within tau (deterministic keep-first, the
+    convention every dedup operator here uses).
+
+    Scale shape — the reason SemDeDup clusters first: pair enumeration is
+    per-cluster (Σ|c|² instead of n²), and the cluster count is the knob
+    that bounds it (k ≈ n/target_cluster_size at 100 TB; k=4 on the
+    500-vector fixture). The kmeans stage is the deterministic
+    fixed-point Lloyd's from operators/clustering.py (its own oracle);
+    pairs join on the cluster key — hash-partitioned, no broadcast of the
+    corpus — and each pair's cosine is one zip_with/aggregate over the
+    two vectors with the same 1e-9 fixed-point integers the ANN oracles
+    pin, so the SQL replay is bit-exact.
+
+    `tau` is corpus-calibrated: real SemDeDup uses ~0.95+ on web-scale
+    embeddings; the synthetic fixture's in-cluster cosines top out at
+    ~0.51, so the registered query pins tau=0.3 (99th percentile) to keep
+    the dup/kept branch exercised on real rows.
+    """
+    from eve_graph_spark.operators.clustering import kmeans_assign
+
+    emb = embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    assign = kmeans_assign(
+        embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+        dim=dim,
+    ).select(F.col("id"), F.col("cluster"))
+    av = assign.join(emb, "id")
+    # Per-cluster vectorized pair kernel (applyInPandas): a SQL pair join
+    # materializes both 64-float vectors per pair row (Σ|c|² × 128
+    # doubles) and folds a higher-order zip_with per pair — measured 12+ s
+    # at sf0.1. The Arrow kernel ships each cluster's matrix ONCE and
+    # does the same fixed-point math batched in numpy: every term
+    # (floor(x·y·1e9 + 0.5), int sums < 2^53, sqrt, divide) is the same
+    # IEEE-754 double op sequence as the SQL oracle, so parity holds
+    # bit-for-bit. Cluster-fits-in-worker-memory is the SemDeDup contract
+    # (k is the knob: k ≈ n/target_cluster_size).
+    import pandas as pd  # noqa: F401 — applyInPandas surface
+
+    fp_scale = float(SEMDEDUP_FP)
+    tau_v = float(tau)
+
+    def _close_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf["vec"].to_numpy()[order]])
+        nrm = np.sqrt(np.floor(mat * mat * fp_scale + 0.5).sum(axis=1) / fp_scale)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for i in range(len(ids) - 1):
+            dot = np.floor(mat[i + 1:] * mat[i] * fp_scale + 0.5).sum(axis=1) / fp_scale
+            cos = dot / (nrm[i] * nrm[i + 1:])
+            hit = np.nonzero(cos >= tau_v)[0]
+            out_a.extend([int(ids[i])] * len(hit))
+            out_b.extend(int(ids[i + 1 + j]) for j in hit)
+        return pd.DataFrame({"ia": pd.Series(out_a, dtype="int64"),
+                             "ib": pd.Series(out_b, dtype="int64")})
+
+    pairs = av.groupBy("cluster").applyInPandas(_close_pairs, "ia long, ib long")
+    n_close = (
+        pairs.select(F.col("ia").alias("id"))
+        .unionAll(pairs.select(F.col("ib").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_close"))
+    )
+    dups = pairs.select(F.col("ib").alias("id")).distinct().withColumn(
+        "__dup", F.lit(True)
+    )
+    return (
+        assign.join(n_close, "id", "left").join(dups, "id", "left")
+        .select(
+            "id", "cluster",
+            F.coalesce(F.col("n_close"), F.lit(0)).cast("long").alias("n_close"),
+            (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(k: int = 4, iterations: int = 2,
+                              tau: float = 0.3, dim: int = 64,
+                              table: str = "embeddings",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    """DuckDB replay of `semantic_dedup`: the kmeans CTE parts
+    (clustering.kmeans_cte_parts — identical assignments), then the same
+    fixed-point pairwise cosine and keep-first rule."""
+    from eve_graph_spark.operators.clustering import kmeans_cte_parts
+
+    parts, final = kmeans_cte_parts(k, iterations, dim, table, id_col, vec_col)
+    parts.append(
+        f"""sd_v AS (
+        SELECT {id_col} AS id, i AS idx, CAST({vec_col}[i] AS DOUBLE) AS val
+        FROM {table}, unnest(range(1, {dim + 1})) AS u(i)
+        WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}
+    )"""
+    )
+    parts.append(
+        f"""sd_sq AS (
+        SELECT id,
+               SUM(CAST(FLOOR(val * val * {SEMDEDUP_FP} + 0.5) AS BIGINT))
+                   / {SEMDEDUP_FP}.0 AS sq
+        FROM sd_v GROUP BY id
+    )"""
+    )
+    parts.append(
+        f"""sd_pairs AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM {final} a JOIN {final} b ON a.cluster = b.cluster AND a.id < b.id
+    )"""
+    )
+    parts.append(
+        f"""sd_cos AS (
+        SELECT p.ia, p.ib,
+               (SUM(CAST(FLOOR(va.val * vb.val * {SEMDEDUP_FP} + 0.5) AS BIGINT))
+                / {SEMDEDUP_FP}.0)
+               / (sqrt(qa.sq) * sqrt(qb.sq)) AS cos
+        FROM sd_pairs p
+        JOIN sd_v va ON va.id = p.ia
+        JOIN sd_v vb ON vb.id = p.ib AND vb.idx = va.idx
+        JOIN sd_sq qa ON qa.id = p.ia
+        JOIN sd_sq qb ON qb.id = p.ib
+        GROUP BY p.ia, p.ib, qa.sq, qb.sq
+    )"""
+    )
+    parts.append(
+        f"""sd_close AS (SELECT ia, ib FROM sd_cos WHERE cos >= {tau!r})"""
+    )
+    parts.append(
+        """sd_n AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_close FROM (
+            SELECT ia AS id FROM sd_close UNION ALL SELECT ib AS id FROM sd_close
+        ) GROUP BY id
+    )"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT a.id AS {id_col}, a.cluster,
+       COALESCE(n.n_close, 0) AS n_close,
+       (a.id NOT IN (SELECT ib FROM sd_close)) AS kept
+FROM {final} a LEFT JOIN sd_n n ON n.id = a.id"""

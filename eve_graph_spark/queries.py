@@ -6388,6 +6388,29 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from eve_graph_spark.operators.dedup import (  # noqa: E402
+    semantic_dedup,
+    semantic_dedup_oracle_sql,
+)
+
+
+@register("semantic_dedup_embeddings", semantic_dedup_oracle_sql(k=4, iterations=2, tau=0.3))
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): kmeans-cluster the embedding space,
+    # then keep-first-drop in-cluster cosine near-dups — the semantic
+    # complement to the MinHash/SimHash surface-form dedup family. Pair
+    # enumeration is per-cluster (the SemDeDup point: Σ|c|² not n²; k is
+    # the bound knob at scale); cosines ride the same 1e-9 fixed-point
+    # integers the ANN oracles pin, so the DuckDB replay — kmeans CTEs +
+    # pairwise cosine — is bit-exact. tau=0.3 is fixture-calibrated (the
+    # synthetic corpus' 99th-percentile in-cluster cosine; real web-scale
+    # SemDeDup runs ~0.95) so the dup branch is exercised on real rows.
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(emb, k=4, iterations=2, tau=0.3).select(
+        F.col("id").alias("vec_id"), "cluster", "n_close", "kept"
+    )
+
+
 from eve_graph_spark.operators.quantization import (  # noqa: E402
     quantization_oracle_sql,
     quantization_report,
@@ -6662,6 +6685,73 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("n_bigrams"),
             (F.sum(F.col("c") * F.col("lp")).cast("double") / F.sum("c") / 1000000.0).alias("avg_logprob"),
         )
+    )
+
+
+@register(
+    "perplexity_buckets",
+    """
+    WITH bs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS s
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT doc_id, s[i] AS w1, s[i + 1] AS w2
+        FROM bs, unnest(range(1, len(s))) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bg FROM b GROUP BY w1, w2),
+    lc AS (SELECT w1, CAST(SUM(n_bg) AS BIGINT) AS n_left FROM bc GROUP BY w1),
+    lp AS (
+        SELECT c.w1, c.w2,
+               CAST(floor(ln(CAST(c.n_bg AS DOUBLE) / CAST(l.n_left AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lp
+        FROM bc c JOIN lc l USING (w1)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logprob
+        FROM b JOIN lp USING (w1, w2)
+        GROUP BY b.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, avg_logprob,
+               ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM scored
+    )
+    SELECT doc_id, avg_logprob,
+           CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+                WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style head/middle/tail split (Wenzek et al. 2020): rank docs
+    # by LM score (the bigram logprob proxy above — higher logprob =
+    # lower perplexity = head) and cut at exact tertile ranks, ties by
+    # doc_id so the split is deterministic. The ranking window runs over
+    # a NARROW (doc_id, score) frame — the wide text never enters the
+    # sort. At 100 TB the exact global rank becomes GK quantile
+    # thresholds + a map-side assign (the winsorize_events_approx
+    # pattern); the exact form is the oracle-checkable fixture contract,
+    # and both forms share the score pass, which is where the actual
+    # corpus-sized work (one bigram shuffle) lives.
+    scored = bigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_logprob")
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id", "avg_logprob",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.select(
+        "doc_id", "avg_logprob",
+        F.when(
+            F.col("rn") <= F.floor((F.col("n") + F.lit(2)) / 3), F.lit("head")
+        ).when(
+            F.col("rn") <= F.floor((F.lit(2) * F.col("n") + F.lit(2)) / 3),
+            F.lit("middle"),
+        ).otherwise(F.lit("tail")).alias("bucket"),
     )
 
 

@@ -236,3 +236,60 @@ def test_property_graph_dfs(spark):
         map(tuple, PropertyGraph(v, e).dfs(0).collect()), key=lambda t: t[1]
     )
     assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_semantic_dedup_drops_planted_near_duplicate(spark):
+    """SemDeDup keep-first: a planted exact-duplicate embedding pair must
+    drop the larger id and keep the smaller; unrelated vectors survive."""
+    import random
+
+    from eve_graph_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    rows.append((100, list(rows[3][1])))  # exact dup of vec 3 -> cosine 1.0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["id"]: (r["kept"], r["n_close"])
+        for r in semantic_dedup(emb, k=2, iterations=2, tau=0.999, dim=8).collect()
+    }
+    assert got[3] == (True, 1)     # smaller id kept, saw one close neighbor
+    assert got[100] == (False, 1)  # larger id dropped
+    assert sum(1 for k, (kept, _) in got.items() if not kept) == 1
+
+
+def test_semantic_dedup_matches_oracle_spec_locally(spark):
+    """Cross-check the Spark kernel against the DuckDB oracle SQL on a
+    small random corpus (the contract drive does this on the fixtures;
+    this pins it for non-fixture shapes too)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from eve_graph_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_oracle_sql,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["id"], r["cluster"], r["n_close"], r["kept"])
+        for r in semantic_dedup(emb, k=3, iterations=2, tau=0.5, dim=8).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}),
+    )
+    want = sorted(
+        map(tuple,
+            con.sql(semantic_dedup_oracle_sql(k=3, iterations=2, tau=0.5, dim=8))
+            .fetchall())
+    )
+    assert got == want
