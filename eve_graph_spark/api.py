@@ -341,23 +341,36 @@ def wormhole_stream_handler(engine: GraphEngine, stats_out: dict | None = None):
     instead of silently preserving stale state. `stats_out["polls"]`
     accumulates the poll_ids actually applied — tests use it to pin
     offset-resume behavior.
+
+    Same hardening as `risk_stream_handler` (r10 advice, symmetric): poll
+    application is monotonic across batches (a backfilled stale poll
+    would otherwise RESURRECT expired wormholes), duplicate signature ids
+    inside one poll are collapsed before the refresh, and
+    `stats_out["polls"]` records a poll only after the refresh succeeds.
     """
+    applied: dict[str, int | None] = {"last": None}
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        last = None
         if "poll_id" in batch_df.columns:
             last = batch_df.agg(F.max("poll_id")).collect()[0][0]
             if last is None:
                 return  # no polls in this batch
+            last = int(last)
+            if applied["last"] is not None and last <= applied["last"]:
+                return  # stale or replayed poll — never regress fresher state
             batch_df = (
                 batch_df.filter(F.col("poll_id") == last)
                 .drop("poll_id")
                 .filter(F.col("id").isNotNull())  # drop the poll sentinel
             )
-            if stats_out is not None:
-                stats_out.setdefault("polls", []).append(int(last))
         elif batch_df.isEmpty():
             return
-        engine.refresh_wormholes_incremental(batch_df)
+        engine.refresh_wormholes_incremental(batch_df.dropDuplicates(["id"]))
+        if last is not None:
+            applied["last"] = last
+            if stats_out is not None:
+                stats_out.setdefault("polls", []).append(last)
 
     return handle
 

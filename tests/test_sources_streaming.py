@@ -818,3 +818,60 @@ def test_risk_stream_poll_logged_only_after_refresh_succeeds(
 
     handle(batch, 1)  # retry of the SAME poll must not be skipped
     assert stats["polls"] == [7]
+
+
+def _stream_batch(spark, poll_id, sigs):
+    """A foreachBatch frame shaped like the eve_scout streaming source:
+    signature rows + the all-NULL poll sentinel, STREAM_DDL schema."""
+    from eve_graph_spark.sources.custom_datasource import STREAM_DDL
+
+    rows = [
+        (f"sig-{a}-{b}", "wormhole", b, "sig-o", a, "sig-i", "large",
+         "2099-01-01T00:00:00Z", 24, poll_id)
+        for a, b in sigs
+    ]
+    rows.append((None, None, None, None, None, None, None, None, None, poll_id))
+    return spark.createDataFrame(rows, STREAM_DDL)
+
+
+def test_wormhole_stream_stale_poll_never_resurrects_expired(
+    spark, sf_dir, tmp_path
+):
+    """Symmetric hardening to the risk handler: a backfilled older poll
+    arriving after a newer one must be skipped — applying it would
+    transiently resurrect wormholes the fresher poll expired."""
+    from eve_graph_spark.api import wormhole_stream_handler
+
+    eng = _fixture_engine(spark, sf_dir)
+    stats: dict = {}
+    handle = wormhole_stream_handler(eng, stats)
+
+    handle(_stream_batch(spark, 9, [(0, 3)]), 0)
+    assert stats["polls"] == [9]
+    after_fresh = sorted(
+        (r["src_system_id"], r["dst_system_id"])
+        for r in eng.jumps.filter(F.col("kind") == "wormhole").collect()
+    )
+    # stale poll 4 carries a DIFFERENT signature set; applying it would
+    # both resurrect and reshape wormhole state
+    handle(_stream_batch(spark, 4, [(1, 4), (2, 5)]), 1)
+    assert stats["polls"] == [9]
+    assert sorted(
+        (r["src_system_id"], r["dst_system_id"])
+        for r in eng.jumps.filter(F.col("kind") == "wormhole").collect()
+    ) == after_fresh
+
+
+def test_wormhole_stream_duplicate_signature_rows_collapse(
+    spark, sf_dir, tmp_path
+):
+    from eve_graph_spark.api import wormhole_stream_handler
+
+    eng = _fixture_engine(spark, sf_dir)
+    handle = wormhole_stream_handler(eng, {})
+    batch = _stream_batch(spark, 1, [(0, 3), (0, 3)])  # dup signature id
+    handle(batch, 0)
+    wh = eng.jumps.filter(F.col("kind") == "wormhole")
+    pairs = [(r["src_system_id"], r["dst_system_id"]) for r in wh.collect()]
+    # exactly one bi-edge for the duplicated signature, no fan-out
+    assert pairs.count((0, 3)) == 1 and pairs.count((3, 0)) == 1
