@@ -192,6 +192,78 @@ def graph_stress(spark: SparkSession, layers: int, width: int,
     return 1 if errs else 0
 
 
+def reliable_ckpt_stress(spark: SparkSession, layers: int, width: int,
+                         checkpoint_every: int, budget: int) -> int:
+    """Fault-tolerant-checkpoint premium (r10 verdict item 1 follow-up).
+
+    Runs the wide-chain SSSP distributed loop twice — default
+    executor-local truncation vs `enable_reliable_checkpoints` (real
+    `df.checkpoint()` writes per truncation slot) — and reports the
+    wall-clock premium plus the checkpoint files actually written.
+    Results must be identical row-for-row: the switch changes WHERE
+    materialized rounds live (executor blocks vs reliable storage), never
+    what they contain. The premium is the price of surviving executor
+    loss on a 1000-node cluster; the default stays local because on
+    local[32] there is no executor to lose.
+    """
+    import os
+    import tempfile
+
+    from eve_graph_spark.checkpointing import (
+        disable_reliable_checkpoints,
+        enable_reliable_checkpoints,
+    )
+    from eve_graph_spark.operators.graph import sssp
+
+    e = (
+        spark.range((layers - 1) * width)
+        .crossJoin(spark.range(width).select(F.col("id").alias("j")))
+        .select(
+            F.col("id").alias("src"),
+            ((F.floor(F.col("id") / width) + 1) * width + F.col("j")).alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+
+    def run():
+        t0 = time.time()
+        out = sssp(e, [0], weight_col="w", src_col="src", dst_col="dst",
+                   driver_threshold=0, max_iterations=layers + 10,
+                   checkpoint_every=checkpoint_every)
+        rows = sorted(map(tuple, out.collect()))
+        return rows, time.time() - t0
+
+    base_rows, base_sec = run()
+    ckpt_dir = tempfile.mkdtemp(prefix="eve-reliable-ckpt-")
+    try:
+        enable_reliable_checkpoints(spark, ckpt_dir)
+        rel_rows, rel_sec = run()
+        n_files = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
+    finally:
+        disable_reliable_checkpoints(spark)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    errs = []
+    if rel_rows != base_rows:
+        errs.append("reliable-checkpoint run diverged from local run")
+    if n_files == 0:
+        errs.append("no checkpoint files written under the reliable dir")
+    if rel_sec > budget:
+        errs.append(f"wall {rel_sec:.0f}s over budget {budget}s")
+    print(json.dumps({
+        "graph": f"{layers}x{width} wide-chain",
+        "n_edges": (layers - 1) * width * width,
+        "local_sec": round(base_sec, 1),
+        "reliable_sec": round(rel_sec, 1),
+        "premium": round(rel_sec / max(base_sec, 1e-9), 2),
+        "ckpt_files": n_files,
+        "n_rows": len(base_rows),
+        "errs": errs,
+    }))
+    print(json.dumps({"result": "FAIL" if errs else "PASS", "failures": errs}))
+    return 1 if errs else 0
+
+
 def mst_stress(spark: SparkSession, n_nodes: int, extra_per_node: int,
                budget: int) -> int:
     """Borůvka MST at stress scale (VERDICT r9 item 3): the round-9
@@ -708,6 +780,11 @@ def main() -> int:
                     help="Louvain stress: 2M-edge planted ring-of-cliques "
                          "through the distributed path, asserting planted-"
                          "community recovery (r9 verdict item 3)")
+    ap.add_argument("--reliable-ckpt", action="store_true",
+                    help="fault-tolerant df.checkpoint() premium on the "
+                         "wide-chain SSSP loop: identical results, "
+                         "measured wall-clock cost vs localCheckpoint "
+                         "(r10 verdict item 1)")
     ap.add_argument("--mst-nodes", type=int, default=400_000)
     ap.add_argument("--mst-extra", type=int, default=5)
     ap.add_argument("--louvain-cliques", type=int, default=2600)
@@ -738,6 +815,11 @@ def main() -> int:
     if args.louvain:
         return louvain_stress(spark, args.louvain_cliques,
                               args.louvain_clique_size, GRAPH_BUDGET_SEC)
+    if args.reliable_ckpt:
+        return reliable_ckpt_stress(
+            spark, args.graph_layers, args.graph_width,
+            args.graph_checkpoint_every, GRAPH_BUDGET_SEC,
+        )
     if args.graph:
         return graph_stress(spark, args.graph_layers, args.graph_width,
                             args.graph_checkpoint_every, GRAPH_BUDGET_SEC)
