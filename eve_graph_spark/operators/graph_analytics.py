@@ -3396,8 +3396,14 @@ def louvain_multilevel(edges: DataFrame, levels: int = 2, rounds: int = 4,
         per_level.append(lv)
     for _ in range(1, levels):
         mapping = mapping.transform(truncate_lineage)
+        # materialize the super-graph once per level: the distributed
+        # louvain below walks its input in every round, and an
+        # unmaterialized aggregate plan would re-execute the collapse +
+        # label joins each time (measured: minutes on a 25-node fixture)
         agg = community_aggregate(edges, mapping, weight_col=weight_col,
-                                  src_col=src_col, dst_col=dst_col)
+                                  src_col=src_col, dst_col=dst_col,
+                                  driver_threshold=driver_threshold
+                                  ).transform(truncate_lineage)
         lv = {} if stats_out is not None else None
         up = louvain(agg, rounds=rounds, src_col="src", dst_col="dst",
                      weight_col="wfp", pre_scaled_weights=True,
@@ -3518,8 +3524,14 @@ def leiden(edges: DataFrame, levels: int = 2, rounds: int = 4,
                                  driver_threshold=driver_threshold)
     for _ in range(1, levels):
         mapping = mapping.transform(truncate_lineage)
+        # materialize the super-graph once per level: the distributed
+        # louvain below walks its input in every round, and an
+        # unmaterialized aggregate plan would re-execute the collapse +
+        # label joins each time (measured: minutes on a 25-node fixture)
         agg = community_aggregate(edges, mapping, weight_col=weight_col,
-                                  src_col=src_col, dst_col=dst_col)
+                                  src_col=src_col, dst_col=dst_col,
+                                  driver_threshold=driver_threshold
+                                  ).transform(truncate_lineage)
         lv = {} if stats_out is not None else None
         up = louvain(agg, rounds=rounds, src_col="src", dst_col="dst",
                      weight_col="wfp", pre_scaled_weights=True,

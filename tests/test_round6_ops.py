@@ -44,23 +44,19 @@ def test_duplicate_spans_query_matches_operator_default(spark):
 
 
 def test_ann_ivf_production_shape_and_determinism(spark):
-    """Rows-only registered query: 10 ranked rows per query id, exact
-    rank ordering by cosine desc, deterministic across runs (seeded
-    Lloyd + id tie-breaks)."""
+    """Since r11 the production query is oracle-pinned: one row per query
+    id carrying integrity booleans (k distinct ranks, monotone cosines,
+    self-exclusion, fixed-point cosine recompute) that must all hold, and
+    the result must be deterministic across runs (seeded Lloyd + id
+    tie-breaks)."""
     q = registry.queries()["ann_ivf_production"]
     rows1 = sorted(map(tuple, q(spark, SF_DIR).collect()))
     rows2 = sorted(map(tuple, q(spark, SF_DIR).collect()))
     assert rows1 == rows2
-    per_q: dict[int, list] = {}
-    for qid, vid, cos, rank in rows1:
-        assert vid != qid
-        per_q.setdefault(qid, []).append((rank, cos, vid))
-    assert set(per_q) == {0, 1, 2, 3, 4}
-    for qid, lst in per_q.items():
-        lst.sort()
-        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
-        cosines = [c for _, c, _ in lst]
-        assert cosines == sorted(cosines, reverse=True)
+    assert [r[0] for r in rows1] == [0, 1, 2, 3, 4]
+    for (qid, n_results, distinct, wellformed, monotone, self_ex, cos_ok) in rows1:
+        assert n_results == 10, qid
+        assert distinct and wellformed and monotone and self_ex and cos_ok, qid
 
 
 def test_boilerplate_strip_removes_repeated_blocks(spark, tmp_path):
