@@ -122,3 +122,35 @@ def test_disable_is_idempotent_and_key_is_scoped(spark):
     disable_reliable_checkpoints(spark)
     disable_reliable_checkpoints(spark)
     assert RELIABLE_DIR_KEY.startswith("spark.eve_graph.")
+
+
+def test_truncate_lineage_caps_bloated_stats(spark):
+    """Iterative kernels compound join-estimate BigInts across rounds
+    (r11: measured louvain rounds 4s->10s->42s->302s); truncate_lineage
+    must reset pathological inherited estimates to unknown-size while
+    leaving the rows untouched."""
+    df = spark.range(50).withColumnRenamed("id", "n")
+    bloated = df
+    for i in range(10):
+        # estimate MULTIPLIES per cross join; the filter keeps actual rows
+        # tiny but (without CBO) does not reduce the sizeInBytes estimate
+        bloated = bloated.crossJoin(df.selectExpr(f"n as n{i}")).filter(
+            f"n{i} = 0"
+        )
+    bloated = bloated.select("n")
+    before = int(
+        bloated._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert before > 1 << 60, f"fixture no longer bloated: {before}"
+    out = truncate_lineage(bloated)
+    after = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert after <= (1 << 63), f"stats not capped: {after}"
+    assert out.count() == 50  # same rows, zero recompute semantics
+
+
+def test_truncate_lineage_keeps_small_credible_stats(spark):
+    df = spark.range(10).withColumnRenamed("id", "n")
+    out = truncate_lineage(df)
+    after = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    # a tiny frame's inherited estimate must survive (broadcast signal)
+    assert after < 1 << 30, after
