@@ -590,10 +590,16 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iterations: int = 2,
     emb = embeddings.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    assign = kmeans_assign(
-        embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
-        dim=dim,
-    ).select(F.col("id"), F.col("cluster"))
+    # Materialize the narrow (id, cluster) assignment once: it feeds THREE
+    # downstream branches (pair kernel, n_close join, final output) and
+    # Catalyst plans each branch's corpus scan independently — without the
+    # barrier the registry scan-budget test counts 7 embedding scans.
+    assign = truncate_lineage(
+        kmeans_assign(
+            embeddings, k=k, iterations=iterations, id_col=id_col,
+            vec_col=vec_col, dim=dim,
+        ).select(F.col("id"), F.col("cluster"))
+    )
     av = assign.join(emb, "id")
     # Per-cluster vectorized pair kernel (applyInPandas): a SQL pair join
     # materializes both 64-float vectors per pair row (Σ|c|² × 128
@@ -630,7 +636,11 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iterations: int = 2,
         return pd.DataFrame({"ia": pd.Series(out_a, dtype="int64"),
                              "ib": pd.Series(out_b, dtype="int64")})
 
-    pairs = av.groupBy("cluster").applyInPandas(_close_pairs, "ia long, ib long")
+    # close pairs are tiny (near-dups only) and consumed twice (n_close +
+    # keep-first drop) — materialize so the Arrow kernel runs once
+    pairs = truncate_lineage(
+        av.groupBy("cluster").applyInPandas(_close_pairs, "ia long, ib long")
+    )
     n_close = (
         pairs.select(F.col("ia").alias("id"))
         .unionAll(pairs.select(F.col("ib").alias("id")))
