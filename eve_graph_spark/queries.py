@@ -4189,61 +4189,69 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NTILE + PERCENT_RANK over per-customer lifetime spend, computed as a
-    # DISTRIBUTED global rank — no single-partition Window node anywhere:
+    # DISTRIBUTED global rank — no data-sized single-partition Window node:
     #   1. range-shuffle the per-customer agg on the total sort key
     #      (spend_fp, o_custkey — unique, so no cross-partition ties);
     #   2. per-partition row_number (keyed window, partitioned by the range
     #      partition id);
-    #   3. add per-partition offsets. The offsets come from a K-row count
-    #      collect (K = number of range partitions, not data-sized — the
-    #      same driver-local pattern as a stage-boundary statistics read),
-    #      folded into a literal map lookup: zero extra shuffle.
+    #   3. add per-partition offsets. The offsets are a K-row DataFrame
+    #      (K = number of range partitions, not data-sized): groupBy-count
+    #      + a K-row prefix-sum window, broadcast-joined back on __pid —
+    #      ONE action after the snapshot, no driver collect, no 2K-literal
+    #      map expression in the plan (K is thousands on a real cluster).
     # NTILE/PERCENT_RANK are then pure expressions of the 0-based rank r and
-    # total count N, matching both engines' semantics exactly.
+    # total count N (carried on the same broadcast row), matching both
+    # engines' semantics exactly.
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 1000000 + F.lit(0.5))).alias("spend_fp"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     k = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # localCheckpoint, not persist: freezes the range partitioning the
-    # collected offsets describe, and leaks no session-lifetime cache entry.
+    # localCheckpoint, not persist: freezes the range partitioning that both
+    # reads (offset branch + main branch) rely on sharing, and leaks no
+    # session-lifetime cache entry.
     ranked = (
         spend.repartitionByRange(k, "spend_fp", "o_custkey")
         .withColumn("__pid", F.spark_partition_id())
         .transform(truncate_lineage)
     )
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    n_total = sum(c for _, c in counts)
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    offset_map = F.create_map(
-        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranked.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+            F.sum("__cnt").over(w_all).cast("long").alias("__n"),
+        )
     )
     local_w = Window.partitionBy("__pid").orderBy("spend_fp", "o_custkey")
-    r = (offset_map[F.col("__pid")] + F.row_number().over(local_w) - 1).alias("__r")
+    r = (F.col("__off") + F.row_number().over(local_w) - 1).alias("__r")
     # NTILE(t) over N rows: the first N%t tiles hold ceil(N/t) rows, the
-    # rest floor(N/t) — closed form over the 0-based rank.
-    base, rem = divmod(n_total, 4)
+    # rest floor(N/t) — closed form over the 0-based rank (same double-
+    # division floor both engines evaluate; exact for counts < 2^53).
+    base = F.floor(F.col("__n") / F.lit(4)).cast("long")
+    rem = (F.col("__n") % 4).cast("long")
     big = base + 1
     tile = F.when(
-        F.col("__r") < rem * big, F.floor(F.col("__r") / F.lit(big)) + 1
+        F.col("__r") < rem * big, F.floor(F.col("__r") / big) + 1
     ).otherwise(
-        rem + F.floor((F.col("__r") - rem * big) / F.lit(max(base, 1))) + 1
+        rem + F.floor((F.col("__r") - rem * big) / F.greatest(base, F.lit(1))) + 1
     )
     return (
-        ranked.select(
+        ranked.join(F.broadcast(offs), "__pid")
+        .select(
             "o_custkey",
             (F.col("spend_fp") / F.lit(1000000.0)).alias("total_spend"),
             "n_orders",
             "__pid",
             "spend_fp",
+            "__off",
+            "__n",
         )
         .withColumn("__r", r)
         .select(
@@ -4251,7 +4259,10 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_spend",
             "n_orders",
             tile.cast("int").alias("quartile"),
-            (F.col("__r") / F.lit(float(max(n_total - 1, 1)))).alias("pct_rank"),
+            (
+                F.col("__r")
+                / F.greatest(F.col("__n") - 1, F.lit(1)).cast("double")
+            ).alias("pct_rank"),
         )
     )
 
@@ -5292,9 +5303,13 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide token budget is spent — the "fill the training mix to N
     # tokens" step. The global prefix sum is DISTRIBUTED, not a
     # single-partition window: range-shuffle on the (quality desc, doc_id)
-    # total order, per-partition running sum (keyed window), then constant
-    # per-partition token offsets from a K-row driver-local collect — the
-    # same pattern customer_spend_quartiles pins for rank.
+    # total order, per-partition running sum (keyed window), plus constant
+    # per-partition token offsets. The offsets are themselves a DataFrame —
+    # a K-row groupBy + single-partition window (K = range partitions, not
+    # data-sized) broadcast-joined back on __pid — so the whole query is
+    # ONE action after the snapshot: no driver collect, no K-entry literal
+    # map in the plan (at cluster scale K is thousands; a create_map of 2K
+    # literals bloats the expression tree, a K-row broadcast does not).
     from eve_graph_spark.operators.text_analysis import quality_score_expr, token_count
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -5304,30 +5319,31 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_expr(F.col("text")).alias("quality"),
     )
     k = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # localCheckpoint, NOT persist: the frozen snapshot is what keeps the
-    # collected per-partition offsets consistent with the returned plan
-    # (persist may evict + recompute with different range sampling), and
-    # its blocks are context-cleaned on GC — persist() here leaked a cached
-    # DF per invocation for the session lifetime (ADVICE r4).
+    # localCheckpoint, NOT persist: the frozen snapshot is what keeps both
+    # reads of the frame (offset branch + main branch) on the SAME range
+    # partitioning — recomputing would re-sample range bounds (persist may
+    # evict + recompute with different range sampling), and its blocks are
+    # context-cleaned on GC — persist() here leaked a cached DF per
+    # invocation for the session lifetime (ADVICE r4).
     ranged = (
         t.repartitionByRange(k, F.col("quality").desc(), F.col("doc_id"))
         .withColumn("__pid", F.spark_partition_id())
         .transform(truncate_lineage)
     )
-    sums = sorted(
-        (r["__pid"], r["s"])
-        for r in ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__s"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__s").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        )
     )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, s in sums:
-        offsets[pid] = acc
-        acc += s or 0
-    offset_map = F.create_map(*[F.lit(v) for pid_off in offsets.items() for v in pid_off])
     local_w = Window.partitionBy("__pid").orderBy(F.desc("quality"), "doc_id")
-    cum = (offset_map[F.col("__pid")] + F.sum("n_tokens").over(local_w)).alias("cum_tokens")
+    cum = (F.col("__off") + F.sum("n_tokens").over(local_w)).alias("cum_tokens")
     return (
-        ranged.select("doc_id", "n_tokens", cum)
+        ranged.join(F.broadcast(offs), "__pid")
+        .select("doc_id", "n_tokens", cum)
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
     )
 

@@ -128,16 +128,41 @@ def test_dedup_cluster_join_not_forced_broadcast(spark, sf_dir, name):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
-def test_customer_spend_quartiles_no_single_partition_window(spark, sf_dir):
-    """The NTILE/PERCENT_RANK rank must be computed distributed (range
-    shuffle + per-partition offsets) — a global Window.orderBy would plan
-    an Exchange SinglePartition, i.e. every customer row through one task
-    at 100 TB. Pin that node out of the plan."""
+def _single_partition_inputs(plan: str) -> list[str]:
+    """The `Input [...]` column list of every physical node that exchanges
+    to SinglePartition — the columns tell whether the node is data-sized
+    (customer rows) or K-row metadata (per-partition counts/sums)."""
+    inputs = []
+    for block in plan.split("\n\n"):
+        if "SinglePartition" in block:
+            for line in block.splitlines():
+                if line.startswith("Input"):
+                    inputs.append(line)
+    return inputs
+
+
+@pytest.mark.parametrize(
+    ("name", "meta_cols"),
+    [("customer_spend_quartiles", ("__cnt",)), ("token_budget_sample", ("__s",))],
+)
+def test_global_rank_queries_no_data_sized_single_partition(spark, sf_dir, name, meta_cols):
+    """The global prefix-sum/rank must be computed distributed: range
+    shuffle + per-partition offsets, with the offsets a K-row frame
+    (K = range partitions) broadcast-joined back. A global Window.orderBy
+    over the DATA would plan an Exchange SinglePartition of every row
+    through one task at 100 TB. The only SinglePartition allowed is the
+    K-row offsets branch — pinned by its column set (per-partition
+    count/sum, never the data columns)."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = plan_of(registry.queries()["customer_spend_quartiles"](spark, sf_dir))
-        assert "SinglePartition" not in plan
+        plan = plan_of(registry.queries()[name](spark, sf_dir))
         assert "rangepartitioning" in plan.lower()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        for inp in _single_partition_inputs(plan):
+            # K-row metadata branch only: carries the per-partition agg
+            # column and never a data column (text, o_custkey, doc_id)
+            assert any(c in inp for c in meta_cols), inp
+            assert "o_custkey" not in inp and "doc_id" not in inp, inp
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
