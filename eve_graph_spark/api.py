@@ -366,7 +366,27 @@ def wormhole_stream_handler(engine: GraphEngine, stats_out: dict | None = None):
             )
         elif batch_df.isEmpty():
             return
-        engine.refresh_wormholes_incremental(batch_df.dropDuplicates(["id"]))
+        # Deterministic duplicate collapse (ADVICE r11): dropDuplicates
+        # keeps an ARBITRARY row when duplicate ids disagree on other
+        # columns, making the resulting wormhole state run-dependent. Keep
+        # the first row of the full-column total order instead — ties are
+        # identical rows, so any batch always reduces to the same state
+        # (the risk handler's max-reduction is the counters analogue).
+        from pyspark.sql import Window
+
+        others = [c for c in batch_df.columns if c != "id"]
+        if others:
+            one_per_id = Window.partitionBy("id").orderBy(
+                *[F.col(c).asc_nulls_last() for c in others]
+            )
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(one_per_id))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:  # id-only frame: duplicates are identical rows
+            batch_df = batch_df.dropDuplicates(["id"])
+        engine.refresh_wormholes_incremental(batch_df)
         if last is not None:
             applied["last"] = last
             if stats_out is not None:

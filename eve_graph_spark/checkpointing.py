@@ -50,9 +50,18 @@ def enable_reliable_checkpoints(spark: SparkSession, path: str) -> None:
 
     ``path`` should be on storage that survives executor loss (HDFS, S3,
     or any shared filesystem on a real cluster; a local directory is fine
-    for tests). Also asks Spark's ContextCleaner to reap checkpoint files
-    whose frames become unreachable, so long-running sessions don't leak
-    one directory per round.
+    for tests).
+
+    Checkpoint-file reaping is NOT controlled here: ContextCleaner reads
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` once at
+    SparkContext creation, so flipping it on an existing session is a
+    no-op. :func:`eve_graph_spark.session.get_spark` sets it in the
+    builder unconditionally — sessions built there reap the checkpoint
+    dirs of GC'd frames (pinned by
+    ``tests/test_checkpointing.py::test_reliable_checkpoints_reaped_on_gc``).
+    On a caller-provided context created WITHOUT that conf, every
+    truncate_lineage round in reliable mode leaves a directory until job
+    teardown — clean the checkpoint dir yourself in that case.
     """
     spark.sparkContext.setCheckpointDir(path)
     spark.conf.set(RELIABLE_DIR_KEY, path)
@@ -97,6 +106,14 @@ def _reset_bloated_stats(df: DataFrame) -> DataFrame:
     default (unknown-size) statistics: zero recompute, identical rows, and
     the digit growth stops compounding. Frames with small, credible stats
     are returned untouched so auto-broadcast decisions keep their signal.
+
+    Tradeoff (ADVICE r11): the rebuilt LogicalRDD also loses the
+    checkpointed frame's advertised outputPartitioning/ordering, so a
+    call site that anchored a partitioning contract before truncation
+    (e.g. ``repartition("src")``) would silently re-shuffle downstream.
+    ``truncate_lineage(df, keyed_by=...)`` re-applies the contract
+    exactly when the reset fires — callers that need co-location declare
+    it there instead of guessing whether the cap triggered.
     """
     try:
         jqe = df._jdf.queryExecution()
@@ -116,7 +133,9 @@ def _reset_bloated_stats(df: DataFrame) -> DataFrame:
         return df
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
+def truncate_lineage(
+    df: DataFrame, *, keyed_by: tuple[str, ...] | None = None
+) -> DataFrame:
     """Materialize ``df`` and cut its lineage; drop-in for localCheckpoint.
 
     Designed for fluent use: ``frame.transform(truncate_lineage)`` reads
@@ -127,7 +146,36 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     ``_reset_bloated_stats`` — without the cap, iterative kernels compound
     join-estimate BigInts across rounds until planning dominates wall
     time).
+
+    ``keyed_by`` declares a partitioning contract the caller anchored
+    before truncation (e.g. ``repartition("src")`` for co-located src
+    joins). Two things can drop the advertisement (ADVICE r11, extended):
+    the stats-cap rebuild, and — measured on this Spark version — ANY
+    checkpoint taken while AQE is enabled (AdaptiveSparkPlanExec reports
+    UnknownPartitioning to the LogicalRDD constructor, so the
+    checkpointed scan advertises nothing even though the blocks ARE
+    key-partitioned). When the returned frame does not advertise the
+    declared keys, the contract is re-applied with a ``repartition`` so
+    downstream keyed joins plan against it instead of silently
+    re-shuffling the big side every action.
     """
-    if reliable_checkpoint_dir(df.sparkSession):
-        return _reset_bloated_stats(df.checkpoint(eager=True))
-    return _reset_bloated_stats(df.localCheckpoint(eager=True))
+    ck = (
+        df.checkpoint(eager=True)
+        if reliable_checkpoint_dir(df.sparkSession)
+        else df.localCheckpoint(eager=True)
+    )
+    out = _reset_bloated_stats(ck)
+    if keyed_by and not _advertises_keys(out, keyed_by):
+        out = out.repartition(*keyed_by)
+    return out
+
+
+def _advertises_keys(df: DataFrame, keys: tuple[str, ...]) -> bool:
+    """Whether the frame's physical scan advertises a partitioning over all
+    of ``keys`` (attribute names render as ``name#exprId``, so substring
+    match on the name is sufficient for this engine's key names)."""
+    try:
+        part = df._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+    except Exception:
+        return False
+    return all(k in part for k in keys)

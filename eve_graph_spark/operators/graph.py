@@ -167,7 +167,9 @@ class ProjectionRegistry:
             cur = cur.unionByName(add)
         n_since = self._deltas_since_anchor.get(name, 0) + 1
         if n_since >= self.CHECKPOINT_EVERY_DELTAS:
-            new = cur.repartition("src").transform(truncate_lineage)
+            # keyed_by: if the stats-cap rebuild fires it must re-anchor
+            # the src co-location this projection promises (ADVICE r11)
+            new = truncate_lineage(cur.repartition("src"), keyed_by=("src",))
             n_since = 0
         else:
             new = cur.repartition("src").persist()

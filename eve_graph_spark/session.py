@@ -36,6 +36,13 @@ def get_spark(app_name: str = "eve-graph-spark", shuffle_partitions: int | None 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # ContextCleaner reads this ONCE at SparkContext creation, so it
+        # must be in the builder, not set lazily when reliable checkpoints
+        # are enabled: with it, checkpoint dirs of GC'd frames are reaped;
+        # without it every truncate_lineage round in reliable mode leaks a
+        # directory for the life of the job (ADVICE r11). Harmless when no
+        # checkpoint dir is ever configured.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")

@@ -154,3 +154,75 @@ def test_truncate_lineage_keeps_small_credible_stats(spark):
     after = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     # a tiny frame's inherited estimate must survive (broadcast signal)
     assert after < 1 << 30, after
+
+
+def test_session_builder_enables_checkpoint_reaping(spark):
+    # get_spark (which built this suite's context) must set the cleaner
+    # flag at CONTEXT CREATION — ContextCleaner reads it exactly once, so
+    # enable_reliable_checkpoints can't retrofit it (ADVICE r11).
+    assert (
+        spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
+        == "true"
+    )
+
+
+def test_reliable_checkpoints_reaped_on_gc(spark, tmp_path):
+    # The leak ADVICE r11 flagged: one reliable-checkpoint dir per
+    # truncate_lineage round, never deleted. With cleanCheckpoints set at
+    # context creation, the ContextCleaner reaps the files once the frame
+    # is unreachable on both the Python and JVM sides.
+    import gc
+    import time
+
+    enable_reliable_checkpoints(spark, str(tmp_path))
+    try:
+        ck = truncate_lineage(spark.range(1000).withColumnRenamed("id", "n"))
+        assert ck.count() == 1000
+        assert _checkpoint_files(str(tmp_path)), "no checkpoint files written"
+        del ck
+        for i in range(30):
+            gc.collect()  # release the py4j refs -> JVM frame unreachable
+            spark.sparkContext._jvm.System.gc()  # nudge the ContextCleaner
+            time.sleep(1)
+            if not _checkpoint_files(str(tmp_path)):
+                break
+        assert not _checkpoint_files(str(tmp_path)), (
+            "checkpoint files not reaped within 30s of the frame dying"
+        )
+    finally:
+        disable_reliable_checkpoints(spark)
+
+
+def test_truncate_lineage_keyed_by_restores_partitioning(spark):
+    """ADVICE r11 (extended): BOTH the stats-cap rebuild and any
+    AQE-era checkpoint drop the frame's advertised outputPartitioning —
+    with keyed_by declared, truncate_lineage must hand back a frame whose
+    plan advertises the contract either way, so downstream src joins
+    don't silently re-shuffle the projection every action."""
+    df = spark.range(50).selectExpr("id as src", "id + 1 as dst")
+    bloated = df
+    for i in range(10):
+        bloated = bloated.crossJoin(
+            df.selectExpr(f"src as s{i}", f"dst as d{i}")
+        ).filter(f"s{i} = 0")
+    bloated = bloated.select("src", "dst").repartition("src")
+    out = truncate_lineage(bloated, keyed_by=("src",))
+    plan = out._jdf.queryExecution().toString()
+    assert "hashpartitioning(src" in plan, plan
+    assert out.count() == 50
+    # zero recompute: the re-anchoring exchange reads the checkpoint scan,
+    # never the original crossJoin pipeline
+    assert "Join" not in plan.split("== Physical Plan ==")[-1], plan
+
+    # small credible stats (no cap): under AQE the checkpoint STILL loses
+    # the advertisement (AdaptiveSparkPlanExec hands UnknownPartitioning
+    # to LogicalRDD), so keyed_by must re-anchor here too
+    small = truncate_lineage(df.repartition("src"), keyed_by=("src",))
+    splan = small._jdf.queryExecution().toString()
+    assert "hashpartitioning(src" in splan, splan
+    assert small.count() == 50
+
+    # without keyed_by: unchanged fast path, no exchange stacked on top
+    plain = truncate_lineage(df.repartition("src"))
+    pplan = plain._jdf.queryExecution().toString()
+    assert "Exchange" not in pplan.split("== Physical Plan ==")[-1], pplan

@@ -875,3 +875,37 @@ def test_wormhole_stream_duplicate_signature_rows_collapse(
     pairs = [(r["src_system_id"], r["dst_system_id"]) for r in wh.collect()]
     # exactly one bi-edge for the duplicated signature, no fan-out
     assert pairs.count((0, 3)) == 1 and pairs.count((3, 0)) == 1
+
+
+def test_wormhole_stream_conflicting_duplicate_ids_resolve_deterministically(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r11: dropDuplicates(["id"]) kept an ARBITRARY row when
+    duplicate ids disagreed on other columns — run-dependent wormhole
+    state. The handler now keeps the first row of the full-column total
+    order: for two conflicting rows of sig id, the one with the smaller
+    (signature_type, out_system_id, ...) tuple must always win."""
+    from eve_graph_spark.api import wormhole_stream_handler
+    from eve_graph_spark.sources.custom_datasource import STREAM_DDL
+
+    eng = _fixture_engine(spark, sf_dir)
+    handle = wormhole_stream_handler(eng, {})
+    rows = [
+        # same id, CONFLICTING endpoints; (out=1, in=4) sorts after
+        # (out=0, in=3) in the full-column order, so (0, 3) must win —
+        # listed conflicting-row-first to catch an implementation that
+        # keeps physical-last
+        ("sig-dup", "wormhole", 4, "sig-o", 1, "sig-i", "large",
+         "2099-01-01T00:00:00Z", 12, 1),
+        ("sig-dup", "wormhole", 3, "sig-o", 0, "sig-i", "large",
+         "2099-01-01T00:00:00Z", 24, 1),
+        (None, None, None, None, None, None, None, None, None, 1),
+    ]
+    handle(spark.createDataFrame(rows, STREAM_DDL), 0)
+    pairs = sorted(
+        (r["src_system_id"], r["dst_system_id"])
+        for r in eng.jumps.filter(F.col("kind") == "wormhole").collect()
+    )
+    # winner applied exactly once, loser absent (fixture wormholes persist)
+    assert pairs.count((0, 3)) == 1 and pairs.count((3, 0)) == 1
+    assert (1, 4) not in pairs and (4, 1) not in pairs
