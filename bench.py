@@ -346,31 +346,42 @@ def main() -> None:
     Path(_REPO, "BENCH_SHUFFLE_ROWS.json").write_text(
         json.dumps({"sf": sf, "shuffle_rows": pinned_rows}, indent=1) + "\n"
     )
-    print(
-        json.dumps(
-            {
-                "metric": METHODOLOGY,
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "cpus": cpus,
-                "warmup_sec": round(warmup, 3),
-                "methodology": METHODOLOGY,
-                "n_queries": len(timings),
-                "failed": [n for n, t in timings.items() if t < 0],
-                "baseline_total_sec": baseline_total,
-                "canary_ratio": canary,
-                "retried": retried,
-                "regressions": regressions,
-                "shuffle_regressions": shuffle_regressions,
-                # sorted FASTEST-first so the slowest (most informative)
-                # queries land inside the driver's stdout TAIL window —
-                # r8's alphabetical order truncated exactly the expensive
-                # dedup/ANN half of the registry (r8 verdict item 2)
-                "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
-            }
+    out_doc = {
+        "metric": METHODOLOGY,
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "warmup_sec": round(warmup, 3),
+        "methodology": METHODOLOGY,
+        "n_queries": len(timings),
+        "failed": [n for n, t in timings.items() if t < 0],
+        "baseline_total_sec": baseline_total,
+        "canary_ratio": canary,
+        "retried": retried,
+        "regressions": regressions,
+        "shuffle_regressions": shuffle_regressions,
+        # sorted FASTEST-first so the slowest (most informative)
+        # queries land inside the driver's stdout TAIL window —
+        # r8's alphabetical order truncated exactly the expensive
+        # dedup/ANN half of the registry (r8 verdict item 2)
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+    }
+    # Committed per-round bench record (r11 verdict item 2): the driver
+    # keeps only the TAIL of stdout and has failed to parse the JSON line
+    # two rounds running, leaving the official perf record empty. With
+    # BENCH_ARTIFACT=BENCH_SELF_r<N>.json the full document — plus the
+    # RAW (unsnapped) shuffle-row measurements, so sub-envelope drift
+    # stays observable in history (ADVICE r11) while
+    # BENCH_SHUFFLE_ROWS.json keeps its byte-stable pins — is written to a
+    # file that survives any stdout capture window.
+    artifact = os.environ.get("BENCH_ARTIFACT", "")
+    if artifact:
+        Path(_REPO, artifact).write_text(
+            json.dumps({**out_doc, "shuffle_rows_raw": shuffle_rows}, indent=1) + "\n"
         )
-    )
+        print(f"bench artifact -> {artifact}", file=sys.stderr)
+    print(json.dumps(out_doc))
     spark.stop()
 
 

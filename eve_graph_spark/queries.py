@@ -2601,18 +2601,24 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k for the production IVF row below — interpolated into BOTH the Spark
+#: body and the oracle SQL so editing one cannot silently desynchronize
+#: the other (ADVICE r11); ANN_QUERY_IDS plays the same dual role.
+ANN_PRODUCTION_K = 10
+
 @register(
     "ann_ivf_production",
-    """
+    f"""
     SELECT CAST(vec_id AS BIGINT) AS query_id,
-           CAST(10 AS BIGINT) AS n_results,
+           CAST({ANN_PRODUCTION_K} AS BIGINT) AS n_results,
            TRUE AS results_distinct,
            TRUE AS ranks_wellformed,
            TRUE AS cosines_monotone,
            TRUE AS self_excluded,
            TRUE AS cosine_recompute_ok
     FROM embeddings
-    WHERE vec_id IN (0, 1, 2, 3, 4) AND len(embedding) = 64
+    WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+      AND len(embedding) = 64
     """,
 )
 def ann_ivf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2640,7 +2646,7 @@ def ann_ivf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
         F.size("embedding") == 64
     )
-    res = ivf_topk(emb, ANN_QUERY_IDS, k=10)  # query_id, vec_id, cosine, rank
+    res = ivf_topk(emb, ANN_QUERY_IDS, k=ANN_PRODUCTION_K)  # query_id, vec_id, cosine, rank
 
     # exact fixed-point cosine recompute for ONLY the returned pairs:
     # the involved-id set is <= 5 queries + 50 neighbours, broadcast both.
