@@ -107,39 +107,17 @@ def _correctness_tiers(root=None) -> dict[str, int]:
 # into the driver window right after the never-checked tier, so changed code
 # is always externally re-verified in the round it changes (ADVICE r2).
 _MODIFIED_THIS_ROUND = {
-    # r10: q11's 1%-of-total HAVING was vacuous (0 rows at every SF — the
-    # hash-green was the empty-set hash, r9 verdict item 1). Rethresholded
-    # to value > 2× the average part value (scale-invariant, 91 rows at
-    # sf0.01) with an exact integer cross-multiplication comparison.
-    "q11_important_stock",
-    # r10: community_metrics modularity arithmetic moved to decimal(38,0)
-    # (long form wrapped past m ≈ 3M edges) — value-identical at fixture
-    # scale, but the expression changed, so re-verify externally.
-    "community_conductance",
-    # r10: near-dup verification went TEXT-FREE — Jaccard/containment over
-    # distinct shingle-DIGEST sets (the pair join shuffles 8-byte longs,
-    # never strings; oracles replay the same digests). Values can shift on
-    # rare mod-2^31 collisions, so hashes are re-pinned this round.
-    "minhash_near_dups_portable",
+    # r12: the global-rank offsets moved from a driver collect + literal
+    # map to a K-row broadcast frame (values identical, plan changed).
+    "token_budget_sample",
+    "customer_spend_quartiles",
+    # r12: oracle SQL now interpolates ANN_QUERY_IDS / ANN_PRODUCTION_K
+    # (same values, oracle text changed).
+    "ann_ivf_production",
+    # r12: the two xxhash64 twins went from rows-only to boolean-pinned
+    # contracts (new output schemas + oracles).
     "minhash_near_dups",
-    "containment_pairs_lsh",
-    "dedup_pipeline_documents",
-    "dedup_survivors_quality",
-    # r10: IVF training factored into _ivf_train_assign (op-identical) and
-    # the PQ probe gained a literal probe-cell filter (static partition
-    # pruning on persisted indexes; semantically redundant with the join).
-    # Values unchanged, plans touched — re-verify externally.
-    "ann_ivf_topk",
-    "ann_ivf_pq_topk",
-    # r10: sllpa listen-vote agg went count(1) -> sum(wfp) (wfp=1 unweighted,
-    # values bit-identical; plan touched) for the weighted knob.
-    "sllpa_overlapping",
-    # r10: louvain gained self-loop-aware degrees/m for the multilevel
-    # aggregation phase (no fixture graph carries self-loops, values
-    # bit-identical; plans gained the self-loop split/outer-join).
-    "louvain_communities",
-    "louvain_weighted",
-    "knn_graph_communities",
+    "simhash_signatures",
 }
 
 
@@ -2259,13 +2237,52 @@ def minhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_minhash_near_dups(docs, threshold=0.5)
 
 
-@register("minhash_near_dups")  # xxhash64-based → not SQL-oracle-able; rows-only
+@register(
+    "minhash_near_dups",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           TRUE AS precision_ok,
+           TRUE AS canonical_ok
+    FROM documents
+    """,
+)
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Full MinHash+LSH near-dup pipeline at threshold 0.5.
-    from eve_graph_spark.operators.dedup import minhash_dedup
+    # Full xxhash64 MinHash+LSH near-dup pipeline at threshold 0.5 — the
+    # production-hash twin of hash-green minhash_near_dups_portable.
+    # r11 verdict item 5: no longer rows-only. xxhash64 signatures (and
+    # therefore WHICH pairs LSH surfaces) can't be replayed in SQL, but
+    # the pipeline's CONTRACT can: per document, every returned pair it
+    # participates in must pass an exact STRING-shingle Jaccard >= 0.5
+    # recompute (precision — a broken band join, digest collision
+    # handling, or threshold filter flips it) and be canonically ordered
+    # (id_a < id_b). RECALL stays pinned by the portable twin, which
+    # replays the whole pipeline bit-for-bit. The recompute joins text
+    # for only the returned pairs (dozens), not the corpus.
+    from eve_graph_spark.operators.dedup import jaccard_pairs, minhash_dedup
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return minhash_dedup(docs, threshold=0.5)
+    pairs = minhash_dedup(docs, threshold=0.5)  # id_a, id_b, digest jaccard
+    exact = jaccard_pairs(docs, pairs.select("id_a", "id_b"), digest=None)
+    # materialize the pair-sized verdicts BEFORE the two-endpoint explode:
+    # each branch would otherwise re-plan (and at scale re-EXECUTE) the
+    # whole LSH + two-verify pipeline — 13 corpus scans instead of 7
+    # (test_plan_scan_budget pins it)
+    per_pair = exact.select(
+        "id_a", "id_b",
+        (F.col("jaccard") >= 0.5).alias("__prec"),
+        (F.col("id_a") < F.col("id_b")).alias("__canon"),
+    ).transform(truncate_lineage)
+    ends = per_pair.select(F.col("id_a").alias("doc_id"), "__prec", "__canon").unionByName(
+        per_pair.select(F.col("id_b").alias("doc_id"), "__prec", "__canon")
+    )
+    verdicts = ends.groupBy("doc_id").agg(
+        F.bool_and("__prec").alias("__p"), F.bool_and("__canon").alias("__c")
+    )
+    return docs.select("doc_id").join(verdicts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("__p", F.lit(True)).alias("precision_ok"),
+        F.coalesce("__c", F.lit(True)).alias("canonical_ok"),
+    )
 
 
 @register(
@@ -2302,12 +2319,53 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.expr(portable_simhash_sql("text")).alias("simhash"))
 
 
-@register("simhash_signatures")  # xxhash64-based → rows-only
+@register(
+    "simhash_signatures",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           TRUE AS sig_nonnull,
+           TRUE AS text_determines_sig,
+           TRUE AS recompute_stable
+    FROM documents
+    """,
+)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Production (xxhash64) SimHash signatures — twin of hash-green
+    # simhash_portable. r11 verdict item 5: no longer rows-only. The
+    # 64-bit values can't be replayed in SQL, but per document the oracle
+    # pins: the signature is non-null (null text must still sign — a
+    # dropped doc silently exits the dedup universe), equal TEXT yields
+    # equal signatures (the vote accumulator is a pure function of the
+    # shingle multiset), and an independent recompute across a DIFFERENT
+    # partitioning lands bit-identical (no partition-dependent state in
+    # the expression). A flipped bit anywhere fails the hash.
     from eve_graph_spark.operators.dedup import simhash_expr
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", simhash_expr("text").alias("simhash"))
+    # materialized once — consumed by the per-text group AND the final
+    # join, which would otherwise re-plan the signature scan
+    sigs = docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("__t"),
+        simhash_expr("text").alias("__sig"),
+    ).transform(truncate_lineage)
+    # second, independently planned + shuffled evaluation of the same expr
+    resig = (
+        docs.repartition(7, "doc_id")
+        .select("doc_id", simhash_expr("text").alias("__sig2"))
+    )
+    per_text = sigs.groupBy("__t").agg(
+        (F.count_distinct("__sig") == 1).alias("__one_sig_per_text")
+    )
+    return (
+        sigs.join(resig, "doc_id")
+        .join(per_text, "__t")
+        .select(
+            "doc_id",
+            F.col("__sig").isNotNull().alias("sig_nonnull"),
+            F.col("__one_sig_per_text").alias("text_determines_sig"),
+            (F.col("__sig") == F.col("__sig2")).alias("recompute_stable"),
+        )
+    )
 
 
 # =========================================================================

@@ -45,7 +45,11 @@ BUDGET: dict[str, dict[str, int]] = {
     # recompute-over-materialize tradeoff is documented in SCALE.md
     # ("MinHash dedup": signatures/shingles recompute scan-side rather
     # than persisting O(corpus) arrays).
-    "minhash_near_dups": {"documents": 4},
+    # r12 boolean-pinned form: the 4 pipeline scans + 2 exact-string
+    # re-verify sides (the precision contract) + the doc_id spine of the
+    # per-document verdict rows; the pair-sized verdict frame is
+    # checkpointed so the two-endpoint explode cannot double the pipeline.
+    "minhash_near_dups": {"documents": 7},
     "minhash_near_dups_portable": {"documents": 4},
     "ngram_jaccard_pairs": {"documents": 4},
     "containment_pairs": {"documents": 4},
