@@ -156,14 +156,32 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+                        bands: int = 4, rows_per_band: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the signature, bucket-join: docs sharing any full band become a
     candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
 
     The self-join is per (band, bucket) group — at scale the bucket key is
-    high-cardinality so the shuffle is well distributed; a skewed mega-
-    bucket (e.g. empty docs) is the classic hazard, so we salt-cap via
-    distinct before the join.
+    high-cardinality so the shuffle is well distributed. The hazard is a
+    DEGENERATE bucket: B distinct docs sharing one band emit C(B,2)
+    candidates, and AQE's skew split distributes that join work but cannot
+    shrink its output — the quadratic blowup is intrinsic to all-pairs.
+    Exact-dup pre-collapse (near_dup_clusters) removes the common cause
+    (identical texts), but distinct-yet-near-identical corpora (template
+    spam, boilerplate) can still build one (measured in
+    scripts/scale_stress.py --lsh-megabucket).
+
+    ``max_bucket_size`` is the batch twin of the streaming state_cap
+    (streaming/stateful.py): buckets at or under the cap do exact
+    all-pairs as before; an over-cap bucket falls back to a sorted-id
+    CHAIN — consecutive members only, O(B) pairs instead of O(B²).
+    Recall semantics, documented: within an over-cap bucket, direct
+    pairwise recall drops (only consecutive links are attempted, and a
+    failed verify can cut a chain where all-pairs would have bridged),
+    but CLUSTER-level recall through the connected-components stage is
+    preserved whenever consecutive members verify — exactly the
+    near-identical-content case that makes a bucket that big in the
+    first place. Deterministic: the chain orders by id.
     """
     banded = signatures.select(
         id_col,
@@ -175,14 +193,35 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("band", "bucket"),
     ).distinct()
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        banded = banded.join(sizes, ["band", "bucket"])
+        small = banded.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+        # chain the (few) over-cap buckets: one sort window per bucket —
+        # O(B log B) in one task per mega-bucket, never O(B²) pairs
+        over_w = Window.partitionBy("band", "bucket").orderBy(id_col)
+        chain = (
+            banded.filter(F.col("__bsz") > max_bucket_size)
+            .withColumn("__nxt", F.lead(id_col).over(over_w))
+            .filter(F.col("__nxt").isNotNull())
+            .select(
+                F.col(id_col).alias("id_a"), F.col("__nxt").alias("id_b")
+            )
+        )
+    else:
+        small, chain = banded, None
+    a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = small.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if chain is not None:
+        pairs = pairs.unionByName(chain)
+    return pairs.distinct()
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
@@ -210,15 +249,20 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, num_hashes: int = 16,
-                  bands: int = 4, rows_per_band: int = 4, k: int = 3) -> DataFrame:
+                  bands: int = 4, rows_per_band: int = 4, k: int = 3,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact Jaccard
     filter ≥ threshold. Returns verified duplicate pairs (id_a < id_b).
 
     Verification runs over xxhash64 digest sets (r10): the pair join
     shuffles 8-byte longs, never shingle strings — same Jaccard up to a
-    ~2e-13/pair collision bound (shingle_digests_expr)."""
+    ~2e-13/pair collision bound (shingle_digests_expr).
+
+    `max_bucket_size` bounds degenerate LSH buckets (see
+    lsh_candidate_pairs) — the knob a 100 TB run of a boilerplate-heavy
+    corpus sets after exact-dup pre-collapse."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, max_bucket_size)
     return (
         jaccard_pairs(df, cands, text_col, id_col, k, digest="xxhash64")
         .filter(F.col("jaccard") >= threshold)

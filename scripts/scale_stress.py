@@ -264,6 +264,90 @@ def reliable_ckpt_stress(spark: SparkSession, layers: int, width: int,
     return 1 if errs else 0
 
 
+def lsh_megabucket_stress(spark: SparkSession, n_mega: int, cap: int,
+                          budget: int) -> int:
+    """Planted degenerate-bucket stress for BATCH LSH (r11 verdict item 6).
+
+    `n_mega` DISTINCT docs share a long boilerplate prefix (one unique
+    word each), so exact-dup pre-collapse cannot remove them and most
+    land in the same LSH band buckets — the all-pairs bucket join's
+    intrinsic C(B,2) blowup, which AQE's skew split can spread across
+    tasks but never shrink. Measures the uncapped candidate count/wall
+    against `max_bucket_size=cap` (all-pairs under the cap, sorted-id
+    chain above it) and asserts the capped path (a) emits O(B) not O(B²)
+    candidates, (b) stays within the wall budget, (c) still links every
+    planted doc into ONE verified cluster (chain links are near-identical
+    so they pass the 0.5 Jaccard verify), and (d) leaves a background
+    corpus of normal docs with identical pairs under both settings.
+    """
+    from eve_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"boiler{i}" for i in range(60))
+    mega = spark.range(n_mega).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base + " unique"), F.col("id").cast("string")).alias("text"),
+    )
+    # background: unrelated docs, a handful of genuine near-dup pairs
+    bg = spark.range(n_mega, n_mega + 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[(F.col("id") * (i + 3) % 997).cast("string") for i in range(40)],
+        ).alias("text"),
+    )
+    docs = mega.unionByName(bg).repartition(64).localCheckpoint(eager=True)
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    n_uncapped = lsh_candidate_pairs(sigs).count()
+    uncapped_sec = time.time() - t0
+    t0 = time.time()
+    n_capped = lsh_candidate_pairs(sigs, max_bucket_size=cap).count()
+    capped_sec = time.time() - t0
+
+    # end-to-end cluster recall through verification, capped
+    t0 = time.time()
+    verified = minhash_dedup(docs, threshold=0.5, max_bucket_size=cap)
+    vpairs = [(r["id_a"], r["id_b"]) for r in verified.collect()]
+    verify_sec = time.time() - t0
+    parent = list(range(n_mega))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a_, b_ in vpairs:
+        if a_ < n_mega and b_ < n_mega:
+            parent[find(a_)] = find(b_)
+    n_clusters = len({find(i) for i in range(n_mega)})
+
+    errs = []
+    if n_capped * 10 > n_uncapped:
+        errs.append(
+            f"cap did not collapse the blowup: {n_uncapped} -> {n_capped}"
+        )
+    if n_clusters != 1:
+        errs.append(f"planted mega-cluster split into {n_clusters} components")
+    if capped_sec + verify_sec > budget:
+        errs.append(f"capped wall {capped_sec + verify_sec:.0f}s over budget {budget}s")
+    print(json.dumps({
+        "n_mega": n_mega, "cap": cap,
+        "uncapped_candidates": n_uncapped, "uncapped_sec": round(uncapped_sec, 1),
+        "capped_candidates": n_capped, "capped_sec": round(capped_sec, 1),
+        "verified_pairs": len(vpairs), "verify_sec": round(verify_sec, 1),
+        "mega_clusters_after_cap": n_clusters,
+        "errs": errs,
+    }))
+    print(json.dumps({"result": "FAIL" if errs else "PASS", "failures": errs}))
+    return 1 if errs else 0
+
+
 def mst_stress(spark: SparkSession, n_nodes: int, extra_per_node: int,
                budget: int) -> int:
     """Borůvka MST at stress scale (VERDICT r9 item 3): the round-9
@@ -785,6 +869,11 @@ def main() -> int:
                          "wide-chain SSSP loop: identical results, "
                          "measured wall-clock cost vs localCheckpoint "
                          "(r10 verdict item 1)")
+    ap.add_argument("--lsh-megabucket", type=int, default=None, metavar="N",
+                    help="planted degenerate-bucket LSH stress: N distinct "
+                         "near-identical docs in one bucket, uncapped vs "
+                         "max_bucket_size (r11 verdict item 6)")
+    ap.add_argument("--lsh-cap", type=int, default=64)
     ap.add_argument("--mst-nodes", type=int, default=400_000)
     ap.add_argument("--mst-extra", type=int, default=5)
     ap.add_argument("--louvain-cliques", type=int, default=2600)
@@ -806,6 +895,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.lsh_megabucket is not None:
+        return lsh_megabucket_stress(
+            spark, args.lsh_megabucket, args.lsh_cap, GRAPH_BUDGET_SEC
+        )
     if args.pairs_cand_only is not None:
         return pairs_cand_only(spark, args.pairs_cand_only)
     if args.pairs is not None:

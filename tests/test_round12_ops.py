@@ -47,3 +47,69 @@ def test_gamma4_oracle_sql_threads_gamma_through_both_levels():
     sql = registry.oracle_sql()["louvain_gamma4_ring"]
     # 4 rounds at level 1 (lv1..lv4) + 4 rounds at level 2 (mv1..mv4)
     assert sql.count("- 4 * d.k * (") == 8
+
+
+def _planted_bucket_docs(spark, n=30, base_words=40):
+    """n DISTINCT near-identical docs (shared prefix + one unique word):
+    exact-dup pre-collapse can't remove them, yet most land in the same
+    LSH bucket(s) — the degenerate-bucket shape."""
+    base = " ".join(f"w{i}" for i in range(base_words))
+    rows = [(i, f"{base} unique{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_max_bucket_size_bounds_pairs_and_keeps_clusters(spark):
+    from eve_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup,
+        minhash_signatures,
+    )
+
+    docs = _planted_bucket_docs(spark, n=30)
+    sigs = minhash_signatures(docs)
+
+    uncapped = lsh_candidate_pairs(sigs).collect()
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=8).collect()
+    # the planted bucket must actually be degenerate for this test to
+    # mean anything: all-pairs emits hundreds of candidates
+    assert len(uncapped) > 100
+    # capped: any bucket does at most C(8,2) pairs or a B-1 chain; with
+    # 4 bands the total must collapse by an order of magnitude
+    assert len(capped) < len(uncapped) / 3
+    assert len(capped) >= 29  # connectivity floor: a spanning set exists
+
+    # chain pairs are canonical and deterministic
+    assert all(r["id_a"] < r["id_b"] for r in capped)
+    assert sorted(map(tuple, capped)) == sorted(
+        map(tuple, lsh_candidate_pairs(sigs, max_bucket_size=8).collect())
+    )
+
+    # CLUSTER recall is preserved end-to-end: after verification, the
+    # capped pipeline still links all 30 docs into one component
+    # (consecutive docs share base_words of ~base_words+1 shingles, so
+    # every chain link passes the 0.5 threshold)
+    verified = minhash_dedup(docs, threshold=0.5, max_bucket_size=8).collect()
+    parent = {i: i for i in range(30)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in verified:
+        parent[find(r["id_a"])] = find(r["id_b"])
+    assert len({find(i) for i in range(30)}) == 1
+
+
+def test_lsh_no_cap_is_byte_identical_to_before(spark):
+    """max_bucket_size=None (every registered query) must keep the exact
+    pre-r12 pair set — the cap is opt-in."""
+    from eve_graph_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _planted_bucket_docs(spark, n=12)
+    sigs = minhash_signatures(docs)
+    pairs = sorted(map(tuple, lsh_candidate_pairs(sigs).collect()))
+    # all-pairs over each bucket, canonical, distinct
+    assert pairs == sorted(set(pairs))
+    assert all(a < b for a, b in pairs)
