@@ -22,7 +22,9 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
     EqualTo,
     Filter,
     GreaterThan,
@@ -122,6 +124,9 @@ class EveScoutDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):  # noqa: N802 - API name
         return _EveScoutStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _EveScoutWriter(schema, self.options, overwrite)
 
 
 def register_eve_scout(spark) -> None:
@@ -223,3 +228,108 @@ class _EveScoutStreamReader(SimpleDataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # snapshots are the poller's to retain/expire; nothing to ack
         pass
+
+
+# --- Spark-4 batch writer (source/sink symmetry, r11 verdict item 8) --------
+
+
+class _PartFile(WriterCommitMessage):
+    """Per-task commit message: where the task staged its records and which
+    partition produced them (ordering key for the deterministic merge)."""
+
+    def __init__(self, path: str, partition_id: int, n_rows: int):
+        self.path = path
+        self.partition_id = partition_id
+        self.n_rows = n_rows
+
+
+class _EveScoutWriter(DataSourceWriter):
+    """Write a signature frame back in the EVE-Scout wire format — the
+    read path's inverse, completing the connector: `spark.write.format
+    ("eve_scout").option("path", ...)` emits exactly the JSON the batch
+    reader (`path` ending in .json → one snapshot file) or the streaming
+    landing dir (`path` = directory → one new `poll-NNNNNN.json` per
+    save, consumable by `_EveScoutStreamReader` in filename order).
+
+    Two-phase commit, the Spark writer contract: each task stages its
+    partition's records to a private part file and returns a commit
+    message; only the driver's commit() merges parts (ordered by
+    partition id — deterministic output for a deterministic frame) and
+    publishes via atomic rename. A failed job leaves only staged parts,
+    which abort() removes — readers never observe a half-written
+    snapshot. The merge is driver-side by design, symmetric with the
+    driver-side poll reads: a signature feed is hundreds of rows; a
+    data-lake-sized frame belongs in the parquet sinks (sinks.py), not
+    a wire-format snapshot.
+    """
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._cols = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("eve_scout writer requires .option('path', ...)")
+        self._overwrite = overwrite
+        import uuid
+
+        self._stage = f"{self._path.rstrip('/')}.__stage-{uuid.uuid4().hex}"
+
+    def write(self, iterator) -> _PartFile:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        records = [
+            {c: v for c, v in zip(self._cols, row) if v is not None}
+            for row in iterator
+        ]
+        os.makedirs(self._stage, exist_ok=True)
+        part = os.path.join(self._stage, f"part-{pid:05d}-{uuid.uuid4().hex}.json")
+        with open(part, "w") as fh:
+            json.dump(records, fh)
+        return _PartFile(part, pid, len(records))
+
+    def _cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self._stage, ignore_errors=True)
+
+    def commit(self, messages) -> None:
+        import os
+
+        records: list[dict] = []
+        for m in sorted(messages, key=lambda m: (m.partition_id, m.path)):
+            with open(m.path) as fh:
+                records.extend(json.load(fh))
+        try:
+            if self._path.endswith(".json"):
+                # snapshot mode: the batch reader's single feed file
+                final = self._path
+                if os.path.exists(final) and not self._overwrite:
+                    raise FileExistsError(
+                        f"{final} exists; use mode('overwrite') to replace the snapshot"
+                    )
+            else:
+                # landing-dir mode: one NEW monotonically-named poll file;
+                # overwrite clears prior polls (a fresh feed history)
+                os.makedirs(self._path, exist_ok=True)
+                existing = sorted(
+                    f for f in os.listdir(self._path) if f.endswith(".json")
+                )
+                if self._overwrite:
+                    for f in existing:
+                        os.unlink(os.path.join(self._path, f))
+                    seq = 0
+                else:
+                    seq = len(existing)
+                final = os.path.join(self._path, f"poll-{seq:06d}.json")
+            tmp = final + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(records, fh)
+            os.replace(tmp, final)  # atomic publish
+        finally:
+            self._cleanup()
+
+    def abort(self, messages) -> None:
+        self._cleanup()
