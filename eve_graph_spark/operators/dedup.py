@@ -193,6 +193,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("band", "bucket"),
     ).distinct()
+    return _bucket_pairs(banded, id_col, max_bucket_size)
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str,
+                  max_bucket_size: int | None) -> DataFrame:
+    """(id_a, id_b) distinct canonical pairs from (id, band, bucket) rows —
+    the shared kernel of the xxhash64 and portable banding paths: all-pairs
+    per bucket, with the over-cap chain fallback documented on
+    lsh_candidate_pairs."""
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__bsz")
@@ -326,7 +335,7 @@ def portable_band_buckets_sql(sig_col: str, bands: int = 4, rows_per_band: int =
 
 def portable_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             num_hashes: int = 8, bands: int = 4, rows_per_band: int = 2,
-                            k: int = 3) -> DataFrame:
+                            k: int = 3, max_bucket_size: int | None = None) -> DataFrame:
     """(id_a, id_b) candidate pairs from portable-MinHash banding — the
     scale-side pair source for any pairwise verifier (Jaccard, containment).
 
@@ -352,12 +361,7 @@ def portable_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str =
             F.expr(portable_band_buckets_sql("__sig", bands, rows_per_band))
         ).alias("band", "bucket"),
     ).distinct()
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
+    return _bucket_pairs(banded, id_col, max_bucket_size)
 
 
 def containment_for_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",

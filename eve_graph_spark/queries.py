@@ -2238,6 +2238,71 @@ def minhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_capped_pairs_portable",
+    f"""
+    WITH msh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(lower(coalesce(text, '')), ' ')) >= 3 THEN
+                   list_transform(range(0, len(string_split(lower(coalesce(text, '')), ' ')) - 2),
+                       i -> array_to_string(list_slice(string_split(lower(coalesce(text, '')), ' '), i + 1, i + 3), ' '))
+                   ELSE [lower(coalesce(text, ''))] END) AS sh
+        FROM documents
+    ),
+    mhs AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s ->
+                   ('0x' || substr(md5(s), 1, 14))::BIGINT % 2147483647) AS hs
+        FROM msh
+    ),
+    msigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), j ->
+                   list_min(list_transform(hs,
+                       h -> ((2 * j + 1) * h + 97 * j + 13) % 2147483647))) AS sig
+        FROM mhs
+    ),
+    mbanded AS (
+        SELECT DISTINCT doc_id, u.i AS band, ({portable_band_buckets_sql('sig', 4, 2, one_based=True)})[u.i] AS bucket
+        FROM msigs, unnest(range(1, 5)) AS u(i)
+    ),
+    bsz AS (SELECT band, bucket, COUNT(*) AS n FROM mbanded GROUP BY 1, 2),
+    allp AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM mbanded a
+        JOIN mbanded b USING (band, bucket)
+        JOIN bsz s USING (band, bucket)
+        WHERE s.n <= 2 AND a.doc_id < b.doc_id
+    ),
+    chain AS (
+        SELECT id_a, id_b FROM (
+            SELECT m.doc_id AS id_a,
+                   LEAD(m.doc_id) OVER (PARTITION BY m.band, m.bucket
+                                        ORDER BY m.doc_id) AS id_b
+            FROM mbanded m JOIN bsz s USING (band, bucket)
+            WHERE s.n > 2
+        ) WHERE id_b IS NOT NULL
+    )
+    SELECT DISTINCT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+    FROM (SELECT * FROM allp UNION ALL SELECT * FROM chain)
+    """,
+)
+def lsh_capped_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The r12 degenerate-bucket cap, HASH-CHECKED: portable banding with
+    # max_bucket_size=2 — on the natural fixture corpus several buckets
+    # hold 3-4 docs at every SF, so the over-cap sorted-id CHAIN path
+    # actually executes and the oracle replays BOTH arms exactly
+    # (all-pairs for buckets <= 2, consecutive-id chain above). The
+    # production-scale behavior (7,998,108 -> 6,005 candidates on a
+    # planted 4,000-doc mega-bucket) is measured in
+    # scripts/scale_stress.py --lsh-megabucket; this query pins the split
+    # logic bit-for-bit where the driver can see it.
+    from eve_graph_spark.operators.dedup import portable_lsh_candidates
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return portable_lsh_candidates(docs, max_bucket_size=2)
+
+
+@register(
     "minhash_near_dups",
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
