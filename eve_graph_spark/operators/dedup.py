@@ -203,6 +203,14 @@ def _bucket_pairs(banded: DataFrame, id_col: str,
     per bucket, with the over-cap chain fallback documented on
     lsh_candidate_pairs."""
     if max_bucket_size is not None:
+        # materialize the narrow (id, band, bucket) frame once: the capped
+        # form consumes it from FOUR branches (sizes, both all-pairs join
+        # sides, chain) and each would otherwise re-plan — and at scale
+        # re-EXECUTE — the whole shingle/signature pipeline (measured 6
+        # corpus scans on the registered query; test_plan_scan_budget
+        # pins 1). The uncapped path keeps its lazy two-branch shape,
+        # whose identical subtrees end in one reusable exchange.
+        banded = truncate_lineage(banded)
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__bsz")
         )
