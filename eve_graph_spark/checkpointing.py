@@ -38,6 +38,8 @@ checkpointing is the equivalent durability seam.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: Runtime-conf key that, when set, switches every truncate_lineage call
@@ -172,10 +174,12 @@ def truncate_lineage(
 
 def _advertises_keys(df: DataFrame, keys: tuple[str, ...]) -> bool:
     """Whether the frame's physical scan advertises a partitioning over all
-    of ``keys`` (attribute names render as ``name#exprId``, so substring
-    match on the name is sufficient for this engine's key names)."""
+    of ``keys``. Attributes render as ``name#exprId`` — match the WHOLE
+    token, not a substring (ADVICE r12: ``"src" in part`` was falsely
+    satisfied by a partitioning over ``src_system_id``, silently skipping
+    the repartition re-anchor this option exists to guarantee)."""
     try:
         part = df._jdf.queryExecution().executedPlan().outputPartitioning().toString()
     except Exception:
         return False
-    return all(k in part for k in keys)
+    return all(re.search(rf"\b{re.escape(k)}#\d+", part) for k in keys)

@@ -2307,7 +2307,7 @@ def lsh_capped_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            TRUE AS precision_ok,
-           TRUE AS canonical_ok
+           TRUE AS any_pairs
     FROM documents
     """,
 )
@@ -2319,10 +2319,20 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pipeline's CONTRACT can: per document, every returned pair it
     # participates in must pass an exact STRING-shingle Jaccard >= 0.5
     # recompute (precision — a broken band join, digest collision
-    # handling, or threshold filter flips it) and be canonically ordered
-    # (id_a < id_b). RECALL stays pinned by the portable twin, which
-    # replays the whole pipeline bit-for-bit. The recompute joins text
-    # for only the returned pairs (dozens), not the corpus.
+    # handling, or threshold filter flips it). RECALL stays pinned by the
+    # portable twin, which replays the whole pipeline bit-for-bit. The
+    # recompute joins text for only the returned pairs (dozens), not the
+    # corpus.
+    #
+    # `any_pairs` is the NON-VACUITY pin (ADVICE r12): with zero pairs the
+    # per-doc precision verdicts all coalesce to TRUE, so the most
+    # plausible xxhash64-specific regression — an empty/broken band join —
+    # used to stay hash-green. The fixture corpora contain near-dups the
+    # deterministic xxhash64 pipeline surfaces at every SF (measured 28 /
+    # 25 / 256 pairs at sf0.001/0.01/0.1), so the oracle asserts TRUE and
+    # an empty pair set flips every row's hash. It replaces the old
+    # `canonical_ok`, which was tautological (the pipeline filters
+    # id_a < id_b upstream of the check).
     from eve_graph_spark.operators.dedup import jaccard_pairs, minhash_dedup
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -2335,18 +2345,23 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pair = exact.select(
         "id_a", "id_b",
         (F.col("jaccard") >= 0.5).alias("__prec"),
-        (F.col("id_a") < F.col("id_b")).alias("__canon"),
     ).transform(truncate_lineage)
-    ends = per_pair.select(F.col("id_a").alias("doc_id"), "__prec", "__canon").unionByName(
-        per_pair.select(F.col("id_b").alias("doc_id"), "__prec", "__canon")
+    ends = per_pair.select(F.col("id_a").alias("doc_id"), "__prec").unionByName(
+        per_pair.select(F.col("id_b").alias("doc_id"), "__prec")
     )
-    verdicts = ends.groupBy("doc_id").agg(
-        F.bool_and("__prec").alias("__p"), F.bool_and("__canon").alias("__c")
-    )
-    return docs.select("doc_id").join(verdicts, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("__p", F.lit(True)).alias("precision_ok"),
-        F.coalesce("__c", F.lit(True)).alias("canonical_ok"),
+    verdicts = ends.groupBy("doc_id").agg(F.bool_and("__prec").alias("__p"))
+    # 1-row broadcast (Cross BNLJ, the whitelisted scalar shape): reads
+    # the already-materialized per_pair frame, not the corpus
+    nonempty = per_pair.agg((F.count(F.lit(1)) > 0).alias("any_pairs"))
+    return (
+        docs.select("doc_id")
+        .join(verdicts, "doc_id", "left")
+        .crossJoin(F.broadcast(nonempty))
+        .select(
+            "doc_id",
+            F.coalesce("__p", F.lit(True)).alias("precision_ok"),
+            "any_pairs",
+        )
     )
 
 
@@ -5917,10 +5932,15 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality-score calibration histogram: corpus deciles with per-bin
     # stats — what you eyeball before picking a quality filter threshold.
     # The global NTILE is the same DISTRIBUTED rank as
-    # customer_spend_quartiles: range-shuffle on the (q, doc_id) total
-    # order, per-partition row_number, constant per-partition offsets from
-    # a K-row collect, then the closed-form tile expression. Per-bin sums
-    # are 1e6 fixed-point so both engines add exact integers.
+    # token_budget_sample: range-shuffle on the (q, doc_id) total order,
+    # per-partition row_number, plus constant per-partition row offsets.
+    # r13 (verdict item 3): the offsets — and the corpus total the
+    # closed-form tile expression needs — are a K-row DataFrame
+    # (K = range partitions) broadcast-joined back on __pid, not a driver
+    # collect + 2K-literal create_map: at cluster scale K is thousands and
+    # a literal map bloats the expression tree, a K-row broadcast does
+    # not. Per-bin sums are 1e6 fixed-point so both engines add exact
+    # integers.
     from eve_graph_spark.operators.text_analysis import quality_score_expr
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5933,28 +5953,32 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__pid", F.spark_partition_id())
         .transform(truncate_lineage)
     )
-    cnts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    n_total = sum(c for _, c in cnts)
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, cnt in cnts:
-        offsets[pid] = acc
-        acc += cnt
-    offset_map = F.create_map(*[F.lit(v) for po in offsets.items() for v in po])
+    offs = (
+        ranked.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+            F.sum("__cnt").over(w_all).cast("long").alias("__n"),
+        )
+    )
     local_w = Window.partitionBy("__pid").orderBy("q", "doc_id")
-    r = (offset_map[F.col("__pid")] + F.row_number().over(local_w) - 1).alias("__r")
-    base, rem = divmod(n_total, 10)
-    big = base + 1
+    r = (F.col("__off") + F.row_number().over(local_w) - 1).alias("__r")
+    base = F.floor(F.col("__n") / F.lit(10)).cast("long")
+    rem = (F.col("__n") % 10).cast("long")
+    big = base + F.lit(1)
     tile = F.when(
-        F.col("__r") < rem * big, F.floor(F.col("__r") / F.lit(big)) + 1
+        F.col("__r") < rem * big, F.floor(F.col("__r") / big) + 1
     ).otherwise(
-        rem + F.floor((F.col("__r") - rem * big) / F.lit(max(base, 1))) + 1
+        rem + F.floor((F.col("__r") - rem * big) / F.greatest(base, F.lit(1))) + 1
     )
     return (
-        ranked.withColumn("__r", r)
+        ranked.join(F.broadcast(offs), "__pid")
+        .withColumn("__r", r)
         .select("q", tile.cast("long").alias("decile"))
         .groupBy("decile")
         .agg(

@@ -261,6 +261,24 @@ class _EveScoutWriter(DataSourceWriter):
     driver-side poll reads: a signature feed is hundreds of rows; a
     data-lake-sized frame belongs in the parquet sinks (sinks.py), not
     a wire-format snapshot.
+
+    DEPLOYMENT CONTRACT (ADVICE r12): the stage dir is plain-`open()`ed
+    by executor tasks and re-read by the driver's commit(), so driver
+    and executors must share one filesystem — true in local mode, NOT on
+    a real cluster with executor-local disks. __init__ fails fast on a
+    non-local master unless `.option("sharedFs", "true")` asserts the
+    path is on a shared mount (NFS etc.); without that assert the job
+    would run every task and then die at commit with FileNotFoundError.
+
+    CONCURRENCY (landing-dir append mode): racing saves are safe on one
+    shared filesystem — each commit claims its poll name with a hardlink
+    (`os.link` fails on an existing name, never overwrites) and bumps the
+    sequence until a claim wins, and the sequence derives from the MAX
+    existing poll number + 1 (not the file count), so externally deleted
+    polls can never cause a published file to be silently replaced.
+    Overwrite mode (clear history, restart at poll-000000) is inherently
+    single-writer: a racing reader/writer may observe the directory
+    mid-clear.
     """
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
@@ -268,6 +286,21 @@ class _EveScoutWriter(DataSourceWriter):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("eve_scout writer requires .option('path', ...)")
+        shared_fs = str(options.get("sharedfs", "false")).lower() == "true"
+        if not shared_fs:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            master = sess.conf.get("spark.master", "") if sess else ""
+            if master and not master.startswith("local"):
+                raise ValueError(
+                    "eve_scout writer stages part files on the executors' "
+                    "local filesystem and merges them driver-side: it "
+                    f"requires a driver+executor shared FS, and master "
+                    f"{master!r} is not local. If {self._path!r} is on a "
+                    "shared mount, assert it with .option('sharedFs', "
+                    "'true')."
+                )
         self._overwrite = overwrite
         import uuid
 
@@ -310,9 +343,20 @@ class _EveScoutWriter(DataSourceWriter):
                     raise FileExistsError(
                         f"{final} exists; use mode('overwrite') to replace the snapshot"
                     )
+                tmp = final + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(records, fh)
+                os.replace(tmp, final)  # atomic publish
             else:
                 # landing-dir mode: one NEW monotonically-named poll file;
-                # overwrite clears prior polls (a fresh feed history)
+                # overwrite clears prior polls (a fresh feed history).
+                # seq = max existing poll number + 1, NOT the file count
+                # (ADVICE r12): a gap from an externally deleted poll must
+                # never make a save reuse — and silently overwrite — a
+                # published filename.
+                import re as _re
+                import uuid as _uuid
+
                 os.makedirs(self._path, exist_ok=True)
                 existing = sorted(
                     f for f in os.listdir(self._path) if f.endswith(".json")
@@ -322,12 +366,28 @@ class _EveScoutWriter(DataSourceWriter):
                         os.unlink(os.path.join(self._path, f))
                     seq = 0
                 else:
-                    seq = len(existing)
-                final = os.path.join(self._path, f"poll-{seq:06d}.json")
-            tmp = final + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(records, fh)
-            os.replace(tmp, final)  # atomic publish
+                    nums = [
+                        int(m.group(1))
+                        for f in existing
+                        if (m := _re.match(r"^poll-(\d+)\.json$", f))
+                    ]
+                    seq = max(nums, default=-1) + 1
+                # claim-by-hardlink publish: link() fails on an existing
+                # name instead of replacing it, so two racing commits get
+                # two distinct polls — the loser just bumps the sequence
+                tmp = os.path.join(self._path, f".poll-{_uuid.uuid4().hex}.tmp")
+                with open(tmp, "w") as fh:
+                    json.dump(records, fh)
+                try:
+                    while True:
+                        final = os.path.join(self._path, f"poll-{seq:06d}.json")
+                        try:
+                            os.link(tmp, final)  # atomic claim + publish
+                            break
+                        except FileExistsError:
+                            seq += 1
+                finally:
+                    os.unlink(tmp)
         finally:
             self._cleanup()
 

@@ -251,3 +251,34 @@ def test_truncate_lineage_keyed_by_restores_partitioning(spark):
     plain = truncate_lineage(df.repartition("src"))
     pplan = plain._jdf.queryExecution().toString()
     assert "Exchange" not in pplan.split("== Physical Plan ==")[-1], pplan
+
+
+def test_advertises_keys_matches_whole_token(spark):
+    """ADVICE r12: _advertises_keys must match attribute TOKENS
+    (``name#exprId``), not substrings — a partitioning over
+    ``src_system_id`` must NOT satisfy keyed_by=("src",), or the
+    repartition re-anchor the option exists to guarantee is silently
+    skipped and downstream src joins re-shuffle every action."""
+    from eve_graph_spark.checkpointing import _advertises_keys
+
+    # AQE wraps every live plan in AdaptiveSparkPlanExec, which reports
+    # UnknownPartitioning regardless of keys — turn it off so the
+    # repartition actually ADVERTISES, which is the only regime where the
+    # substring-vs-token distinction is observable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.range(50).selectExpr(
+            "id as src_system_id", "id + 1 as dst"
+        ).repartition("src_system_id")
+        assert _advertises_keys(df, ("src_system_id",))
+        assert not _advertises_keys(df, ("src",))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # end-to-end: keyed_by=("src",) over a src_system_id-partitioned
+    # checkpoint must re-anchor (an Exchange over src appears)
+    out = truncate_lineage(
+        df.selectExpr("src_system_id as src", "dst"), keyed_by=("src",)
+    )
+    plan = out._jdf.queryExecution().toString()
+    assert "hashpartitioning(src#" in plan or "hashpartitioning(src " in plan, plan

@@ -143,7 +143,11 @@ def _single_partition_inputs(plan: str) -> list[str]:
 
 @pytest.mark.parametrize(
     ("name", "meta_cols"),
-    [("customer_spend_quartiles", ("__cnt",)), ("token_budget_sample", ("__s",))],
+    [
+        ("customer_spend_quartiles", ("__cnt",)),
+        ("token_budget_sample", ("__s",)),
+        ("quality_deciles", ("__cnt",)),
+    ],
 )
 def test_global_rank_queries_no_data_sized_single_partition(spark, sf_dir, name, meta_cols):
     """The global prefix-sum/rank must be computed distributed: range
