@@ -7379,6 +7379,65 @@ def route_alternatives_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_star_route",
+    _graph_cte(
+        """
+        , ar_edges AS MATERIALIZED (
+            SELECT src_system_id AS src, dst_system_id AS dst,
+                   CAST(FLOOR(risk * 1000000 + 0.5) AS BIGINT) AS w
+            FROM fix_jumps
+        ),
+        ar_walk(node, cost, path) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), [CAST(1 AS BIGINT)]
+            UNION ALL
+            SELECT e.dst, p.cost + e.w, list_append(p.path, e.dst)
+            FROM ar_walk p JOIN ar_edges e ON e.src = p.node
+            WHERE p.node <> 13
+              AND NOT list_contains(p.path, e.dst)
+              AND p.cost + e.w < 16000000
+        ),
+        ar_best AS (
+            SELECT cost, path FROM ar_walk WHERE node = 13
+            ORDER BY cost, path LIMIT 1
+        )
+        SELECT CAST(u.i - 1 AS BIGINT) AS pos, b.path[u.i] AS system_id,
+               b.cost AS total_cost_fp
+        FROM ar_best b, unnest(range(1, len(b.path) + 1)) AS u(i)
+        """
+    ),
+)
+def a_star_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A* single-pair route 1 -> 13 under 1e-6 fixed-point risk weights —
+    # the one route variant that was unit/parity-pinned only (r12 verdict
+    # item 5; operators/graph.py a_star, the coordinate-pruned arm of the
+    # reference's shortest-route surface, database.rs:484-544 + the stored
+    # x/y/z of database.rs:86-88). Weights are floor(risk*1e6+0.5) longs
+    # carried in doubles, so path costs are exact integers, and on THIS
+    # fixture the top simple-path costs are strictly distinct (see
+    # route_alternatives_k3: 9441717 < 9697133 < ...), so the shortest
+    # path is UNIQUE — no heap tie-break can change the answer and the
+    # oracle's bounded simple-path enumeration replays (cost, path)
+    # bit-for-bit. The ring coords make the heuristic informative
+    # (admissibility pinned in tests/test_a_star.py); heuristic pruning
+    # changes the expansion count, never the answer.
+    from eve_graph_spark.operators.graph import a_star
+    from eve_graph_spark.sources.graph_fixture import build_coords
+
+    jumps = build_jumps(spark, sf_dir)
+    e = jumps.select(
+        F.col("src_system_id").alias("src"),
+        F.col("dst_system_id").alias("dst"),
+        F.floor(F.col("risk") * 1_000_000 + F.lit(0.5)).cast("double").alias("w"),
+    )
+    res = a_star(e, build_coords(spark, sf_dir), 1, 13, weight_col="w")
+    cost, path = res
+    rows = [(pos, int(n), int(cost)) for pos, n in enumerate(path)]
+    return spark.createDataFrame(
+        rows, "pos long, system_id long, total_cost_fp long"
+    )
+
+
+@register(
     "motif_two_hop_risky",
     _graph_cte(
         """
