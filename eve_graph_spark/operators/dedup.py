@@ -157,7 +157,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 4,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | str | None = None) -> DataFrame:
     """Band the signature, bucket-join: docs sharing any full band become a
     candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
 
@@ -197,11 +197,26 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 
 def _bucket_pairs(banded: DataFrame, id_col: str,
-                  max_bucket_size: int | None) -> DataFrame:
+                  max_bucket_size: int | str | None) -> DataFrame:
     """(id_a, id_b) distinct canonical pairs from (id, band, bucket) rows —
     the shared kernel of the xxhash64 and portable banding paths: all-pairs
     per bucket, with the over-cap chain fallback documented on
-    lsh_candidate_pairs."""
+    lsh_candidate_pairs.
+
+    ``max_bucket_size="auto"`` (r12 verdict item 6) derives the cap from
+    the bucket-size histogram instead of requiring the operator to know
+    about degenerate buckets in advance: cap = max(16, 8 × the exact
+    p99.9 of bucket sizes), computed as ONE extra aggregate over the
+    already-materialized banded frame and broadcast-joined back — never a
+    driver scalar. The generous headroom (8× the near-top quantile,
+    floor 16) means auto NEVER fires on a healthy corpus — natural
+    buckets are a handful of docs, so the cap lands far above them and
+    the emitted pairs are byte-identical to uncapped (pinned by test) —
+    while a planted boilerplate mega-bucket sits orders of magnitude
+    above any quantile and falls to the O(B) chain. At 100 TB the
+    bucket-size frame has ~4×corpus rows, so swap the exact sort-based
+    `percentile` for `approx_percentile` (same GK swap, and the same
+    one-line change, documented on perplexity_buckets)."""
     if max_bucket_size is not None:
         # materialize the narrow (id, band, bucket) frame once: the capped
         # form consumes it from FOUR branches (sizes, both all-pairs join
@@ -214,13 +229,33 @@ def _bucket_pairs(banded: DataFrame, id_col: str,
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__bsz")
         )
+        if max_bucket_size == "auto":
+            cap_frame = sizes.agg(
+                F.greatest(
+                    F.lit(16).cast("long"),
+                    (F.expr("percentile(__bsz, 0.999)") * 8).cast("long"),
+                ).alias("__cap")
+            )
+            sizes = sizes.crossJoin(F.broadcast(cap_frame))
+            cap_col = F.col("__cap")
+            drop_cols = ("__bsz", "__cap")
+        elif isinstance(max_bucket_size, str):
+            raise ValueError(
+                f"max_bucket_size must be an int, None, or 'auto'; "
+                f"got {max_bucket_size!r}"
+            )
+        else:
+            # literal cap: same plan shape as before auto existed — the
+            # registered capped query's plan stays byte-identical
+            cap_col = F.lit(int(max_bucket_size))
+            drop_cols = ("__bsz",)
         banded = banded.join(sizes, ["band", "bucket"])
-        small = banded.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+        small = banded.filter(F.col("__bsz") <= cap_col).drop(*drop_cols)
         # chain the (few) over-cap buckets: one sort window per bucket —
         # O(B log B) in one task per mega-bucket, never O(B²) pairs
         over_w = Window.partitionBy("band", "bucket").orderBy(id_col)
         chain = (
-            banded.filter(F.col("__bsz") > max_bucket_size)
+            banded.filter(F.col("__bsz") > cap_col)
             .withColumn("__nxt", F.lead(id_col).over(over_w))
             .filter(F.col("__nxt").isNotNull())
             .select(
@@ -267,7 +302,7 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, num_hashes: int = 16,
                   bands: int = 4, rows_per_band: int = 4, k: int = 3,
-                  max_bucket_size: int | None = None) -> DataFrame:
+                  max_bucket_size: int | str | None = None) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact Jaccard
     filter ≥ threshold. Returns verified duplicate pairs (id_a < id_b).
 
@@ -343,7 +378,7 @@ def portable_band_buckets_sql(sig_col: str, bands: int = 4, rows_per_band: int =
 
 def portable_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             num_hashes: int = 8, bands: int = 4, rows_per_band: int = 2,
-                            k: int = 3, max_bucket_size: int | None = None) -> DataFrame:
+                            k: int = 3, max_bucket_size: int | str | None = None) -> DataFrame:
     """(id_a, id_b) candidate pairs from portable-MinHash banding — the
     scale-side pair source for any pairwise verifier (Jaccard, containment).
 
@@ -397,7 +432,8 @@ def containment_for_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text
 
 def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                                threshold: float = 0.5, num_hashes: int = 8,
-                               bands: int = 4, rows_per_band: int = 2, k: int = 3) -> DataFrame:
+                               bands: int = 4, rows_per_band: int = 2, k: int = 3,
+                               max_bucket_size: int | str | None = None) -> DataFrame:
     """Near-dup pairs with exact-Jaccard verification — identical pipeline
     shape to `minhash_dedup`, portable hashes. Returns (id_a, id_b,
     jaccard) with id_a < id_b.
@@ -406,7 +442,8 @@ def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: st
     crosses an exchange — the verify join shuffles (id, array<long>)
     only, and the DuckDB oracle replays the SAME digests, so parity is
     exact even on the rare mod-2^31 collision."""
-    cands = portable_lsh_candidates(df, text_col, id_col, num_hashes, bands, rows_per_band, k)
+    cands = portable_lsh_candidates(df, text_col, id_col, num_hashes, bands,
+                                    rows_per_band, k, max_bucket_size)
     return (
         jaccard_pairs(df, cands, text_col, id_col, k, digest="portable")
         .filter(F.col("jaccard") >= threshold)
@@ -414,7 +451,8 @@ def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: st
 
 
 def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket_size: int | str | None = None) -> DataFrame:
     """(doc_id, cluster) near-dup cluster membership with exact-dup
     pre-collapse — the scale-critical ordering for dup-heavy corpora.
 
@@ -467,7 +505,8 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "do
     # boundary to reuse (see q21/bm25/tfidf rewrites in queries.py).
     rep_docs = reps.select(F.col("__rep").alias(id_col), text_col)
     pairs = portable_minhash_near_dups(
-        rep_docs, text_col=text_col, id_col=id_col, threshold=threshold
+        rep_docs, text_col=text_col, id_col=id_col, threshold=threshold,
+        max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b")
     sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
         pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))

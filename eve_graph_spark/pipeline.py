@@ -86,15 +86,25 @@ class CorpusPipeline:
         )
         return self._with(d.join(keep.select(self._id), self._id, "left_semi"))
 
-    def dedup_near(self, threshold: float = 0.8) -> "CorpusPipeline":
+    def dedup_near(self, threshold: float = 0.8,
+                   max_bucket_size: int | str | None = "auto") -> "CorpusPipeline":
         """MinHash-LSH near-dup removal: drop every doc that is the
         higher id of a verified near-dup pair (greedy keep-min; for
         transitive cluster semantics see `dedup_pipeline_documents`,
-        which runs connected components over the pair graph)."""
+        which runs connected components over the pair graph).
+
+        ``max_bucket_size`` defaults to "auto" HERE (r12 verdict item 6):
+        the pipeline facade is what a 100 TB curation job drives, and a
+        degenerate LSH bucket (template spam, boilerplate) must not
+        require the operator to know about the hazard in advance — the
+        histogram-derived cap (see dedup._bucket_pairs) never fires on a
+        healthy corpus and bounds the blowup on a degenerate one. Pass
+        None for the raw uncapped kernel, or an int to pin the cap."""
         from eve_graph_spark.operators.dedup import minhash_dedup
 
         pairs = minhash_dedup(self._df, text_col=self._text, id_col=self._id,
-                              threshold=threshold)
+                              threshold=threshold,
+                              max_bucket_size=max_bucket_size)
         losers = pairs.select(F.col("id_b").alias(self._id)).distinct()
         return self._with(self._df.join(losers, self._id, "left_anti"))
 

@@ -264,7 +264,7 @@ def reliable_ckpt_stress(spark: SparkSession, layers: int, width: int,
     return 1 if errs else 0
 
 
-def lsh_megabucket_stress(spark: SparkSession, n_mega: int, cap: int,
+def lsh_megabucket_stress(spark: SparkSession, n_mega: int, cap: int | str,
                           budget: int) -> int:
     """Planted degenerate-bucket stress for BATCH LSH (r11 verdict item 6).
 
@@ -873,7 +873,10 @@ def main() -> int:
                     help="planted degenerate-bucket LSH stress: N distinct "
                          "near-identical docs in one bucket, uncapped vs "
                          "max_bucket_size (r11 verdict item 6)")
-    ap.add_argument("--lsh-cap", type=int, default=64)
+    ap.add_argument(
+        "--lsh-cap", default=64,
+        type=lambda v: v if v == "auto" else int(v),
+        help="int bucket cap, or 'auto' (histogram-derived, r13)")
     ap.add_argument("--mst-nodes", type=int, default=400_000)
     ap.add_argument("--mst-extra", type=int, default=5)
     ap.add_argument("--louvain-cliques", type=int, default=2600)

@@ -123,3 +123,101 @@ def test_writer_fails_fast_on_non_local_master(spark, tmp_path, monkeypatch):
     _EveScoutWriter(
         schema, {"path": str(tmp_path / "polls"), "sharedfs": "true"}, False
     )
+
+
+# --- max_bucket_size="auto" (r12 verdict item 6) ---------------------------
+
+
+def _planted_corpus(spark, n_mega: int = 120, n_bg: int = 60):
+    """n_mega DISTINCT near-identical docs (shared boilerplate + one unique
+    trailing word — exact-dup collapse can't remove them, LSH buckets
+    them together) over a background of unrelated docs."""
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"boiler{i}" for i in range(40))
+    mega = spark.range(n_mega).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base + " unique"), F.col("id").cast("string")).alias("text"),
+    )
+    bg = spark.range(n_mega, n_mega + n_bg).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[(F.col("id") * (i + 3) % 997).cast("string") for i in range(30)]
+        ).alias("text"),
+    )
+    return mega.unionByName(bg)
+
+
+def test_auto_cap_is_noop_on_healthy_corpus(spark, sf_dir):
+    """auto's cap is max(16, 8x p99.9 of bucket sizes) — far above any
+    natural bucket on the fixture corpus (a handful of docs), so the
+    emitted pairs must be IDENTICAL to the uncapped kernel."""
+    from eve_graph_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = sorted(
+        map(tuple, minhash_dedup(docs, threshold=0.5).collect())
+    )
+    auto = sorted(
+        map(tuple, minhash_dedup(docs, threshold=0.5, max_bucket_size="auto").collect())
+    )
+    assert auto == plain and len(plain) > 0
+
+
+def test_auto_cap_bounds_planted_megabucket(spark):
+    """On a planted boilerplate mega-bucket, auto must (a) collapse the
+    O(B^2) candidate blowup without being told a cap, and (b) preserve the
+    UNCAPPED cluster structure end-to-end: chain links are near-identical,
+    so consecutive pairs pass the Jaccard verify and CC bridges every
+    member the uncapped all-pairs join would have linked. (Whether LSH
+    surfaces a given doc at all is the signature's probabilistic recall —
+    measured identical here: one planted doc misses every shared band
+    under BOTH settings.)"""
+    from eve_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_clusters,
+    )
+
+    # auto is a HISTOGRAM rule: the degenerate bucket must be an outlier
+    # among many buckets (the 100 TB regime) — with a handful of
+    # background buckets the mega bucket IS the p99.9 and auto correctly
+    # declines to chain. 2000 background docs ≈ 8000 size-1 buckets, so
+    # p99.9 is 1 and the planted 120-doc bucket sits far past the cap.
+    n_mega = 120
+    docs = _planted_corpus(spark, n_mega=n_mega, n_bg=2000).localCheckpoint(eager=True)
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    n_uncapped = lsh_candidate_pairs(sigs).count()
+    n_auto = lsh_candidate_pairs(sigs, max_bucket_size="auto").count()
+    # C(120,2)=7140-ish uncapped; auto must cut it by >5x, not just trim
+    assert n_auto * 5 < n_uncapped, (n_auto, n_uncapped)
+    assert n_auto >= n_mega - 1  # chain keeps every planted doc linked
+
+    plain = {
+        (r["doc_id"], r["cluster"])
+        for r in near_dup_clusters(docs, threshold=0.5).collect()
+        if r["doc_id"] < n_mega
+    }
+    auto = {
+        (r["doc_id"], r["cluster"])
+        for r in near_dup_clusters(docs, threshold=0.5, max_bucket_size="auto").collect()
+        if r["doc_id"] < n_mega
+    }
+    assert auto == plain
+    # and the planted group really did cluster (dominant cluster holds
+    # all but the signature-recall stragglers)
+    from collections import Counter
+
+    top = Counter(c for _, c in auto).most_common(1)[0][1]
+    assert top >= n_mega - 2, top
+
+
+def test_bucket_cap_rejects_unknown_string(spark):
+    import pytest
+
+    from eve_graph_spark.operators.dedup import minhash_signatures, lsh_candidate_pairs
+
+    docs = _planted_corpus(spark, n_mega=4, n_bg=4)
+    sigs = minhash_signatures(docs)
+    with pytest.raises(ValueError, match="auto"):
+        lsh_candidate_pairs(sigs, max_bucket_size="automatic").count()
