@@ -22,6 +22,16 @@ BASELINE_FIELDS = ("metric", "unit", "sf", "queries")
 
 def promote(paths: list[str], out: str = "BENCH_BASELINE.json") -> dict:
     runs = [json.loads(Path(p).read_text()) for p in paths]
+    for p, r in zip(paths, runs):
+        # r13: stdout went compact (slowest-K only) — promotion must read
+        # the ARTIFACT files (BENCH_SELF_rN.json / BENCH_DETAIL_LAST.json),
+        # or the next baseline silently shrinks to 20 queries
+        if r.get("n_queries") and len(r.get("queries", {})) < r["n_queries"]:
+            raise SystemExit(
+                f"{p} is a compact stdout capture ({len(r.get('queries', {}))} "
+                f"of {r['n_queries']} queries) — promote from the bench "
+                "artifact file instead"
+            )
     head = runs[0]
     queries: dict[str, float] = dict(head["queries"])
     for r in runs[1:]:
@@ -41,9 +51,14 @@ def promote(paths: list[str], out: str = "BENCH_BASELINE.json") -> dict:
         sdoc = json.loads(side.read_text())
         if sdoc.get("sf") == head.get("sf"):
             fallback = sdoc.get("shuffle_rows", {})
-    shuffle_rows: dict[str, int] = dict(head.get("shuffle_rows", fallback))
+    # r13: bench stdout went compact; promotion inputs are now the full
+    # artifact files, which carry the raw map as "shuffle_rows_raw"
+    def _rows(r: dict) -> dict:
+        return r.get("shuffle_rows") or r.get("shuffle_rows_raw") or {}
+
+    shuffle_rows: dict[str, int] = dict(_rows(head) or fallback)
     for r in runs[1:]:
-        for name, n in r.get("shuffle_rows", {}).items():
+        for name, n in _rows(r).items():
             shuffle_rows[name] = min(shuffle_rows.get(name, n), n)
     base = {k: head[k] for k in BASELINE_FIELDS if k in head}
     base["queries"] = dict(sorted(queries.items()))

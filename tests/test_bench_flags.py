@@ -62,3 +62,35 @@ def test_snap_skips_failed_and_unbaselined():
 
     assert snap_shuffle_pins({"q": -1}, {"q": 0}) == {"q": -1}
     assert snap_shuffle_pins({"new": 42}, {}) == {"new": 42}
+
+
+def test_compact_stdout_line_fits_driver_tail_window():
+    """r12 verdict item 2: the driver keeps only the LAST ~2000 chars of
+    stdout and parses that — three rounds of BENCH_rN "parsed": null came
+    from the full 178-query map overflowing the window. The compact line
+    must fit the 1900-byte budget whole (registry-scale timing map, long
+    names) and still carry the slowest queries."""
+    import json
+
+    from bench import METHODOLOGY, fit_compact_line
+
+    timings = {f"some_fairly_long_query_name_{i:04d}": i / 100.0 for i in range(250)}
+    compact = {
+        "metric": METHODOLOGY, "value": 153.1, "unit": "sec", "sf": 0.1,
+        "cpus": 32, "warmup_sec": 21.2, "n_queries": len(timings),
+        "n_failed": 0, "failed": [], "baseline_total_sec": 153.112,
+        "canary_ratio": 0.988, "n_retried": 2, "n_regressions": 1,
+        "regressions": [
+            {"query": "some_fairly_long_query_name_0249",
+             "baseline_sec": 1.0, "sec": 2.49}
+        ],
+        "n_shuffle_regressions": 0, "artifact": "BENCH_SELF_r13.json",
+        "queries": {},
+    }
+    line = fit_compact_line(compact, timings)
+    assert len(line) <= 1900, len(line)
+    doc = json.loads(line)
+    # slowest-first and non-empty: the informative tail survived the cut
+    assert doc["queries"]
+    assert "some_fairly_long_query_name_0249" in doc["queries"]
+    assert doc["value"] == 153.1 and doc["n_queries"] == 250
