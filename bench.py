@@ -52,7 +52,8 @@ if _REPO not in sys.path:
 METHODOLOGY = (
     "sum of per-query wall seconds over the full query registry "
     "(noop sink; untimed warmup prebuilds JVM + python workers + graph "
-    "projections; best-of-2 above 0.5s)"
+    "projections, and the python worker pool is re-warmed untimed before "
+    "each python-path query; best-of-2 above 0.5s)"
 )
 
 
@@ -249,11 +250,36 @@ def main() -> None:
     # or python-worker-fork spike — those showed up as phantom 2x
     # "regressions" of 0.5-1s queries. Fast queries keep single-run
     # timings (noise there is bounded by the threshold itself).
+    def _warm_python_workers() -> None:
+        """Untimed python-worker pool rebuild. The r13 py_workers traces
+        show the idle pool LOSES ~32 workers at time-random points in
+        EVERY bench run (66 -> 34 -> 2; respawned only by the next
+        python-path query), so whichever python query follows a die-off
+        was charged a 32-worker fork+import — ~0.3-0.5 s quiet, amplified
+        to 2.8-4.9 s under co-tenant CPU saturation. That respawn is
+        session plumbing, not plan cost (same class as the JVM warmup),
+        so it is paid here, outside the timer."""
+        spark.range(cpus).repartition(cpus).mapInPandas(
+            lambda batches: batches, "id long"
+        ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     shuffle_rows: dict[str, int] = {}
     py_workers: dict[str, int] = {"__warmup__": _py_worker_count()}
     for name, fn in sorted(registry.queries().items()):
         if only and not any(s in name for s in only):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            # python-path queries get the pool re-warmed untimed first —
+            # the bench measures the PLAN, not the pool's decay state
+            plan_str = df._jdf.queryExecution().executedPlan().toString()
+            if "Pandas" in plan_str or "Python" in plan_str:
+                _warm_python_workers()
+        except Exception as exc:
+            timings[name] = -1.0
+            shuffle_rows[name] = -1
+            print(f"FAIL {name}: {exc}", file=sys.stderr)
             continue
         before = set(_stable_stage_metrics(spark))
         t0 = time.perf_counter()
@@ -369,6 +395,13 @@ def main() -> None:
                 for r in regressions:
                     name = r["query"]
                     retried.append(name)
+                    try:
+                        rdf = qmap[name](spark, sf_dir)
+                        rplan = rdf._jdf.queryExecution().executedPlan().toString()
+                        if "Pandas" in rplan or "Python" in rplan:
+                            _warm_python_workers()  # untimed, same as main loop
+                    except Exception:
+                        pass
                     t0 = time.perf_counter()
                     try:
                         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
