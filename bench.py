@@ -440,7 +440,18 @@ def main() -> None:
         except (OSError, ValueError):
             _base_rows = {}
         pinned_rows = snap_shuffle_pins(pinned_rows, _base_rows)
-    Path(_REPO, "BENCH_SHUFFLE_ROWS.json").write_text(
+    side_path = Path(_REPO, "BENCH_SHUFFLE_ROWS.json")
+    if only:
+        # partial run (SPARK_GRAFT_ONLY): MERGE into the existing map —
+        # overwriting left the committed side file with a 2-entry map
+        # once (r13), silently losing the other 177 pins
+        try:
+            prev = json.loads(side_path.read_text())
+            if prev.get("sf") == sf:
+                pinned_rows = {**prev.get("shuffle_rows", {}), **pinned_rows}
+        except (OSError, ValueError):
+            pass
+    side_path.write_text(
         json.dumps({"sf": sf, "shuffle_rows": pinned_rows}, indent=1) + "\n"
     )
     out_doc = {

@@ -2355,7 +2355,14 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonempty = per_pair.agg((F.count(F.lit(1)) > 0).alias("any_pairs"))
     return (
         docs.select("doc_id")
-        .join(verdicts, "doc_id", "left")
+        # verdicts is EXPLICITLY broadcast: its rows are the pair
+        # participants — intrinsically sparse output of the
+        # post-threshold LSH verify (a corpus where this is corpus-sized
+        # needs exact-dup pre-collapse first, near_dup_clusters' job) —
+        # and without the hint AQE occasionally shuffled the corpus-sized
+        # doc_id side instead (observed 15,489 vs 20,489 shuffle rows
+        # across otherwise-identical r13 bench runs)
+        .join(F.broadcast(verdicts), "doc_id", "left")
         .crossJoin(F.broadcast(nonempty))
         .select(
             "doc_id",
