@@ -96,43 +96,67 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _fixed_dot_sum_semantics(a: Column, b: Column) -> Column:
+    """Exact fixed-point dot as an array fold, with the SAME null/empty
+    semantics as the posexplode + SUM(floor(a*b*scale+0.5)) aggregate it
+    replaced (r13): SUM skips NULL addends and returns NULL over zero
+    rows, so the fold runs over the non-NULL products only and yields
+    NULL when none survive. Same integer addends, order-independent
+    integer addition — the double result is bit-identical."""
+    prods = F.filter(
+        F.zip_with(a, b, lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * FIXED_POINT_SCALE + F.lit(0.5)
+        ).cast("long")),
+        lambda p: p.isNotNull(),
+    )
+    folded = (
+        F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        / F.lit(float(FIXED_POINT_SCALE))
+    )
+    return F.when(F.size(prods) > 0, folded)
+
+
 def _brute_force_topk_fixed_point(embeddings: DataFrame, q: DataFrame, k: int,
                                   id_col: str, vec_col: str) -> DataFrame:
     """Oracle-grade variant: per-dimension products are fixed-pointed with
     floor(x*1e9+0.5) (an IEEE-identical op in any engine) and summed as
-    exact integers, so cosine is bit-reproducible in SQL."""
-    cand = embeddings.select(
-        F.col(id_col), F.posexplode(vec_col).alias("pos", "cval")
+    exact integers, so cosine is bit-reproducible in SQL.
+
+    r13 shape (guide §2.4 — remove shuffles outright): one broadcast
+    crossJoin of the |Q|-row query batch onto the candidate scan, dot and
+    both norms computed as per-row integer array folds. The previous form
+    posexploded the corpus (×dim Generate), equi-joined the exploded query
+    batch on `pos` and ran TWO aggregate exchanges (dots, corpus norms)
+    plus a norms join — |corpus|·|Q|·dim rows through a shuffle for values
+    a map-side fold produces bit-identically (interleaved A/B at sf0.1:
+    1.145 s → 0.491 s at |Q|=5, 1.269 s → 1.074 s at |Q|=100, rows
+    exactly equal). Candidate norms are hoisted to the scan-side
+    projection so they are computed once per candidate row, not once per
+    (candidate, query) pair; zero exchanges remain below the top-k window.
+
+    Semantics preserved from the explode form: empty/NULL vectors emit no
+    posexplode rows, so such candidates and queries produced no pairs —
+    the size(...) > 0 prefilters reproduce that; NULL elements are skipped
+    like SUM addends (_fixed_dot_sum_semantics / fixed_sqnorm_expr).
+    Assumes uniform vector width (every registered caller filters
+    size == dim upstream); ragged pairs would differ from the old
+    pos-equi-join, which dotted the overlapping positions only.
+    """
+    cand = embeddings.filter(F.size(F.col(vec_col)) > 0).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(fixed_sqnorm_expr(F.col(vec_col))).alias("__cn"),
     )
-    qexp = q.select("query_id", F.posexplode("qvec").alias("pos", "qval"))
-    prods = cand.join(F.broadcast(qexp), "pos").filter(F.col(id_col) != F.col("query_id"))
-    fp = lambda c: F.floor(c * FIXED_POINT_SCALE + F.lit(0.5))  # noqa: E731
-    dots = prods.groupBy("query_id", id_col).agg(
-        (F.sum(fp(F.col("cval").cast("double") * F.col("qval").cast("double")))
-         / F.lit(float(FIXED_POINT_SCALE))).alias("dot")
+    qn = q.filter(F.size(F.col("qvec")) > 0).select(
+        "query_id", "qvec", F.sqrt(fixed_sqnorm_expr(F.col("qvec"))).alias("__qn")
     )
-    norms = (
-        embeddings.select(F.col(id_col).alias("nid"), F.posexplode(vec_col).alias("pos", "v"))
-        .groupBy("nid")
-        .agg((F.sum(fp(F.col("v").cast("double") * F.col("v").cast("double")))
-              / F.lit(float(FIXED_POINT_SCALE))).alias("sqnorm"))
-    )
-    # Query-side norms come from the query BATCH, not a rename of the
-    # corpus-wide norms table: broadcasting `norms` keyed on query_id
-    # builds a hash table of EVERY candidate's norm (a corpus-sized
-    # broadcast at scale) and plans the norm aggregation twice. qnorms is
-    # |Q| rows by construction — an always-safe broadcast — and the
-    # corpus norms subtree is planned exactly once, as the keyed join's
-    # build-free probe side. The array fold gives the identical value to
-    # the posexplode+SUM form (same integer addends, order-independent)
-    # without a Generate node; interpreted-HOF cost is |Q|·dim — noise.
-    qnorms = q.select("query_id", fixed_sqnorm_expr(F.col("qvec")).alias("qn"))
     scored = (
-        dots.join(F.broadcast(qnorms), "query_id")
-        .join(norms.withColumnRenamed("sqnorm", "cn"), F.col(id_col) == F.col("nid"))
+        cand.crossJoin(F.broadcast(qn))
+        .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id", id_col,
-            (F.col("dot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("cosine"),
+            (_fixed_dot_sum_semantics(F.col("qvec"), F.col("__cvec"))
+             / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))

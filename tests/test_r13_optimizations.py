@@ -66,3 +66,59 @@ def test_let_bound_shingles_single_split_in_lambda(spark):
     # inside the binder body the only split() is gone — slice works on __ws
     assert "slice(__ws" in body[1]
     assert "slice(split" not in body[1]
+
+
+def _naive_fixed_point_topk(embeddings, q, k, id_col, vec_col):
+    """Pre-r13 posexplode + SUM reference for the exact fixed-point
+    brute-force kernel."""
+    from pyspark.sql import Window
+
+    from eve_graph_spark.operators.similarity import (
+        FIXED_POINT_SCALE,
+        fixed_sqnorm_expr,
+    )
+
+    cand = embeddings.select(F.col(id_col), F.posexplode(vec_col).alias("pos", "cval"))
+    qexp = q.select("query_id", F.posexplode("qvec").alias("pos", "qval"))
+    prods = cand.join(F.broadcast(qexp), "pos").filter(F.col(id_col) != F.col("query_id"))
+    fp = lambda c: F.floor(c * FIXED_POINT_SCALE + F.lit(0.5))  # noqa: E731
+    dots = prods.groupBy("query_id", id_col).agg(
+        (F.sum(fp(F.col("cval").cast("double") * F.col("qval").cast("double")))
+         / F.lit(float(FIXED_POINT_SCALE))).alias("dot")
+    )
+    norms = (
+        embeddings.select(F.col(id_col).alias("nid"), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("nid")
+        .agg((F.sum(fp(F.col("v").cast("double") * F.col("v").cast("double")))
+              / F.lit(float(FIXED_POINT_SCALE))).alias("sqnorm"))
+    )
+    qnorms = q.select("query_id", fixed_sqnorm_expr(F.col("qvec")).alias("qn"))
+    scored = (
+        dots.join(F.broadcast(qnorms), "query_id")
+        .join(norms.withColumnRenamed("sqnorm", "cn"), F.col(id_col) == F.col("nid"))
+        .select("query_id", id_col,
+                (F.col("dot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def test_fold_brute_force_matches_explode_reference(spark):
+    """r13: the crossJoin+fold exact brute-force must reproduce the old
+    posexplode+SUM plan bit-for-bit on uniform-width vectors, including
+    NULL elements (SUM skips them) and negative values."""
+    from eve_graph_spark.operators.similarity import _brute_force_topk_fixed_point
+
+    rows = []
+    for i in range(40):
+        vec = [((i * 7 + j * 13) % 21 - 10) / 3.0 for j in range(8)]
+        if i % 11 == 3:
+            vec[2] = None  # NULL element: SUM semantics, not fold-poisoning
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id").isin([0, 5, 17])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = _brute_force_topk_fixed_point(emb, q, 6, "vec_id", "embedding")
+    ref = _naive_fixed_point_topk(emb, q, 6, "vec_id", "embedding")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
