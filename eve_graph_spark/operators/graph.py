@@ -384,6 +384,79 @@ def sssp(
     return dist
 
 
+def sssp_route(
+    edges: DataFrame,
+    source_id: int,
+    target_id: int,
+    weight_col: str = "weight",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = DRIVER_SSSP_MAX_EDGES,
+) -> tuple[DataFrame, list[int]]:
+    """(full dist table, source→target node path) — the shared tail of the
+    route queries (A1/A2): SSSP dist, dist-table-derived preds
+    (pred(v) := MIN(src) over edges with dist(src) + w == dist(v) EXACTLY —
+    the SQL-replayable tie-break, see safest_route_path), pred-chain walk.
+
+    r13 (guide §2.4 — remove whole jobs, not just exchanges): below
+    `driver_threshold` edges the ≤threshold branch used to run the preds
+    derivation as a distributed 3-frame join + groupBy and
+    reconstruct_path as a separate collect — 5+ scheduler round-trips over
+    <100-row frames, each paying fixed job latency (decomposed at sf0.1:
+    preds 0.89 s + dist⋈preds collect 1.16 s on a 25-node graph). One edge
+    collect now feeds the relaxation, the preds rule AND the walk.
+    Bit-identical by construction: Python float add/compare on the
+    collected doubles are the same IEEE-754 ops the distributed filter
+    runs, and MIN over longs is engine-independent. Above the threshold
+    the distributed derivation below is exactly the old query plan.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+    source_id, target_id = int(source_id), int(target_id)
+    if fits_driver(e, driver_threshold):
+        rows = e.collect()
+        adj: dict[int, list[tuple[int, float]]] = {}
+        for r in rows:
+            adj.setdefault(r["src"], []).append((r["dst"], r["weight"]))
+        best = _relax_local(adj, [source_id], None)
+        pred: dict[int, int] = {}
+        for r in rows:
+            u, v, w = r["src"], r["dst"], r["weight"]
+            if v == source_id or u not in best or v not in best:
+                continue
+            if best[u][0] + w == best[v][0] and (v not in pred or u < pred[v]):
+                pred[v] = u
+        path: list[int] = []
+        if target_id in best:
+            path = [target_id]
+            while path[-1] in pred and len(path) <= 10_000:
+                path.append(pred[path[-1]])
+            path.reverse()
+        dist_df = spark.createDataFrame(
+            [(n, d) for n, (d, _p) in best.items()], "node long, dist double"
+        )
+        return dist_df, path
+
+    dist = sssp(
+        e, [source_id], weight_col="weight", driver_threshold=driver_threshold
+    ).select("node", "dist")
+    u = dist.select(F.col("node").alias("u_node"), F.col("dist").alias("u_dist"))
+    preds = (
+        dist.join(e, e.dst == dist.node)
+        .join(u, u.u_node == e.src)
+        .filter((F.col("u_dist") + F.col("weight")) == F.col("dist"))
+        .filter(F.col("node") != source_id)
+        .groupBy("node")
+        .agg(F.min("src").alias("pred"))
+    )
+    path = reconstruct_path(dist.join(preds, "node", "left"), target_id)
+    return dist, path
+
+
 _MSSSP_SCHEMA = T.StructType(
     [
         T.StructField("source", T.LongType(), False),

@@ -569,27 +569,17 @@ def safest_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registered query never collects a vertex-sized dist map; cum_risk
     # comes from joining the path-sized order frame back onto dist.
     # The oracle recomputes everything via unrolled Bellman-Ford.
-    from eve_graph_spark.operators.graph import reconstruct_path
+    # r13: dist + preds + walk via sssp_route — one edge collect on the
+    # ≤threshold branch instead of a distributed 3-frame preds join plus a
+    # separate reconstruct collect (values bit-identical; see sssp_route).
+    from eve_graph_spark.operators.graph import sssp_route
 
     jumps = build_jumps(spark, sf_dir)
     systems = build_systems(spark, sf_dir)
-    dist = sssp(
-        jumps, [0], weight_col="risk", src_col="src_system_id", dst_col="dst_system_id"
-    ).select("node", "dist")
-    e = jumps.select(
-        F.col("src_system_id").alias("src"), F.col("dst_system_id").alias("dst"), "risk"
+    dist, path = sssp_route(
+        jumps, 0, 13, weight_col="risk",
+        src_col="src_system_id", dst_col="dst_system_id",
     )
-    m = dist.select(F.col("node"), F.col("dist"))
-    u = dist.select(F.col("node").alias("u_node"), F.col("dist").alias("u_dist"))
-    preds = (
-        m.join(e, e.dst == m.node)
-        .join(u, u.u_node == e.src)
-        .filter((F.col("u_dist") + F.col("risk")) == F.col("dist"))
-        .filter(F.col("node") != 0)
-        .groupBy("node")
-        .agg(F.min("src").alias("pred"))
-    )
-    path = reconstruct_path(dist.join(preds, "node", "left"), 13)
     order = spark.createDataFrame(
         list(enumerate(path)), "pos long, system_id long"
     )
@@ -7245,7 +7235,11 @@ def route_avoiding_risky(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie-break IS the oracle's MIN(src) (cf. safest_route_path's float
     # argument). GraphEngine.shortest_route(avoid=[...]) ships the same
     # semantics as an API flag.
-    from eve_graph_spark.operators.graph import reconstruct_path
+    # r13: dist + preds + walk via sssp_route (same rewrite as
+    # safest_route_path — unit weights cast to double 1.0, so
+    # dist(src) + 1.0 == dist(v) is the identical IEEE compare the old
+    # (u_dist + 1) filter ran).
+    from eve_graph_spark.operators.graph import sssp_route
 
     jumps = build_jumps(spark, sf_dir)
     systems = build_systems(spark, sf_dir)
@@ -7258,19 +7252,9 @@ def route_avoiding_risky(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = jumps.filter(
         ~F.col("src_system_id").isin(avoid) & ~F.col("dst_system_id").isin(avoid)
     ).select(F.col("src_system_id").alias("src"), F.col("dst_system_id").alias("dst"))
-    dist = sssp(
-        e.withColumn("cost", F.lit(1).cast("long")), [0], weight_col="cost"
-    ).select("node", "dist")
-    u = dist.select(F.col("node").alias("u_node"), F.col("dist").alias("u_dist"))
-    preds = (
-        dist.join(e, e.dst == dist.node)
-        .join(u, u.u_node == e.src)
-        .filter((F.col("u_dist") + 1) == F.col("dist"))
-        .filter(F.col("node") != 0)
-        .groupBy("node")
-        .agg(F.min("src").alias("pred"))
+    dist, path = sssp_route(
+        e.withColumn("cost", F.lit(1).cast("long")), 0, 13, weight_col="cost"
     )
-    path = reconstruct_path(dist.join(preds, "node", "left"), 13)
     order = spark.createDataFrame(list(enumerate(path)), "pos long, system_id long")
     return (
         dist.withColumnRenamed("node", "system_id")

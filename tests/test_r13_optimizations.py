@@ -122,3 +122,28 @@ def test_fold_brute_force_matches_explode_reference(spark):
     got = _brute_force_topk_fixed_point(emb, q, 6, "vec_id", "embedding")
     ref = _naive_fixed_point_topk(emb, q, 6, "vec_id", "embedding")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_sssp_route_driver_and_distributed_branches_agree(spark):
+    """r13: sssp_route's driver-local branch (one edge collect feeds the
+    relaxation, preds rule and walk) must match the distributed branch
+    (the old query plan: dist -> 3-frame preds join -> reconstruct walk)
+    exactly — dist rows AND path — including a float-tie graph."""
+    from eve_graph_spark.operators.graph import sssp_route
+
+    # diamond with two equal-cost 0->3 paths (tie broken by MIN pred),
+    # plus a tail and an unreachable island
+    edges = [
+        (0, 1, 0.5), (0, 2, 0.25), (1, 3, 0.25), (2, 3, 0.5),
+        (3, 4, 1.0), (7, 8, 1.0),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    d_local, p_local = sssp_route(e, 0, 4)
+    d_dist, p_dist = sssp_route(e, 0, 4, driver_threshold=0)
+    assert p_local == p_dist and p_local[0] == 0 and p_local[-1] == 4
+    assert sorted(map(tuple, d_local.collect())) == sorted(
+        map(tuple, d_dist.select("node", "dist").collect())
+    )
+    # unreachable target -> empty path, both branches
+    assert sssp_route(e, 0, 8)[1] == []
+    assert sssp_route(e, 0, 8, driver_threshold=0)[1] == []
