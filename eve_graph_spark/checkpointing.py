@@ -161,6 +161,25 @@ def truncate_lineage(
     downstream keyed joins plan against it instead of silently
     re-shuffling the big side every action.
     """
+    # r13: a LEAF plan (LocalRelation / parallelized-RDD scan, i.e. a
+    # createDataFrame the driver already holds) has no lineage to cut and
+    # no inherited stats to cap — checkpointing it only spends a job
+    # materializing data that is already materialized. Several kernels
+    # hand such frames here when their driver-local branch fired (e.g.
+    # connected_components under near_dup_clusters). keyed_by callers are
+    # exempt: they want the repartition contract applied regardless.
+    if keyed_by is None:
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            # LogicalRDD / LocalRelation only — a bare file scan is also a
+            # leaf, but checkpointing one legitimately pins a snapshot of
+            # mutable storage, so it keeps the old behavior
+            if plan.children().isEmpty() and plan.nodeName() in (
+                "LogicalRDD", "LocalRelation"
+            ):
+                return df
+        except Exception:  # pragma: no cover — plan not inspectable
+            pass
     ck = (
         df.checkpoint(eager=True)
         if reliable_checkpoint_dir(df.sparkSession)

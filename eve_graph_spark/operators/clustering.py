@@ -76,7 +76,8 @@ def _clean(embeddings: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFr
 
 def kmeans_fit(embeddings: DataFrame, k: int = 4, iterations: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               dim: int = 64, check_unique_ids: bool = True) -> dict[int, list[int]]:
+               dim: int = 64, check_unique_ids: bool = True,
+               driver_local_threshold: int = 200_000) -> dict[int, list[int]]:
     """The trained model: fixed-point centroids after `iterations` Lloyd
     rounds from a deterministic init (the k smallest ids' vectors; cluster
     index = id rank) — i.e. the centroids the FINAL assignment of
@@ -90,8 +91,25 @@ def kmeans_fit(embeddings: DataFrame, k: int = 4, iterations: int = 2,
     divergence), so by default we spend one id-keyed agg at fit time to
     fail loudly instead (`check_unique_ids=False` opts out when the caller
     has already deduped; fit is a multi-pass job anyway, so the extra
-    groupBy is in budget even at corpus scale)."""
+    groupBy is in budget even at corpus scale).
+
+    Corpora under `driver_local_threshold` rows fit on the driver
+    (r13, the same threshold device as similarity._ivf_topk_local): one
+    collect of the fixed-point matrix feeds the uniqueness check, the
+    deterministic init AND every Lloyd round — replacing one driver job
+    per step (dup-check agg, init TakeOrdered, one posexplode+groupBy
+    collect per update). Bit-identical: distances/encodes are int64
+    arithmetic (numpy wraps like the JVM long), and the centroid update
+    runs the same double op sequence (2.0·sum + n) / (2.0·n) with
+    round-to-nearest long→double conversion on both sides. Parity is
+    pinned by test; pass driver_local_threshold=0 to force the
+    distributed loop (the oracle CTEs replay either)."""
     emb = _clean(embeddings, id_col, vec_col, dim)
+    if driver_local_threshold:
+        from eve_graph_spark.operators.graph import fits_driver
+
+        if fits_driver(emb, driver_local_threshold):
+            return _kmeans_fit_local(emb, k, iterations, check_unique_ids)
     if check_unique_ids:
         dup = (
             emb.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -129,6 +147,53 @@ def kmeans_fit(embeddings: DataFrame, k: int = 4, iterations: int = 2,
         for r in cent_rows:
             new_cents.setdefault(r["cluster"], [0] * dim)[r["idx"]] = r["cv"]
         centroids = new_cents  # empty clusters drop out; argmin skips them
+    return centroids
+
+
+def _kmeans_fit_local(emb: DataFrame, k: int, iterations: int,
+                      check_unique_ids: bool) -> dict[int, list[int]]:
+    """Driver-side Lloyd fit over the collected fixed-point matrix — the
+    ≤driver_local_threshold branch of kmeans_fit. Same values as the
+    distributed loop (see its docstring); `emb` is the _clean() frame."""
+    import numpy as np
+
+    rows = emb.collect()
+    ids = [r["id"] for r in rows]
+    if check_unique_ids and len(set(ids)) != len(ids):
+        seen: set[int] = set()
+        dup = next(i for i in ids if i in seen or seen.add(i))
+        raise ValueError(
+            f"kmeans_fit requires unique id values; id {dup} appears more "
+            "than once (dedup the input or pass check_unique_ids=False "
+            "after deduping upstream)"
+        )
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    M = np.array([rows[i]["fv"] for i in order], dtype=np.int64)
+    centroids: dict[int, list[int]] = {
+        c: [int(v) for v in M[c]] for c in range(min(k, len(order)))
+    }
+    for _ in range(iterations - 1):
+        if not centroids:
+            break
+        cids = sorted(centroids)
+        C = np.array([centroids[c] for c in cids], dtype=np.int64)
+        # exact int64 argmin with lowest-index tie-break, via the same
+        # (dist·k + c) encode _assign_expr bakes into the scan expression
+        diff = M[:, None, :] - C[None, :, :]
+        scores = (diff * diff).sum(axis=2) * np.int64(k) + np.array(
+            cids, dtype=np.int64
+        )
+        assign = np.array(cids, dtype=np.int64)[np.argmin(scores, axis=1)]
+        new_cents: dict[int, list[int]] = {}
+        for c in cids:
+            members = M[assign == c]
+            if not len(members):
+                continue  # empty clusters drop out, like the groupBy
+            s = members.sum(axis=0, dtype=np.int64)
+            n = np.float64(len(members))
+            cv = np.floor((2.0 * s.astype(np.float64) + n) / (2.0 * n))
+            new_cents[c] = [int(v) for v in cv]
+        centroids = new_cents
     return centroids
 
 

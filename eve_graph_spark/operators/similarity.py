@@ -561,18 +561,23 @@ def ivf_pq_index(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # the per-subspace distance array is LET-BOUND via a 1-element
+    # transform (r13, same device as dedup._shingles_sql): array_position
+    # needs the array AND its min, and spelling the transform twice made
+    # the interpreted l2 folds run twice per subspace — 2× the whole
+    # encode cost for identical values
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-        lambda mi: (
-            F.array_position(
-                F.transform(F.element_at(F.col("cb"), (mi + 1).cast("int")),
-                            lambda e: l2(sub(mi), e)),
-                F.array_min(
+        lambda mi: F.element_at(
+            F.transform(
+                F.array(
                     F.transform(F.element_at(F.col("cb"), (mi + 1).cast("int")),
                                 lambda e: l2(sub(mi), e))
                 ),
-            ) - 1
-        ).cast("int"),
+                lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast("int"),
+            ),
+            1,
+        ),
     )
     index = (
         embeddings.select(id_col, vec_col)

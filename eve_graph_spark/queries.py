@@ -6773,18 +6773,36 @@ def risk_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk = systems.crossJoin(F.broadcast(totals)).select(
         "system_id", risk_expr(F.col("kills"), F.col("jumps"), F.col("baseline")).alias("risk")
     )
-    rn = risk.select(
-        "system_id",
-        F.row_number().over(Window.orderBy(F.desc("risk"), F.asc("system_id"))).alias("rn"),
-    )
-    ks = spark.range(0, 9).select(F.col("id").alias("k"))
-    excl = ks.join(rn, rn.rn <= F.col("k")).select("k", F.col("system_id").alias("node"))
-    seeds = (
-        ks.join(systems.select("system_id"))
-        .join(excl.withColumnRenamed("node", "system_id"), ["k", "system_id"], "left_anti")
-        .groupBy("k")
-        .agg(F.min("system_id").alias("node"))
-    )
+    # r13 (guide §5 — the driver does O(k) work, never O(V)): the scenario
+    # sets are top-k objects by construction — excl(k) ⊆ the 8 riskiest
+    # systems, and seed(k) = the smallest id not excluded, which with ≤ 8
+    # exclusions always lies within the 9 smallest ids. Two bounded
+    # top-k collects (orderBy().limit() = TakeOrdered — driver traffic is
+    # 8 + 9 rows at ANY corpus scale) replace the old all-distributed
+    # derivation (global row_number window + 3 joins + groupBy over
+    # vertex-sized frames: 10+ AQE exchange jobs per run, measured as the
+    # registry's worst job count, 27). Values are identical: the same
+    # (risk DESC, id ASC) order ranks the top-8, and MIN(id ∉ excl) is
+    # integer arithmetic.
+    top8 = [
+        r["system_id"]
+        for r in risk.orderBy(F.desc("risk"), F.asc("system_id")).limit(8).collect()
+    ]
+    low9 = [
+        r["system_id"]
+        for r in systems.select("system_id").orderBy("system_id").limit(9).collect()
+    ]
+    excl_rows = [(k, int(n)) for k in range(9) for n in top8[:k]]
+    # a k that excludes every system has no seed — the old groupBy simply
+    # emitted no row for it (and the oracle's rr_seed MIN over zero rows
+    # does the same); skip it rather than min() over an empty set
+    seed_rows = [
+        (k, int(min(rest)))
+        for k in range(9)
+        if (rest := [n for n in low9 if n not in set(top8[:k])])
+    ]
+    excl = spark.createDataFrame(excl_rows, "k long, node long")
+    seeds = spark.createDataFrame(seed_rows, "k long, node long")
     return set_exclusion_reach(choke, seeds, excl, src_col="src", dst_col="dst").select(
         F.col("k").alias("removed"), "reachable"
     )

@@ -147,3 +147,33 @@ def test_sssp_route_driver_and_distributed_branches_agree(spark):
     # unreachable target -> empty path, both branches
     assert sssp_route(e, 0, 8)[1] == []
     assert sssp_route(e, 0, 8, driver_threshold=0)[1] == []
+
+
+def test_kmeans_fit_local_matches_distributed(spark):
+    """r13: the driver-local Lloyd fit must return the identical centroid
+    dict as the distributed posexplode+groupBy loop — including empty-
+    cluster dropout and the int64-encode argmin tie-break."""
+    from eve_graph_spark.operators.clustering import kmeans_fit
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 29 - 14) / 7.0 for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for it in (1, 2, 3):
+        local = kmeans_fit(df, k=5, iterations=it, dim=8)
+        dist = kmeans_fit(df, k=5, iterations=it, dim=8, driver_local_threshold=0)
+        assert local == dist, f"iterations={it}: {local} != {dist}"
+
+
+def test_truncate_lineage_leaf_passthrough(spark):
+    """r13: truncating a driver-local frame is a no-op (no checkpoint job);
+    a derived frame still gets a real lineage cut."""
+    from eve_graph_spark.checkpointing import truncate_lineage
+
+    local = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    assert truncate_lineage(local) is local
+    derived = local.groupBy("a").count()
+    cut = truncate_lineage(derived)
+    assert cut is not derived
+    assert cut.collect() == derived.collect()
