@@ -490,33 +490,64 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
     NULL text coalesces to '' for the digest, mirroring _shingles_sql: all
     null/empty docs form one exact group and stay in the universe.
+
+    r13 (guide §2.2/§2.6): the MinHash signature AND the verify digest set
+    are computed MAP-SIDE, before the exact-dup exchange, from ONE shared
+    shingle/md5 pass, then carried through the groupBy as min_by
+    aggregates. Identical text ⇒ identical signature/digests, so the
+    group's min-id member contributes exactly the values the old
+    compute-over-representatives form produced (pinned bit-identical by
+    test). Two structural wins over signing rep texts post-exchange:
+    text never crosses the wire (the shuffle carries 8 sig longs + the
+    8-byte digest set, never strings), and the expensive shingle pass
+    keeps the SCAN's parallelism — AQE sizes the coalesced groupBy
+    output by shuffle bytes, not downstream compute, and on the bench
+    corpus collapsed it to ONE partition, serializing the whole
+    signature stage (measured 1.6 s single-core vs 0.3 s at scan
+    parallelism for identical values).
     """
     from eve_graph_spark.operators.graph_analytics import connected_components
 
+    num_hashes, bands, rows_per_band, k = 8, 4, 2, 3
     digest = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
-    withd = docs.select(F.col(id_col), F.col(text_col), digest.alias("__dg"))
-    # min_by keeps the representative's text inside the same agg — no
-    # second scan and no doc_id-keyed full-text semi-join; map-side partial
-    # aggregation collapses identical texts before the wire, so the shuffle
-    # carries one (digest, text) per DISTINCT text per partition — on the
-    # dup-heavy corpora this path exists for, a fraction of the input.
-    reps = withd.groupBy("__dg").agg(
-        F.min(id_col).alias("__rep"),
-        F.min_by(text_col, F.col(id_col)).alias(text_col),
+    # sig + verify set from one let-bound hash array (one md5 pass per doc
+    # instead of the old pipeline's separate signature and verify-set
+    # passes over the representative text)
+    hs = portable_shingle_hash_sql(_shingles_sql(text_col, k))
+    sig_sh = F.expr(
+        f"transform(array({hs}), __hs -> struct("
+        f"aggregate(__hs, array_repeat(CAST({PORTABLE_P} AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(a, j) -> least(a, ((2 * j + 1) * h + 97 * j + 13) % {PORTABLE_P}))) AS sig, "
+        f"array_distinct(__hs) AS sh))[0]"
     )
-    # Deliberately NOT persisted, although the LSH pipeline consumes
-    # rep_docs four times (banding a/b + verify a/b): all four subtrees
-    # end in the IDENTICAL reps groupBy exchange, and Spark's
-    # ReuseExchange rule computes that exchange once and re-reads it —
-    # A/B on the 500k-doc stress corpus measured persist() at 2x the
-    # shuffle WRITE (11.5 vs 6.0 GB, the cache materialization defeats
-    # exchange reuse) for no wall win (266 vs 258 s). Planned-twice
-    # subtrees are a real cost only when SCAN-rooted with no exchange
-    # boundary to reuse (see q21/bm25/tfidf rewrites in queries.py).
-    rep_docs = reps.select(F.col("__rep").alias(id_col), text_col)
-    pairs = portable_minhash_near_dups(
-        rep_docs, text_col=text_col, id_col=id_col, threshold=threshold,
-        max_bucket_size=max_bucket_size,
+    pre = docs.select(F.col(id_col), digest.alias("__dg"), sig_sh.alias("__ss")).select(
+        id_col, "__dg", F.col("__ss.sig").alias("__sig"), F.col("__ss.sh").alias("__sh")
+    )
+    # All three pair-stage consumers (banding + verify a/b) end in this
+    # SAME groupBy exchange — ReuseExchange computes it once (the reason
+    # reps is not persisted; see the 500k-doc A/B note in git history).
+    reps = pre.groupBy("__dg").agg(
+        F.min(id_col).alias("__rep"),
+        F.min_by("__sig", F.col(id_col)).alias("__sig"),
+        F.min_by("__sh", F.col(id_col)).alias("__sh"),
+    )
+    banded = reps.select(
+        F.col("__rep").alias(id_col),
+        F.posexplode(
+            F.expr(portable_band_buckets_sql("__sig", bands, rows_per_band))
+        ).alias("band", "bucket"),
+    ).distinct()
+    cands = _bucket_pairs(banded, id_col, max_bucket_size)
+    sh = reps.select(F.col("__rep").alias(id_col), F.col("__sh").alias("sh"))
+    verify = (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    pairs = verify.filter(
+        (inter.cast("double") / union.cast("double")) >= threshold
     ).select("id_a", "id_b")
     sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
         pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
@@ -540,7 +571,11 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "do
     rep_cluster = reps.join(cc, reps["__rep"] == cc["node"], "left").select(
         "__dg", F.coalesce("component", "__rep").alias("cluster")
     )
-    return withd.select(id_col, "__dg").join(rep_cluster, "__dg").select(id_col, "cluster")
+    # member map re-derives the digest from a fresh narrow scan (one md5
+    # per doc — cheap next to the shingle pass, and projection pruning
+    # keeps __ss out of this subtree)
+    members = docs.select(F.col(id_col), digest.alias("__dg"))
+    return members.join(rep_cluster, "__dg").select(id_col, "cluster")
 
 
 def portable_simhash_sql(text_col: str, bits: int = 31, k: int = 2) -> str:

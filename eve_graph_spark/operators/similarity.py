@@ -472,6 +472,7 @@ def ivf_pq_index(
     train_sample: int = 200_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encode_driver_local: bool | None = None,
 ) -> tuple[DataFrame, dict]:
     """IVF-PQ index build (r6 verdict item 8, the standard FAISS split):
     a coarse k-means quantizer assigns each vector to a cell, and a
@@ -540,6 +541,49 @@ def ivf_pq_index(
         "m": m_subspaces,
         "d": d,
     }
+
+    # r13 (guide §1.2/§5): when the training collect already covered the
+    # WHOLE corpus (len(rows) < train_sample ⇒ the orderBy/limit returned
+    # everything), encoding it distributed just replays the collected data
+    # through ~1 s of interpreted higher-order-function folds plus a
+    # checkpoint job — encode driver-side instead. Bit-parity with the
+    # distributed expressions (pinned by test): every float reduction uses
+    # np.cumsum[..., -1], which adds left-to-right exactly like the
+    # aggregate() fold (np.sum's pairwise blocking would not), argmax/
+    # argmin take the first extremum exactly like
+    # array_position(arr, array_max/min(arr)), and the centroid rows are
+    # consumed in the same sorted-by-cell order as the broadcast literal.
+    # Above train_sample the distributed encode below is unchanged — at
+    # scale the corpus is only ever touched by that narrow map.
+    # NaN guard: SQL ordering ranks NaN largest, numpy comparisons drop it —
+    # any NaN in the corpus keeps the distributed encode authoritative.
+    # `encode_driver_local` overrides the auto condition for parity tests.
+    auto_local = (
+        len(rows) < train_sample
+        and not any(r[vec_col] is None for r in rows)
+        and not np.isnan(V).any()
+    )
+    if encode_driver_local if encode_driver_local is not None else auto_local:
+        ucents_np = _unit_rows_np(np.array(model["cents"]))  # ascending cell order
+        cell_arr = np.array(model["cell_ids"], dtype=np.int64)
+        prod = V[:, None, :] * ucents_np[None, :, :]
+        scores_np = np.cumsum(prod, axis=2)[:, :, -1]
+        cells_np = cell_arr[np.argmax(scores_np, axis=1)]
+        codes_cols = []
+        for mi in range(m_subspaces):
+            cb_np = np.array(model["codebooks"][mi])
+            diff = V[:, None, mi * d:(mi + 1) * d] - cb_np[None, :, :]
+            d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+            codes_cols.append(np.argmin(d2, axis=1))
+        codes_np = np.stack(codes_cols, axis=1)
+        index = spark.createDataFrame(
+            [
+                (int(r[id_col]), int(cells_np[i]), [int(c) for c in codes_np[i]])
+                for i, r in enumerate(rows)
+            ],
+            f"{id_col} long, cell bigint, codes array<int>",
+        )
+        return index, model
 
     # encode the corpus: cell (argmax dot vs unit centroids) + codes
     # (argmin L2 per subspace) — pure JVM array expressions against one

@@ -177,3 +177,83 @@ def test_truncate_lineage_leaf_passthrough(spark):
     cut = truncate_lineage(derived)
     assert cut is not derived
     assert cut.collect() == derived.collect()
+
+
+def test_mapside_sig_digests_match_separate_expressions(spark):
+    """r13 near_dup_clusters rewrite: the fused map-side struct (one
+    shingle/md5 pass -> MinHash sig + verify digest set) must be
+    bit-identical to the separate portable_minhash_sql /
+    portable_shingle_digests_sql expressions the old pipeline evaluated
+    over representative texts — including null/empty/short-text docs."""
+    from eve_graph_spark.operators.dedup import (
+        PORTABLE_P,
+        _shingles_sql,
+        portable_minhash_sql,
+        portable_shingle_digests_sql,
+        portable_shingle_hash_sql,
+    )
+
+    num_hashes, k = 8, 3
+    hs = portable_shingle_hash_sql(_shingles_sql("text", k))
+    fused = (
+        f"transform(array({hs}), __hs -> struct("
+        f"aggregate(__hs, array_repeat(CAST({PORTABLE_P} AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(a, j) -> least(a, ((2 * j + 1) * h + 97 * j + 13) % {PORTABLE_P}))) AS sig, "
+        f"array_distinct(__hs) AS sh))[0]"
+    )
+    df = spark.createDataFrame(ADVERSARIAL_TEXTS, "doc_id long, text string")
+    mism = (
+        df.select(
+            F.expr(fused).alias("f"),
+            F.expr(portable_minhash_sql("text", num_hashes, k)).alias("sig"),
+            F.expr(portable_shingle_digests_sql("text", k)).alias("sh"),
+        )
+        .filter(
+            "f.sig IS DISTINCT FROM sig OR f.sh IS DISTINCT FROM sh"
+        )
+        .count()
+    )
+    assert mism == 0
+
+
+def test_near_dup_clusters_shuffles_no_text(spark):
+    """r13: the pair-stage exchange must carry signatures/digests, never
+    the text column — the formatted plan's exchange inputs stay free of
+    a raw `text` reference below the groupBy."""
+    from eve_graph_spark.operators.dedup import near_dup_clusters
+
+    df = spark.createDataFrame(ADVERSARIAL_TEXTS, "doc_id long, text string")
+    plan = near_dup_clusters(df)._jdf.queryExecution().optimizedPlan().toString()
+    # the old pipeline carried the representative TEXT through the exact-dup
+    # aggregate (min_by(text, doc_id)) and signed it post-exchange; the
+    # rewrite must never aggregate raw text — only the md5 digest key and
+    # the pre-computed sig/digest arrays survive past the scan
+    assert "min_by(text" not in plan, plan
+    assert "md5(" in plan  # the digest grouping key is still there
+
+
+def test_ivf_pq_driver_local_encode_matches_distributed(spark):
+    """r13: when the train collect covers the whole corpus, ivf_pq_index
+    encodes driver-side — (cell, codes) must be bit-identical to the
+    distributed expression encode (same model, same tie-breaks, cumsum
+    reductions replicating the fold's left-to-right float adds)."""
+    from eve_graph_spark.operators.similarity import ivf_pq_index
+
+    rows = [
+        (i, [((i * 31 + j * 17) % 101 - 50) / 13.0 for j in range(16)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx_local, m_local = ivf_pq_index(
+        emb, m_subspaces=4, encode_driver_local=True
+    )
+    idx_dist, m_dist = ivf_pq_index(
+        emb, m_subspaces=4, encode_driver_local=False
+    )
+    assert m_local == m_dist
+    a = sorted(map(tuple, ((r["vec_id"], r["cell"], tuple(r["codes"]))
+                           for r in idx_local.collect())))
+    b = sorted(map(tuple, ((r["vec_id"], r["cell"], tuple(r["codes"]))
+                           for r in idx_dist.collect())))
+    assert a == b
