@@ -462,9 +462,18 @@ def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: st
 
 def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.5,
-                      max_bucket_size: int | str | None = None) -> DataFrame:
+                      max_bucket_size: int | str | None = None,
+                      carry: dict[str, Column] | None = None) -> DataFrame:
     """(doc_id, cluster) near-dup cluster membership with exact-dup
     pre-collapse — the scale-critical ordering for dup-heavy corpora.
+
+    `carry` (r13, guide §2.4): optional {name: Column} expressions over the
+    doc row, evaluated inside the member-map scan and appended to the
+    output — a consumer needing per-doc derived columns (e.g. a quality
+    score) alongside the cluster id gets them from the SAME scan instead
+    of re-scanning the corpus and joining on the id. Values are identical
+    to computing the expression separately by construction; omitting it
+    leaves the plan unchanged.
 
     Running LSH directly on a corpus where exact duplicates are common
     emits C(m,2) candidate pairs per m-member identical group (identical
@@ -573,9 +582,13 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "do
     )
     # member map re-derives the digest from a fresh narrow scan (one md5
     # per doc — cheap next to the shingle pass, and projection pruning
-    # keeps __ss out of this subtree)
-    members = docs.select(F.col(id_col), digest.alias("__dg"))
-    return members.join(rep_cluster, "__dg").select(id_col, "cluster")
+    # keeps __ss out of this subtree); carry columns ride the same scan
+    carry = carry or {}
+    members = docs.select(
+        F.col(id_col), digest.alias("__dg"),
+        *[c.alias(n) for n, c in carry.items()],
+    )
+    return members.join(rep_cluster, "__dg").select(id_col, "cluster", *carry.keys())
 
 
 def portable_simhash_sql(text_col: str, bits: int = 31, k: int = 2) -> str:

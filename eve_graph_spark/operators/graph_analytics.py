@@ -2416,7 +2416,8 @@ def community_metrics(edges: DataFrame, labels: DataFrame,
                       src_col: str = "src_system_id",
                       dst_col: str = "dst_system_id",
                       node_col: str = "node", label_col: str = "community",
-                      scale: int = 1_000_000) -> DataFrame:
+                      scale: int = 1_000_000,
+                      driver_threshold: int = DRIVER_MAX_EDGES) -> DataFrame:
     """GDS `gds.conductance` + `gds.modularity` parity: per-community cut
     quality for a given node→community assignment (e.g. label_propagation
     output), on the directed edge set.
@@ -2432,36 +2433,106 @@ def community_metrics(edges: DataFrame, labels: DataFrame,
     negative modularity contribution rounds toward −∞ in both engines.
 
     Scale shape: labels are vertex-sized — two label-keyed joins onto the
-    edge set (src then dst), then ONE community-keyed count shuffle; no
-    node-pair blowup anywhere.
+    edge set (src then dst), then ONE community-keyed count shuffle (r13:
+    the per-src and per-dst aggregations were two exchanges over the same
+    tagged join; each tagged edge now emits its 1–2 community
+    contributions map-side and a single groupBy sums them); no node-pair
+    blowup anywhere. Below `driver_threshold` edges the whole kernel runs
+    driver-local from one edge + one label collect — the same integer
+    counters and the identical single double division per metric, so the
+    branches agree bit-for-bit (pinned by test). Assumes `labels` is an
+    assignment (one row per node), like every producer in this package.
     """
     e = _edge_frame(edges, src_col, dst_col)
     lab = labels.select(
         F.col(node_col).cast("long").alias("node"),
         F.col(label_col).cast("long").alias("community"),
     )
+    spark = edges.sparkSession
+
+    if _fits_driver(e, driver_threshold):
+        import math
+        from collections import defaultdict
+
+        comm: dict[int, int] = {}
+        nodes_ct: dict[int, int] = defaultdict(int)
+        for r in lab.collect():
+            comm[r["node"]] = r["community"]
+            nodes_ct[r["community"]] += 1
+        internal: dict[int, int] = defaultdict(int)
+        outgoing: dict[int, int] = defaultdict(int)
+        incoming: dict[int, int] = defaultdict(int)
+        m = 0
+        for r in e.collect():
+            m += 1  # m = |E| total, like the distributed e.count()
+            cs, cd = comm.get(r["src"]), comm.get(r["dst"])
+            if cs is None or cd is None:
+                continue  # inner-join semantics: unlabeled endpoint drops the edge
+            if cs == cd:
+                internal[cs] += 1
+            else:
+                outgoing[cs] += 1
+                incoming[cd] += 1
+        out_rows = []
+        for c in sorted(nodes_ct):
+            i, o, inc = internal[c], outgoing[c], incoming[c]
+            vol_out, vol_in = i + o, i + inc
+            denom = min(vol_out, m - vol_out)
+            # ints stay < 2^53 at this threshold (scale·m ≤ 1e6·2e6), so
+            # Python's int/int true division IS the double division the
+            # distributed expressions perform
+            cond = math.floor(scale * o / denom) if denom > 0 else 0
+            mod = 0 if m == 0 else math.floor(
+                float(scale * (i * m - vol_out * vol_in)) / (float(m) * float(m))
+            )
+            out_rows.append((c, nodes_ct[c], i, o, inc, cond, mod))
+        return spark.createDataFrame(
+            out_rows,
+            "community long, nodes long, internal long, outgoing long, "
+            "incoming long, conductance_fp long, modularity_fp long",
+        )
+
     m = e.count()
     tagged = (
         e.join(lab.withColumnRenamed("node", "src").withColumnRenamed("community", "cs"), "src")
         .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("community", "cd"), "dst")
     )
-    per_src = tagged.groupBy(F.col("cs").alias("community")).agg(
-        F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0)).alias("internal"),
-        F.sum(F.when(F.col("cs") != F.col("cd"), 1).otherwise(0)).alias("outgoing"),
+    # one-exchange two-sided aggregate: an internal edge contributes
+    # (cs, 1, 0, 0); a cut edge contributes (cs, 0, 1, 0) AND (cd, 0, 0, 1)
+    contrib = tagged.select(
+        F.explode(
+            F.when(
+                F.col("cs") == F.col("cd"),
+                F.array(
+                    F.struct(
+                        F.col("cs").alias("community"),
+                        F.lit(1).alias("i"), F.lit(0).alias("o"), F.lit(0).alias("n"),
+                    )
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.col("cs").alias("community"),
+                        F.lit(0).alias("i"), F.lit(1).alias("o"), F.lit(0).alias("n"),
+                    ),
+                    F.struct(
+                        F.col("cd").alias("community"),
+                        F.lit(0).alias("i"), F.lit(0).alias("o"), F.lit(1).alias("n"),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).groupBy(F.col("c.community").alias("community")).agg(
+        F.sum("c.i").alias("internal"),
+        F.sum("c.o").alias("outgoing"),
+        F.sum("c.n").alias("incoming"),
     )
-    per_dst = tagged.filter(F.col("cs") != F.col("cd")).groupBy(
-        F.col("cd").alias("community")
-    ).agg(F.count(F.lit(1)).alias("incoming"))
     nodes = lab.groupBy("community").agg(F.count(F.lit(1)).alias("nodes"))
-    joined = (
-        nodes.join(per_src, "community", "left")
-        .join(per_dst, "community", "left")
-        .select(
-            "community", "nodes",
-            F.coalesce(F.col("internal"), F.lit(0)).alias("internal"),
-            F.coalesce(F.col("outgoing"), F.lit(0)).alias("outgoing"),
-            F.coalesce(F.col("incoming"), F.lit(0)).alias("incoming"),
-        )
+    joined = nodes.join(contrib, "community", "left").select(
+        "community", "nodes",
+        F.coalesce(F.col("internal"), F.lit(0)).alias("internal"),
+        F.coalesce(F.col("outgoing"), F.lit(0)).alias("outgoing"),
+        F.coalesce(F.col("incoming"), F.lit(0)).alias("incoming"),
     )
     vol_out = F.col("internal") + F.col("outgoing")
     vol_in = F.col("internal") + F.col("incoming")

@@ -5267,12 +5267,14 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     # Exact-dup pre-collapse before LSH (near_dup_clusters): same clusters,
-    # none of the C(m,2) pair blowup on identical-doc groups.
-    member = (
-        docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
-        .join(near_dup_clusters(docs, threshold=0.5), "doc_id")
-        .select("doc_id", "cluster", "quality")
-    )
+    # none of the C(m,2) pair blowup on identical-doc groups. The quality
+    # score rides near_dup_clusters' member-map scan (carry=, r13): one
+    # corpus scan instead of a second full scan + doc_id-keyed join, with
+    # the identical expression producing identical values.
+    member = near_dup_clusters(
+        docs, threshold=0.5,
+        carry={"quality": quality_score_expr(F.col("text"))},
+    ).select("doc_id", "cluster", "quality")
     w = Window.partitionBy("cluster")
     best = member.select(
         "cluster",

@@ -257,3 +257,67 @@ def test_ivf_pq_driver_local_encode_matches_distributed(spark):
     b = sorted(map(tuple, ((r["vec_id"], r["cell"], tuple(r["codes"]))
                            for r in idx_dist.collect())))
     assert a == b
+
+
+def test_community_metrics_driver_and_distributed_branches_agree(spark):
+    """r13: community_metrics gains a driver-local branch below the edge
+    threshold and a one-exchange two-sided aggregate in the distributed
+    branch — both must produce the identical rows (same integer counters,
+    same single double division per metric). Fixture covers internal-only
+    communities, cut edges both directions, an unlabeled endpoint
+    (inner-join semantics drop the edge from the counters but it still
+    counts toward m), and a community with no edges at all."""
+    from eve_graph_spark.operators.graph_analytics import community_metrics
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1), (1, 3),         # community 10: internal triangle-ish
+            (3, 4),                          # 10 -> 20 cut
+            (4, 5), (5, 4),                  # community 20 internal
+            (4, 1),                          # 20 -> 10 cut
+            (5, 99),                         # dst unlabeled: drops, still in m
+            (99, 1),                         # src unlabeled: drops, still in m
+        ],
+        "src_system_id long, dst_system_id long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (7, 30)],
+        "node long, community long",
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    local = sorted(
+        map(key, community_metrics(edges, labels, driver_threshold=10**6).collect())
+    )
+    dist = sorted(
+        map(key, community_metrics(edges, labels, driver_threshold=0).collect())
+    )
+    assert local == dist
+    assert len(local) == 3  # community 30 present with zero counters
+    by_comm = {r[0]: r for r in local}
+    assert by_comm[30][1:] == (1, 0, 0, 0, 0, 0)[:1] + by_comm[30][2:]  # nodes=1
+    assert by_comm[30][2:6] == (0, 0, 0, 0)
+
+
+def test_near_dup_clusters_carry_matches_separate_join(spark):
+    """r13: carry= evaluates extra per-doc expressions inside the member-map
+    scan; the result must equal computing the expression separately and
+    joining on the id (the pre-r13 dedup_survivors_quality shape)."""
+    from eve_graph_spark.operators.dedup import near_dup_clusters
+
+    df = spark.createDataFrame(ADVERSARIAL_TEXTS, "doc_id long, text string")
+    expr = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    carried = sorted(
+        map(tuple, near_dup_clusters(df, carry={"x": expr}).collect())
+    )
+    joined = sorted(
+        map(
+            tuple,
+            df.select("doc_id", expr.alias("x"))
+            .join(near_dup_clusters(df), "doc_id")
+            .select("doc_id", "cluster", "x")
+            .collect(),
+        )
+    )
+    assert carried == joined
+    # and carry=None keeps the original two-column contract
+    assert near_dup_clusters(df).columns == ["doc_id", "cluster"]
