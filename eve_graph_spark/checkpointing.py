@@ -161,22 +161,24 @@ def truncate_lineage(
     downstream keyed joins plan against it instead of silently
     re-shuffling the big side every action.
     """
-    # r13: a LEAF plan (LocalRelation / parallelized-RDD scan, i.e. a
-    # createDataFrame the driver already holds) has no lineage to cut and
-    # no inherited stats to cap — checkpointing it only spends a job
-    # materializing data that is already materialized. Several kernels
-    # hand such frames here when their driver-local branch fired (e.g.
-    # connected_components under near_dup_clusters). keyed_by callers are
-    # exempt: they want the repartition contract applied regardless.
+    # r13: a LocalRelation leaf (literal rows already sitting in the JVM
+    # plan) has no lineage to cut and no inherited stats to cap —
+    # checkpointing it only spends a job materializing data that is
+    # already materialized. LogicalRDD leaves are NOT exempt (r13 fix):
+    # a PySpark createDataFrame is a *python-RDD-backed* LogicalRDD, and
+    # EVERY scan of one re-pays a Python-worker deserialization pass —
+    # the eager checkpoint converts it to JVM blocks once, which is
+    # exactly why multi-scan consumers (the betweenness pair joins: four
+    # scans) call this. Skipping it regressed both betweenness queries
+    # ~2.5x (measured; see OPTIMIZATION_r13.md). A bare file scan is
+    # also a leaf, but checkpointing one legitimately pins a snapshot of
+    # mutable storage, so it too keeps the old behavior. keyed_by
+    # callers are exempt regardless: they want the repartition contract
+    # applied.
     if keyed_by is None:
         try:
             plan = df._jdf.queryExecution().analyzed()
-            # LogicalRDD / LocalRelation only — a bare file scan is also a
-            # leaf, but checkpointing one legitimately pins a snapshot of
-            # mutable storage, so it keeps the old behavior
-            if plan.children().isEmpty() and plan.nodeName() in (
-                "LogicalRDD", "LocalRelation"
-            ):
+            if plan.children().isEmpty() and plan.nodeName() == "LocalRelation":
                 return df
         except Exception:  # pragma: no cover — plan not inspectable
             pass

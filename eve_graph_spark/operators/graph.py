@@ -229,6 +229,27 @@ def _relax_local(
     return best
 
 
+def double_sweep_local(
+    adj: dict[int, list[tuple[int, float]]], start: int
+) -> tuple[int, float, float]:
+    """Driver-side double-sweep kernel (r13, guide §5.3/§1.2): BOTH
+    diameter sweeps from ONE collected adjacency — the composition that
+    previously ran sweep 1 as a Spark job, collected the peak, and ran
+    sweep 2 as another job pays 2 edge collects + 2 scalar jobs for a
+    graph already on the driver. Returns (peak_node, peak_dist, lb) with
+    the exact values of the job-composed form: `_relax_local` is the same
+    relaxation kernel `_sssp_local` wraps, the peak rule is the
+    `orderBy(desc(dist), asc(node)).limit(1)` tie-break (max dist, ties
+    to min node — float negation is exact, so the sort keys agree), and
+    lb is the plain MAX over sweep-2 distances (no NaN: weights are
+    non-negative finite)."""
+    b1 = _relax_local(adj, [int(start)])
+    peak_node, (peak_dist, _) = min(b1.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    b2 = _relax_local(adj, [int(peak_node)])
+    lb = max(d for d, _ in b2.values())
+    return int(peak_node), float(peak_dist), float(lb)
+
+
 def _sssp_local(e: DataFrame, source_ids: list[int],
                 target_id: int | None = None) -> DataFrame:
     """Small-graph fast path: collect edges, run the shared relaxation

@@ -2045,6 +2045,7 @@ def diameter_estimate(
     weight_col: str | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Double-sweep diameter lower bound (Magnien et al.), hop-distance by
     default, WEIGHTED when `weight_col` is given — GDS parity with weighted
@@ -2060,12 +2061,34 @@ def diameter_estimate(
     fixpoints over float weights — deterministic per path (left-to-right
     accumulation), so an unrolled Bellman-Ford oracle replays them
     bit-for-bit (same property safest_route_path relies on).
-    """
-    from eve_graph_spark.operators.graph import sssp
 
+    r13 (guide §5.3/§1.2): below `driver_threshold` edges BOTH sweeps run
+    from ONE edge collect (`double_sweep_local`) — the prior composition
+    collected the edge set twice (once per `sssp` call) and ran two more
+    driver jobs for the peak/max scalars. Same relaxation kernel, same
+    tie-break, bit-identical outputs (pinned by branch-parity test); pass
+    0 to force the job-composed path.
+    """
+    from eve_graph_spark.operators.graph import (
+        DRIVER_SSSP_MAX_EDGES, _collect_adj, double_sweep_local, fits_driver, sssp,
+    )
+
+    if driver_threshold is None:
+        driver_threshold = DRIVER_SSSP_MAX_EDGES
     spark = edges.sparkSession
     e = edges if weight_col else edges.withColumn("__hop", F.lit(1.0))
     w = weight_col or "__hop"
+    en = e.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(w).cast("double").alias("weight"),
+    )
+    if fits_driver(en, driver_threshold):
+        peak_node, peak_dist, lb = double_sweep_local(_collect_adj(en), int(start))
+        return spark.createDataFrame(
+            [(int(start), peak_node, peak_dist, lb)],
+            "sweep_start long, sweep_peak long, ecc_start double, diameter_lb double",
+        )
     d1 = sssp(e, [int(start)], weight_col=w, src_col=src_col, dst_col=dst_col)
     peak = d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
     d2 = sssp(e, [int(peak["node"])], weight_col=w, src_col=src_col, dst_col=dst_col)

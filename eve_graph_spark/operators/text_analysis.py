@@ -147,18 +147,24 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     Returns (id, n_words, n_distinct_words, top_word_n, top_bigram_n,
     dup_word_frac, top_word_frac, top_bigram_frac).
 
-    Shape: the naive per-row higher-order-function form
-    (transform(distinct, w -> size(filter(words, = w)))) is O(len²) per
-    document — quadratic blowup on 100k-word docs. Instead this is two
-    word-count aggregations (explode → count per (doc, gram) → roll up per
-    doc): linear work, two hash-partial-agg shuffles keyed on (doc, gram),
-    all JVM codegen. At 100 TB the shuffle carries one row per *distinct*
-    gram per doc (map-side partial agg collapses repeats — exactly the
-    rows a repetition filter is about).
+    Shape (r13, guide §2.4 — remove shuffles outright): every statistic is
+    a function of ONE document's own gram multiset, so nothing needs to
+    leave the row. Grams are sorted in-row (`array_sort`) and counted as
+    runs of equal adjacent elements — n = size, n_distinct =
+    size(array_distinct), top = longest run (`_top_run_expr`, an O(len)
+    fold) — one corpus scan, ZERO exchanges, no Generate nodes. The
+    previous form exploded the corpus twice and ran four
+    (doc, gram)-keyed aggregate exchanges plus a doc-keyed join for
+    per-doc answers; identical counts by construction (run length in a
+    sorted array == per-value multiplicity == the exploded COUNT/MAX),
+    pinned by a parity test against the explode form. Still O(len·log len)
+    per doc, never the O(len²) of the naive
+    transform(distinct, w -> size(filter(...))) shape.
 
     Fractions are single IEEE double divisions (portable bit-for-bit to
     the DuckDB oracle). Docs with < 2 words have no bigrams:
-    top_bigram_frac = 0.0 by convention.
+    top_bigram_frac = 0.0 by convention. Docs with NULL text produce no
+    row (the explode form dropped them; the filter keeps that contract).
     """
     text = F.col(text_col)
     ws = F.split(F.lower(text), " ")
@@ -172,32 +178,48 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    def gram_stats(gram_col: Column, n: str, nd: str, top: str):
-        g = df.select(F.col(id_col), F.explode(gram_col).alias("gram"))
-        per = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
-        return per.groupBy(id_col).agg(
-            F.sum("cnt").alias(n),
-            F.count(F.lit(1)).alias(nd),
-            F.max("cnt").alias(top),
-        )
-
-    w = gram_stats(ws, "n_words", "n_distinct_words", "top_word_n")
-    b = gram_stats(bigrams, "n_bigrams", "n_distinct_bigrams", "top_bigram_n")
-    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-    return (
-        w.join(b, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            "n_distinct_words",
-            "top_word_n",
-            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
-            ((dbl("n_words") - dbl("n_distinct_words")) / dbl("n_words")).alias(
-                "dup_word_frac"
-            ),
-            (dbl("top_word_n") / dbl("n_words")).alias("top_word_frac"),
-            F.coalesce(
-                dbl("top_bigram_n") / dbl("n_bigrams"), F.lit(0.0)
-            ).alias("top_bigram_frac"),
-        )
+    n_words = F.size(ws).cast("long")
+    n_bigrams = F.size(bigrams).cast("long")
+    nd_words = F.size(F.array_distinct(ws)).cast("long")
+    top_w = _top_run_expr(F.array_sort(ws))
+    top_b = _top_run_expr(F.array_sort(bigrams))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return df.filter(ws.isNotNull()).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        nd_words.alias("n_distinct_words"),
+        top_w.alias("top_word_n"),
+        top_b.alias("top_bigram_n"),
+        ((dbl(n_words) - dbl(nd_words)) / dbl(n_words)).alias("dup_word_frac"),
+        (dbl(top_w) / dbl(n_words)).alias("top_word_frac"),
+        F.when(n_bigrams > 0, dbl(top_b) / dbl(n_bigrams))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
     )
+
+
+def _top_run_expr(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED string array —
+    i.e. the max multiplicity of any value, exactly MAX(cnt) of the
+    exploded per-(row, gram) COUNT aggregate it replaces (r13). Empty
+    array → 0 (matching the explode form's absent-row → COALESCE(·, 0)).
+    Assumes non-null elements (split/concat_ws never emit them); a NULL
+    element would start a fresh run per occurrence instead of grouping."""
+    one = F.lit(1).cast("long")
+    st = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("maxrun"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + one).otherwise(one).alias("run"),
+            F.greatest(
+                acc["maxrun"],
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + one).otherwise(one),
+            ).alias("maxrun"),
+        ),
+    )
+    return st["maxrun"]

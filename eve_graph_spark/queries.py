@@ -5627,57 +5627,53 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine parity, top-3 via rank-filter (WindowGroupLimit: per-partition
     # top-k, no global sort).
     #
-    # The dot is the posexplode → broadcast equi-join on pos → SUM shape
-    # (pure whole-stage codegen), not an array zip_with fold: lambda HOFs
-    # evaluate interpreted row-at-a-time and measured ~40% slower on this
-    # exact pair volume. Floor-per-product integer sums are order-
-    # independent, so both forms produce the identical fixed-point value.
+    # r13 (guide §3.1/§2.3, same rewrite as
+    # similarity._brute_force_topk_fixed_point): one broadcast crossJoin
+    # of the query batch onto the corpus scan, dot and both norms as
+    # map-side integer array folds — the previous posexplode → equi-join
+    # on pos → SUM shape shuffled |corpus|·|Q|·dim product rows through
+    # an aggregate exchange for values the fold produces bit-identically
+    # (same integer addends, order-free addition; SUM null/empty
+    # semantics reproduced by _fixed_dot_sum_semantics). Zero exchanges
+    # remain below the top-k window. An earlier round measured the HOF
+    # fold slower, but that predates the r13 let-binding fixes; the
+    # interleaved A/B now favors the fold (OPTIMIZATION_r13.md).
     FP = 1_000_000_000
-    fp = lambda c: F.floor(c * FP + F.lit(0.5)).cast("long")  # noqa: E731
-
     emb = load_table(spark, sf_dir, "embeddings")
     # NULL / wrong-width guard, symmetric with the oracle's WHERE: a NULL
     # embedding would silently vanish from the Spark side (posexplode of
     # NULL emits no rows) while the oracle kept it as a NULL-cosine
     # candidate — engine divergence the moment the fixture grows NULLs.
+    from eve_graph_spark.operators.similarity import (
+        _fixed_dot_sum_semantics, fixed_sqnorm_expr,
+    )
+
     v = emb.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     ).select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
-    cand = v.select("vec_id", "label", F.posexplode("vec").alias("pos", "val"))
-    qexp = v.filter(F.col("vec_id") % 20 == 0).select(
+    # candidate norms hoisted into the scan projection: once per corpus
+    # row, not once per (candidate, query) pair. spread(): the folds run
+    # at scan parallelism — a single-row-group parquet read is ONE task,
+    # which would serialize |corpus|·|Q|·dim interpreted fold steps (at
+    # scale the scan has real splits and spread is a no-op).
+    cand = spread(v).select(
+        "vec_id", "label", "vec",
+        fixed_sqnorm_expr(F.col("vec"), FP).alias("v_sq"),
+    )
+    qb = v.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
-        F.posexplode("vec").alias("pos", "qval"),
-    )
-    dots = (
-        cand.join(F.broadcast(qexp), "pos")
-        .filter(F.col("label") != F.col("q_label"))
-        .groupBy("query_id", "vec_id")
-        .agg((F.sum(fp(F.col("val") * F.col("qval"))) / F.lit(float(FP))).alias("dot"))
-    )
-    norms = (
-        v.select("vec_id", F.posexplode("vec").alias("pos", "x"))
-        .groupBy("vec_id")
-        .agg((F.sum(fp(F.col("x") * F.col("x"))) / F.lit(float(FP))).alias("sq"))
-    )
-    # Query-side norms from the query BATCH, not a renamed copy of the
-    # corpus-wide norms table: that form broadcast every candidate's norm
-    # (corpus-sized at scale) and planned the norm aggregation twice (same
-    # fix as similarity._brute_force_topk_fixed_point). The array fold is
-    # bit-identical to the exploded SUM — same integer addends.
-    from eve_graph_spark.operators.similarity import fixed_sqnorm_expr
-
-    qnorms = v.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
         fixed_sqnorm_expr(F.col("vec"), FP).alias("q_sq"),
     )
     scored = (
-        dots.join(F.broadcast(qnorms), "query_id")
-        .join(norms.withColumnRenamed("sq", "v_sq"), "vec_id")
+        cand.crossJoin(F.broadcast(qb))
+        .filter(F.col("label") != F.col("q_label"))
         .select(
             "query_id",
             "vec_id",
-            (F.col("dot") / (F.sqrt("q_sq") * F.sqrt("v_sq"))).alias("cosine"),
+            (_fixed_dot_sum_semantics(F.col("qvec"), F.col("vec"))
+             / (F.sqrt("q_sq") * F.sqrt("v_sq"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
@@ -6703,20 +6699,34 @@ def graph_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of |V| sweeps. The composition scalars (peak node, two maxima) are
     # O(1) driver values; the sweeps themselves are the engine's sssp.
     # Runs on the chokepoint subgraph: the full fixture's hub ring keeps
-    # its diameter at a signal-free 3.
-    from eve_graph_spark.operators.graph import sssp
+    # its diameter at a signal-free 3. r13 (guide §5.3): both sweeps from
+    # ONE edge collect below the driver threshold (double_sweep_local —
+    # the sssp composition collected the same edge set twice and ran two
+    # extra scalar jobs); the distributed composition is unchanged above.
+    from eve_graph_spark.operators.graph import (
+        DRIVER_SSSP_MAX_EDGES, _collect_adj, double_sweep_local, fits_driver, sssp,
+    )
     from eve_graph_spark.sources.graph_fixture import build_choke_edges
 
     choke = build_choke_edges(spark, sf_dir).withColumn("cost", F.lit(1).cast("long"))
-    d1 = sssp(choke, [0], weight_col="cost", src_col="src", dst_col="dst")
-    peak = (
-        d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
+    en = choke.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("cost").cast("double").alias("weight"),
     )
-    d2 = sssp(choke, [int(peak["node"])], weight_col="cost",
-              src_col="src", dst_col="dst")
-    lb = d2.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    if fits_driver(en, DRIVER_SSSP_MAX_EDGES):
+        peak_node, peak_dist, lb = double_sweep_local(_collect_adj(en), 0)
+    else:
+        d1 = sssp(choke, [0], weight_col="cost", src_col="src", dst_col="dst")
+        peak = (
+            d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
+        )
+        d2 = sssp(choke, [int(peak["node"])], weight_col="cost",
+                  src_col="src", dst_col="dst")
+        peak_node, peak_dist = int(peak["node"]), float(peak["dist"])
+        lb = d2.agg(F.max("dist").alias("m")).collect()[0]["m"]
     return spark.createDataFrame(
-        [(0, int(peak["node"]), int(peak["dist"]), int(lb))],
+        [(0, int(peak_node), int(peak_dist), int(lb))],
         "sweep_start long, sweep_peak long, ecc_start long, diameter_lb long",
     )
 

@@ -167,13 +167,25 @@ def test_kmeans_fit_local_matches_distributed(spark):
 
 
 def test_truncate_lineage_leaf_passthrough(spark):
-    """r13: truncating a driver-local frame is a no-op (no checkpoint job);
-    a derived frame still gets a real lineage cut."""
+    """r13 (amended): only a JVM-side LocalRelation leaf passes through
+    untouched. A PySpark createDataFrame is a python-RDD-backed
+    LogicalRDD — every scan of one re-pays Python deserialization, so it
+    MUST still be checkpointed into JVM blocks (the betweenness pair
+    joins scan theirs four times; the broader passthrough regressed both
+    ~2.5x). A derived frame still gets a real lineage cut."""
     from eve_graph_spark.checkpointing import truncate_lineage
 
-    local = spark.createDataFrame([(1, 2.0)], "a long, b double")
-    assert truncate_lineage(local) is local
-    derived = local.groupBy("a").count()
+    rdd_backed = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    assert rdd_backed._jdf.queryExecution().analyzed().nodeName() == "LogicalRDD"
+    cut_rdd = truncate_lineage(rdd_backed)
+    assert cut_rdd is not rdd_backed
+    assert cut_rdd.collect() == rdd_backed.collect()
+
+    local = spark.sql("SELECT * FROM VALUES (1, 2.0) AS t(a, b)")
+    if local._jdf.queryExecution().analyzed().nodeName() == "LocalRelation":
+        assert truncate_lineage(local) is local
+
+    derived = rdd_backed.groupBy("a").count()
     cut = truncate_lineage(derived)
     assert cut is not derived
     assert cut.collect() == derived.collect()
@@ -321,3 +333,145 @@ def test_near_dup_clusters_carry_matches_separate_join(spark):
     assert carried == joined
     # and carry=None keeps the original two-column contract
     assert near_dup_clusters(df).columns == ["doc_id", "cluster"]
+
+
+def test_diameter_estimate_driver_and_distributed_branches_agree(spark):
+    """r13: diameter_estimate gains a fused driver-local branch (both
+    sweeps from one edge collect). driver_threshold=0 replays the prior
+    job-composed path; the rows must be identical — weighted ties
+    included (two equal-dist peaks must resolve to the min node in both
+    branches)."""
+    from eve_graph_spark.operators.graph_analytics import diameter_estimate
+
+    # diamond with a tail: ties at dist (nodes 1,2 both at 1.0 from 0),
+    # peak on the tail; plus an unreachable island edge (7 -> 8)
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),
+            (3, 4, 0.25), (4, 5, 0.25), (7, 8, 9.0),
+        ],
+        "src long, dst long, w double",
+    )
+    for wc in ("w", None):
+        local = diameter_estimate(
+            edges, start=0, weight_col=wc, driver_threshold=10**6
+        ).collect()
+        dist = diameter_estimate(
+            edges, start=0, weight_col=wc, driver_threshold=0
+        ).collect()
+        assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+
+
+def test_fixed_dot_fold_matches_exploded_sum(spark):
+    """r13 (hard_negatives_topk): the crossJoin + fold cosine must equal
+    the posexplode -> equi-join on pos -> SUM(floor(a*b*1e9+0.5)) form on
+    adversarial vectors (NULL elements, all-NULL). Same integer addends,
+    so the doubles are bit-identical."""
+    from eve_graph_spark.operators.similarity import (
+        _fixed_dot_sum_semantics, fixed_sqnorm_expr,
+    )
+
+    FP = 1_000_000_000
+    rows = [
+        (1, 0, [0.5, -0.25, 0.125, 1.0]),
+        (2, 0, [1.0, 1.0, 1.0, 1.0]),
+        (3, 1, [0.5, -0.5, 0.5, -0.5]),
+        (4, 1, [0.3, None, -0.7, 0.9]),       # NULL element: SUM skips it
+        (5, 2, [None, None, None, None]),     # all-NULL: dot/norm NULL
+        (6, 2, [1e-9, -1e-9, 0.123456789, -0.987654321]),
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, label long, vec array<double>")
+    fp = lambda c: F.floor(c * FP + F.lit(0.5)).cast("long")  # noqa: E731
+
+    cand = v.select("vec_id", "label", F.posexplode_outer("vec").alias("pos", "val"))
+    qexp = v.select(
+        F.col("vec_id").alias("query_id"), F.posexplode_outer("vec").alias("pos", "qval")
+    )
+    dots_ref = (
+        cand.join(qexp, "pos")
+        .groupBy("query_id", "vec_id")
+        .agg((F.sum(fp(F.col("val") * F.col("qval"))) / F.lit(float(FP))).alias("dot"))
+    )
+    norms_ref = (
+        v.select("vec_id", F.posexplode_outer("vec").alias("pos", "x"))
+        .groupBy("vec_id")
+        .agg((F.sum(fp(F.col("x") * F.col("x"))) / F.lit(float(FP))).alias("sq"))
+    )
+    ref = (
+        dots_ref.join(
+            norms_ref.withColumnRenamed("sq", "q_sq")
+            .withColumnRenamed("vec_id", "query_id"), "query_id")
+        .join(norms_ref.withColumnRenamed("sq", "v_sq"), "vec_id")
+        .select(
+            "query_id", "vec_id",
+            (F.col("dot") / (F.sqrt("q_sq") * F.sqrt("v_sq"))).alias("cosine"),
+        )
+    )
+    q = v.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        fixed_sqnorm_expr(F.col("vec"), FP).alias("q_sq"),
+    )
+    opt = (
+        v.select("vec_id", "vec", fixed_sqnorm_expr(F.col("vec"), FP).alias("v_sq"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "vec_id",
+            (_fixed_dot_sum_semantics(F.col("qvec"), F.col("vec"))
+             / (F.sqrt("q_sq") * F.sqrt("v_sq"))).alias("cosine"),
+        )
+    )
+    key = lambda r: (r["query_id"], r["vec_id"])  # noqa: E731
+    a = {key(r): r["cosine"] for r in ref.collect()}
+    b = {key(r): r["cosine"] for r in opt.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        x, y = a[k], b[k]
+        assert (x is None) == (y is None), k
+        if x is not None:
+            import math
+            assert (x == y) or (math.isnan(x) and math.isnan(y)), (k, x, y)
+
+
+def test_repetition_stats_matches_explode_reference(spark):
+    """r13: the zero-shuffle sorted-run repetition_stats must row-for-row
+    equal the explode -> (doc, gram) count -> per-doc rollup form it
+    replaced, including the NULL-text drop, 1-word docs (no bigrams ->
+    top_bigram_frac 0.0), duplicate-heavy and unicode docs."""
+    from eve_graph_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(ADVERSARIAL_TEXTS, "doc_id long, text string")
+
+    text = F.col("text")
+    ws = F.split(F.lower(text), " ")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def gram_stats(gram_col, n, nd, top):
+        g = df.select(F.col("doc_id"), F.explode(gram_col).alias("gram"))
+        per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+        return per.groupBy("doc_id").agg(
+            F.sum("cnt").alias(n), F.count(F.lit(1)).alias(nd), F.max("cnt").alias(top)
+        )
+
+    w = gram_stats(ws, "n_words", "n_distinct_words", "top_word_n")
+    b = gram_stats(bigrams, "n_bigrams", "n_distinct_bigrams", "top_bigram_n")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    ref = (
+        w.join(b, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_distinct_words", "top_word_n",
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            ((dbl("n_words") - dbl("n_distinct_words")) / dbl("n_words")).alias("dup_word_frac"),
+            (dbl("top_word_n") / dbl("n_words")).alias("top_word_frac"),
+            F.coalesce(dbl("top_bigram_n") / dbl("n_bigrams"), F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+    a = sorted(map(tuple, ref.collect()))
+    bres = sorted(map(tuple, repetition_stats(df).collect()))
+    assert a == bres
+    assert repetition_stats(df).columns == ref.columns
