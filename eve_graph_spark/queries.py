@@ -4059,17 +4059,23 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-format (one row per column) via explode of a struct array.
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    aggs = []
+    plain, nd = [], []
     for c in cols:
-        aggs += [
+        plain += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
             _dsum(c, f"{c}__sum"),
         ]
-    one = li.agg(*aggs)
+        nd.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+    # r13 (guide §2.3): mixing count_distincts with plain aggregates in
+    # ONE aggregate makes Spark Expand every input row x (n_distinct_cols
+    # + 1) so the plain aggregates re-scan every expanded copy. Two
+    # single-purpose passes (plain aggs with no Expand; distincts alone)
+    # cross-joined as 1-row frames measured 2.78 s -> ~1.5 s at sf0.1 for
+    # identical values (each aggregate sees the same rows either way).
+    one = li.agg(*plain).crossJoin(F.broadcast(li.agg(*nd)))
     rows = F.array(
         *[
             F.struct(
@@ -4268,7 +4274,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = good.groupBy(F.md5(F.encode("text", "utf-8")).alias("__digest")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    survivors = good.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # r13 (guide §1.2 — don't compute things you throw away): the
+    # re-attach side joins the RAW scan, not `good` — keep's doc_ids come
+    # from good, so membership already implies both filters, and the
+    # lang-ID + quality regex expressions (measured ~1.5 s/corpus pass at
+    # sf0.1, the pipeline's dominant cost) run ONCE instead of twice.
+    # Identical rows: doc_id is the documents PK, so docs ⋉ keep ==
+    # good ⋉ keep.
+    survivors = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
     shuffled = survivors.select(
         "doc_id",
         ((F.col("doc_id") % 1000000007) * 654435747 % 1000000007).alias("shuffle_pos"),
