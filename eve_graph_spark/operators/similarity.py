@@ -583,6 +583,11 @@ def ivf_pq_index(
             ],
             f"{id_col} long, cell bigint, codes array<int>",
         )
+        # the training collect covered the WHOLE corpus here — expose it
+        # so ivf_pq_topk can derive its query vectors driver-side instead
+        # of running another scan-and-collect job (r13, guide §1.2).
+        # Private key, not part of the persisted-model contract.
+        model["_corpus_rows"] = rows
         return index, model
 
     # encode the corpus: cell (argmax dot vs unit centroids) + codes
@@ -676,13 +681,24 @@ def ivf_pq_topk(
         # out. localCheckpoint is the in-session equivalent of that
         # materialized table: lineage is truncated, so the only
         # embeddings scan left in the query plan is the final re-rank's
-        # id fetch.
-        index = index.transform(truncate_lineage)
+        # id fetch. r13: when the driver-local encode fired the index is
+        # ALREADY a leaf relation with no embeddings lineage and exactly
+        # one downstream scan (the ADC probe) — a checkpoint job would
+        # only re-materialize it for nothing, so it is skipped.
+        if "_corpus_rows" not in model:
+            index = index.transform(truncate_lineage)
     m, d = model["m"], model["d"]
-    qrows = (
-        embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(id_col, vec_col).collect()
-    )
+    # query vectors: from the training collect when it covered the whole
+    # corpus (driver-local-encode path — same source table, so the rows
+    # are identical), else one filtered scan-and-collect
+    if "_corpus_rows" in model:
+        qset = {int(q) for q in query_ids}
+        qrows = [r for r in model["_corpus_rows"] if int(r[id_col]) in qset]
+    else:
+        qrows = (
+            embeddings.filter(F.col(id_col).isin(query_ids))
+            .select(id_col, vec_col).collect()
+        )
     cents = np.array(model["cents"])
     ucents = _unit_rows_np(cents)
     cell_ids = model["cell_ids"]

@@ -84,7 +84,10 @@ def write_ann_index(index: DataFrame, model: dict, path: str,
 
     index.write.mode("overwrite").partitionBy(partition_col).parquet(f"{path}/index")
     p = Path(path) / "model.json"
-    p.write_text(json.dumps(model))
+    # "_"-prefixed keys are session-only carry (e.g. ivf_pq_index's
+    # _corpus_rows collect reuse) — not part of the persisted contract,
+    # and not JSON-serializable
+    p.write_text(json.dumps({k: v for k, v in model.items() if not k.startswith("_")}))
 
 
 def write_lsh_index(index: DataFrame, model: dict, path: str) -> None:

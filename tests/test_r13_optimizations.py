@@ -263,7 +263,12 @@ def test_ivf_pq_driver_local_encode_matches_distributed(spark):
     idx_dist, m_dist = ivf_pq_index(
         emb, m_subspaces=4, encode_driver_local=False
     )
-    assert m_local == m_dist
+    # "_"-prefixed keys are session-only carry (the driver-local branch
+    # exposes its corpus collect for ivf_pq_topk reuse); the persisted
+    # model contract must be identical
+    strip = lambda m: {k: v for k, v in m.items() if not k.startswith("_")}  # noqa: E731
+    assert strip(m_local) == strip(m_dist)
+    assert all(k == "_corpus_rows" for k in m_local if k.startswith("_"))
     a = sorted(map(tuple, ((r["vec_id"], r["cell"], tuple(r["codes"]))
                            for r in idx_local.collect())))
     b = sorted(map(tuple, ((r["vec_id"], r["cell"], tuple(r["codes"]))
