@@ -52,8 +52,7 @@ if _REPO not in sys.path:
 METHODOLOGY = (
     "sum of per-query wall seconds over the full query registry "
     "(noop sink; untimed warmup prebuilds JVM + python workers + graph "
-    "projections, and the python worker pool is re-warmed untimed before "
-    "each python-path query; best-of-2 above 0.5s)"
+    "projections; best-of-2 above 0.5s)"
 )
 
 
@@ -188,12 +187,37 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     only = [s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s]
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+    # FORCED-DISTRIBUTED ARM (r13 verdict item 3): with
+    # SPARK_GRAFT_FORCE_DISTRIBUTED=1 every driver-local cutover answers
+    # "doesn't fit", so the distributed twins of the fixture-sized queries
+    # get timed and shuffle-row-pinned too. Values are identical (parity-
+    # pinned); the arm keeps its OWN baseline + pin files so its flags
+    # never cross-contaminate the default bench the driver runs.
+    dist = os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED", "") == "1"
+    methodology = METHODOLOGY + (
+        " [forced-distributed arm: driver-local cutovers disabled]" if dist else ""
+    )
 
     from pyspark.sql import SparkSession
+
+    # Pre-warmed worker daemon (r13 verdict item 2): Spark reaps the idle
+    # python worker pool after a hard-coded 60 s (PythonWorkerFactory's
+    # IDLE_WORKER_TIMEOUT_NS), so interleaved JVM-only/python-path query
+    # sequences used to re-pay a full pool fork+import chain mid-run —
+    # r13's bench band-aided that with an untimed per-query pool re-warm.
+    # warm_daemon preloads numpy/pandas/pyarrow(+package) in the fork
+    # server so a respawned worker inherits them copy-on-write and the
+    # rebuild costs milliseconds; the re-warm band-aid is gone and the
+    # timed region measures the engine as configured. PYTHONPATH must
+    # carry the repo BEFORE the JVM launches (the daemon inherits it).
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _REPO not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("eve-graph-spark-bench")
+        .config("spark.python.daemon.module", "eve_graph_spark.warm_daemon")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -247,39 +271,22 @@ def main() -> None:
     # wall-clock noise on multi-second queries; min-of-2 measures the
     # plan, not the neighbor. The 0.5s threshold (was 1.0) also re-runs
     # the mid-range queries whose FIRST execution pays a codegen-compile
-    # or python-worker-fork spike — those showed up as phantom 2x
-    # "regressions" of 0.5-1s queries. Fast queries keep single-run
-    # timings (noise there is bounded by the threshold itself).
-    def _warm_python_workers() -> None:
-        """Untimed python-worker pool rebuild. The r13 py_workers traces
-        show the idle pool LOSES ~32 workers at time-random points in
-        EVERY bench run (66 -> 34 -> 2; respawned only by the next
-        python-path query), so whichever python query follows a die-off
-        was charged a 32-worker fork+import — ~0.3-0.5 s quiet, amplified
-        to 2.8-4.9 s under co-tenant CPU saturation. That respawn is
-        session plumbing, not plan cost (same class as the JVM warmup),
-        so it is paid here, outside the timer."""
-        spark.range(cpus).repartition(cpus).mapInPandas(
-            lambda batches: batches, "id long"
-        ).write.format("noop").mode("overwrite").save()
-
+    # spike — those showed up as phantom 2x "regressions" of 0.5-1s
+    # queries. Fast queries keep single-run timings (noise there is
+    # bounded by the threshold itself). Worker-pool respawns after the
+    # 60s idle reap are INSIDE the timed region (r14): with warm_daemon
+    # they cost milliseconds, so the timer now measures the engine as
+    # configured instead of band-aiding around the reap.
     timings: dict[str, float] = {}
     shuffle_rows: dict[str, int] = {}
     py_workers: dict[str, int] = {"__warmup__": _py_worker_count()}
+    # r14 (verdict item 4): the untimed per-query plan pre-call is GONE —
+    # query construction (incl. any cold driver-threshold probe) now runs
+    # inside the timer. Best-of-2 still reports the steady state for
+    # >0.5s queries; sub-0.5s queries now honestly include what a cold
+    # session pays.
     for name, fn in sorted(registry.queries().items()):
         if only and not any(s in name for s in only):
-            continue
-        try:
-            df = fn(spark, sf_dir)
-            # python-path queries get the pool re-warmed untimed first —
-            # the bench measures the PLAN, not the pool's decay state
-            plan_str = df._jdf.queryExecution().executedPlan().toString()
-            if "Pandas" in plan_str or "Python" in plan_str:
-                _warm_python_workers()
-        except Exception as exc:
-            timings[name] = -1.0
-            shuffle_rows[name] = -1
-            print(f"FAIL {name}: {exc}", file=sys.stderr)
             continue
         before = set(_stable_stage_metrics(spark))
         t0 = time.perf_counter()
@@ -330,7 +337,7 @@ def main() -> None:
     baseline_total = None
     canary = None
     retried: list[str] = []
-    base_path = Path(_REPO) / "BENCH_BASELINE.json"
+    base_path = Path(_REPO) / ("BENCH_DIST_BASELINE.json" if dist else "BENCH_BASELINE.json")
     if base_path.exists():
         base = json.loads(base_path.read_text())
         if base.get("sf") == sf:
@@ -395,13 +402,6 @@ def main() -> None:
                 for r in regressions:
                     name = r["query"]
                     retried.append(name)
-                    try:
-                        rdf = qmap[name](spark, sf_dir)
-                        rplan = rdf._jdf.queryExecution().executedPlan().toString()
-                        if "Pandas" in rplan or "Python" in rplan:
-                            _warm_python_workers()  # untimed, same as main loop
-                    except Exception:
-                        pass
                     t0 = time.perf_counter()
                     try:
                         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -440,7 +440,9 @@ def main() -> None:
         except (OSError, ValueError):
             _base_rows = {}
         pinned_rows = snap_shuffle_pins(pinned_rows, _base_rows)
-    side_path = Path(_REPO, "BENCH_SHUFFLE_ROWS.json")
+    side_path = Path(
+        _REPO, "BENCH_DIST_SHUFFLE_ROWS.json" if dist else "BENCH_SHUFFLE_ROWS.json"
+    )
     if only:
         # partial run (SPARK_GRAFT_ONLY): MERGE into the existing map —
         # overwriting left the committed side file with a 2-entry map
@@ -455,13 +457,13 @@ def main() -> None:
         json.dumps({"sf": sf, "shuffle_rows": pinned_rows}, indent=1) + "\n"
     )
     out_doc = {
-        "metric": METHODOLOGY,
+        "metric": methodology,
         "value": total,
         "unit": "sec",
         "sf": sf,
         "cpus": cpus,
         "warmup_sec": round(warmup, 3),
-        "methodology": METHODOLOGY,
+        "methodology": methodology,
         "n_queries": len(timings),
         "failed": [n for n, t in timings.items() if t < 0],
         "baseline_total_sec": baseline_total,
@@ -479,7 +481,9 @@ def main() -> None:
     # while BENCH_SHUFFLE_ROWS.json keeps its byte-stable pins — lives in
     # a file that survives any capture window. BENCH_ARTIFACT overrides
     # the name for the builder's committed per-round snapshots.
-    artifact = os.environ.get("BENCH_ARTIFACT", "") or "BENCH_DETAIL_LAST.json"
+    artifact = os.environ.get("BENCH_ARTIFACT", "") or (
+        "BENCH_DIST_DETAIL_LAST.json" if dist else "BENCH_DETAIL_LAST.json"
+    )
     Path(_REPO, artifact).write_text(
         json.dumps(
             {**out_doc, "shuffle_rows_raw": shuffle_rows, "py_workers": py_workers},
@@ -495,7 +499,7 @@ def main() -> None:
     # Scalars + flags + the SLOWEST queries, shrunk until the line fits
     # the budget with the artifact holding every timing.
     compact = {
-        "metric": METHODOLOGY,
+        "metric": methodology,
         "value": total,
         "unit": "sec",
         "sf": sf,

@@ -155,9 +155,17 @@ def _kmeans_fit_local(emb: DataFrame, k: int, iterations: int,
     """Driver-side Lloyd fit over the collected fixed-point matrix — the
     ≤driver_local_threshold branch of kmeans_fit. Same values as the
     distributed loop (see its docstring); `emb` is the _clean() frame."""
+    return _kmeans_fit_local_rows(emb.collect(), k, iterations, check_unique_ids)
+
+
+def _kmeans_fit_local_rows(rows, k: int, iterations: int,
+                           check_unique_ids: bool) -> dict[int, list[int]]:
+    """_kmeans_fit_local from already-collected rows carrying `id` and the
+    SQL-computed fixed-point vector `fv` — shared with callers that
+    collected the corpus once for several driver-local kernels (r14,
+    semantic_dedup)."""
     import numpy as np
 
-    rows = emb.collect()
     ids = [r["id"] for r in rows]
     if check_unique_ids and len(set(ids)) != len(ids):
         seen: set[int] = set()
@@ -167,8 +175,21 @@ def _kmeans_fit_local(emb: DataFrame, k: int, iterations: int,
             "than once (dedup the input or pass check_unique_ids=False "
             "after deduping upstream)"
         )
+    Mfull = np.array([r["fv"] for r in rows], dtype=np.int64) if rows else (
+        np.zeros((0, 0), dtype=np.int64)
+    )
+    return _kmeans_fit_local_mat(ids, Mfull, k, iterations)
+
+
+def _kmeans_fit_local_mat(ids, Mfull, k: int,
+                          iterations: int) -> dict[int, list[int]]:
+    """The Lloyd loop itself, from an id list + the UNSORTED int64
+    fixed-point matrix aligned with it (uniqueness already checked by the
+    caller when required)."""
+    import numpy as np
+
     order = sorted(range(len(ids)), key=lambda i: ids[i])
-    M = np.array([rows[i]["fv"] for i in order], dtype=np.int64)
+    M = Mfull[order]
     centroids: dict[int, list[int]] = {
         c: [int(v) for v in M[c]] for c in range(min(k, len(order)))
     }
@@ -195,6 +216,29 @@ def _kmeans_fit_local(emb: DataFrame, k: int, iterations: int,
             new_cents[c] = [int(v) for v in cv]
         centroids = new_cents
     return centroids
+
+
+def _assign_local_rows(M, centroids: dict[int, list[int]], k: int):
+    """Driver-side argmin assignment over an int64 fixed-point matrix —
+    the numpy twin of `_assign_expr` (same (dist·k + c) encode, same
+    first-minimum tie-break, int64 wraparound semantics identical to the
+    JVM long). Returns an int64 cluster array aligned with M's rows, or
+    None clusters when no centroid survived (mirrors _assign_expr's NULL).
+    """
+    import numpy as np
+
+    if not centroids:
+        return None
+    cids = sorted(centroids)
+    C = np.array([centroids[c] for c in cids], dtype=np.int64)
+    diff = M[:, None, :] - C[None, :, :]
+    scores = (diff * diff).sum(axis=2) * np.int64(k) + np.array(
+        cids, dtype=np.int64
+    )
+    # argmin picks the FIRST minimum: among tied distances the smallest
+    # cid's encode (dist·k + c) is strictly smallest, so this matches
+    # least(...) % k exactly (no-overflow regime, same as _kmeans_fit_local)
+    return np.array(cids, dtype=np.int64)[np.argmin(scores, axis=1)]
 
 
 def assign_with_centroids(embeddings: DataFrame, centroids: dict[int, list[int]],

@@ -463,7 +463,8 @@ def portable_minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: st
 def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.5,
                       max_bucket_size: int | str | None = None,
-                      carry: dict[str, Column] | None = None) -> DataFrame:
+                      carry: dict[str, Column] | None = None,
+                      driver_local_threshold: int = 20_000) -> DataFrame:
     """(doc_id, cluster) near-dup cluster membership with exact-dup
     pre-collapse — the scale-critical ordering for dup-heavy corpora.
 
@@ -519,6 +520,28 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
     num_hashes, bands, rows_per_band, k = 8, 4, 2, 3
     digest = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+    # Driver-local branch (r14, guide §5.3/§1.2 — r13 verdict item 6):
+    # below the threshold, ONE scan computes (id, digest, sig, sh, carry…)
+    # with the SAME engine expressions (text/digest parity is Spark's, not
+    # Python's), one collect brings it to the driver, and everything after
+    # — banding, bucket pairs, digest-set Jaccard, connected components,
+    # member map — is exact integer/double arithmetic replayed in Python
+    # (band fold `(acc·31+sig) % P` < 2^36, set sizes are ints, the one
+    # double division per pair is the same IEEE op). Replaces ~18 driver
+    # jobs (2 lineage barriers, a persist, 6+ exchanges, the CC loop)
+    # with one collect. Applies only to the UNCAPPED path the registered
+    # pipeline queries use — max_bucket_size adds the quantile-cap logic,
+    # whose exact-percentile replication isn't worth owning twice.
+    # fits_driver respects SPARK_GRAFT_FORCE_DISTRIBUTED (the bench's
+    # distributed arm still times the full pipeline below).
+    if max_bucket_size is None and driver_local_threshold:
+        from eve_graph_spark.operators.graph import fits_driver
+
+        if fits_driver(docs.select(F.col(id_col)), driver_local_threshold):
+            return _near_dup_clusters_local(
+                docs, text_col, id_col, threshold, carry,
+                num_hashes, bands, rows_per_band, k,
+            )
     # sig + verify set from one let-bound hash array (one md5 pass per doc
     # instead of the old pipeline's separate signature and verify-set
     # passes over the representative text)
@@ -589,6 +612,100 @@ def near_dup_clusters(docs: DataFrame, text_col: str = "text", id_col: str = "do
         *[c.alias(n) for n, c in carry.items()],
     )
     return members.join(rep_cluster, "__dg").select(id_col, "cluster", *carry.keys())
+
+
+def _near_dup_clusters_local(docs: DataFrame, text_col: str, id_col: str,
+                             threshold: float, carry: dict[str, Column] | None,
+                             num_hashes: int, bands: int, rows_per_band: int,
+                             k: int) -> DataFrame:
+    """near_dup_clusters' ≤driver_local_threshold branch (uncapped path
+    only): the text-derived values (digest, signature, verify set, carry
+    expressions) come from ONE engine scan — so string semantics are
+    Spark's, bit-identical to the distributed path — and the pair/CC
+    stages are integer/double arithmetic replayed in Python. See the
+    call-site comment for the parity argument."""
+    from pyspark.sql import types as T
+
+    carry = carry or {}
+    digest = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+    hs = portable_shingle_hash_sql(_shingles_sql(text_col, k))
+    sig_sh = F.expr(
+        f"transform(array({hs}), __hs -> struct("
+        f"aggregate(__hs, array_repeat(CAST({PORTABLE_P} AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(a, j) -> least(a, ((2 * j + 1) * h + 97 * j + 13) % {PORTABLE_P}))) AS sig, "
+        f"array_distinct(__hs) AS sh))[0]"
+    )
+    flat = docs.select(
+        F.col(id_col), digest.alias("__dg"), sig_sh.alias("__ss"),
+        *[c.alias(n) for n, c in carry.items()],
+    ).select(
+        id_col, "__dg", F.col("__ss.sig").alias("__sig"),
+        F.col("__ss.sh").alias("__sh"), *carry.keys(),
+    )
+    rows = flat.collect()
+    out_fields = [
+        flat.schema[id_col],
+        T.StructField("cluster", T.LongType(), True),
+        *[flat.schema[n] for n in carry],
+    ]
+    out_schema = T.StructType(out_fields)
+    spark = docs.sparkSession
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    # exact-dup collapse: min-id representative per digest; identical text
+    # => identical sig/sh, so the rep's are the group's (same min_by rule)
+    rep_of: dict[str, int] = {}
+    rep_row: dict[str, object] = {}
+    for r in rows:
+        dg, i = r["__dg"], r[id_col]
+        if dg not in rep_of or i < rep_of[dg]:
+            rep_of[dg], rep_row[dg] = i, r
+    # banding: rolling (acc*31 + sig[idx]) % P per band — exact int math
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for dg, r in rep_row.items():
+        sig = r["__sig"]
+        rid = rep_of[dg]
+        for b in range(bands):
+            acc = 0
+            for j in range(rows_per_band):
+                acc = (acc * 31 + sig[b * rows_per_band + j]) % PORTABLE_P
+            buckets.setdefault((b, acc), []).append(rid)
+    sh_of = {rep_of[dg]: set(r["__sh"]) for dg, r in rep_row.items()}
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(set(members))
+        for i in range(len(ms) - 1):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    thr = float(threshold)
+    # verify: digest-set Jaccard, one double division per pair (same IEEE)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in cand:
+        sa, sb = sh_of[a], sh_of[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if float(inter) / float(union) >= thr:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member (the min-label CC contract); reps not
+    # in any verified pair keep themselves (the left-join coalesce)
+    cluster_of = {dg: find(rid) for dg, rid in rep_of.items()}
+    out = [
+        tuple([r[id_col], cluster_of[r["__dg"]], *[r[n] for n in carry]])
+        for r in rows
+    ]
+    return spark.createDataFrame(out, out_schema)
 
 
 def portable_simhash_sql(text_col: str, bits: int = 31, k: int = 2) -> str:
@@ -713,7 +830,8 @@ SEMDEDUP_FP = 10**9  # fixed-point scale for the pairwise dot/norm integers
 
 def semantic_dedup(embeddings: DataFrame, k: int = 4, iterations: int = 2,
                    tau: float = 0.3, id_col: str = "vec_id",
-                   vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+                   vec_col: str = "embedding", dim: int = 64,
+                   driver_local_threshold: int = 10_000) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     drop documents whose cosine to a kept in-cluster neighbor exceeds
     `tau` — semantic near-duplicates that MinHash/SimHash (surface-form
@@ -743,6 +861,29 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iterations: int = 2,
     emb = embeddings.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Driver-local branch (r14, guide §5.3/§1.2 — r13 verdict item 6):
+    # below the threshold the WHOLE pipeline (Lloyd fit, assignment, pair
+    # kernel, n_close/kept) runs from ONE collect of (id, vec), replacing
+    # the fit collect + two lineage barriers + the Arrow pair kernel +
+    # two join exchanges with driver numpy. Bit-parity with the
+    # distributed path (pinned by test):
+    #   - fv = floor(double(x)·1e6 + 0.5): float→double widening is exact
+    #     and numpy runs the same IEEE ops as the codegen expression;
+    #   - fit/assign: the same int64 (dist·k + c) encode as
+    #     _kmeans_fit_local / _assign_expr (argmin first-minimum ≡ least);
+    #   - pair kernel: the same expressions _close_pairs runs per cluster
+    #     (floor products are integers < 2^53, so sums are order-exact);
+    #   - n_close/kept: plain counting, same keep-first rule.
+    # The threshold is 10k (not the 200k row-count cutover other kernels
+    # use) because the pair stage is Σ|c|² — the bound must keep a
+    # worst-case single-cluster quadratic kernel driver-affordable.
+    # fits_driver respects SPARK_GRAFT_FORCE_DISTRIBUTED.
+    from eve_graph_spark.operators.graph import fits_driver
+
+    if driver_local_threshold and fits_driver(emb, driver_local_threshold):
+        local = _semantic_dedup_local(emb, k, iterations, tau)
+        if local is not None:  # declines on NaN/Inf vectors or NULL ids
+            return local
     # Materialize the narrow (id, cluster) assignment once: it feeds THREE
     # downstream branches (pair kernel, n_close join, final output) and
     # Catalyst plans each branch's corpus scan independently — without the
@@ -809,6 +950,79 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iterations: int = 2,
             F.coalesce(F.col("n_close"), F.lit(0)).cast("long").alias("n_close"),
             (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
         )
+    )
+
+
+def _semantic_dedup_local(emb: DataFrame, k: int, iterations: int,
+                          tau: float) -> DataFrame | None:
+    """semantic_dedup's ≤driver_local_threshold branch: one collect, then
+    numpy twins of every stage (see the call site for the parity
+    argument). `emb` is the cleaned (id, vec) frame. Returns None to
+    decline (NULL ids / non-finite vectors) — the caller then runs the
+    distributed path."""
+    import numpy as np
+
+    from eve_graph_spark.operators.clustering import (
+        KM_FP, _assign_local_rows, _kmeans_fit_local_mat,
+    )
+
+    spark = emb.sparkSession
+    rows = emb.collect()
+    out_schema = "id long, cluster int, n_close long, kept boolean"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    ids = [r["id"] for r in rows]
+    if any(i is None for i in ids):
+        return None  # NULL ids: keep the distributed path authoritative
+    if len(set(ids)) != len(ids):  # kmeans_fit's check_unique_ids contract
+        seen: set[int] = set()
+        dup = next(i for i in ids if i in seen or seen.add(i))
+        raise ValueError(
+            f"kmeans_fit requires unique id values; id {dup} appears more "
+            "than once (dedup the input or pass check_unique_ids=False "
+            "after deduping upstream)"
+        )
+    V = np.array([r["vec"] for r in rows], dtype=np.float64)
+    if not np.isfinite(V).all():
+        # SQL cast(floor(NaN/Inf) as long) clamps (NaN→0, ±Inf→extrema);
+        # numpy astype is undefined for them — the distributed path stays
+        # authoritative for non-finite vectors (same device as
+        # ivf_pq_index's auto_local NaN guard)
+        return None
+    Mfv = np.floor(V * KM_FP + 0.5).astype(np.int64)
+    centroids = _kmeans_fit_local_mat(ids, Mfv, k, iterations)
+    assign = _assign_local_rows(Mfv, centroids, k)
+    ids_np = np.array(ids, dtype=np.int64)
+    fp_scale = float(SEMDEDUP_FP)
+    tau_v = float(tau)
+    out_a: list[int] = []
+    out_b: list[int] = []
+    # one group per cluster value (assign is never None here: emb is
+    # non-empty so at least one centroid survives), ids ascending within —
+    # the same per-group math _close_pairs runs under applyInPandas
+    for c in np.unique(assign):
+        sel = np.nonzero(assign == c)[0]
+        order = sel[np.argsort(ids_np[sel])]
+        gids = ids_np[order]
+        mat = V[order]
+        nrm = np.sqrt(np.floor(mat * mat * fp_scale + 0.5).sum(axis=1) / fp_scale)
+        for i in range(len(gids) - 1):
+            dot = np.floor(mat[i + 1:] * mat[i] * fp_scale + 0.5).sum(axis=1) / fp_scale
+            cos = dot / (nrm[i] * nrm[i + 1:])
+            hit = np.nonzero(cos >= tau_v)[0]
+            out_a.extend([int(gids[i])] * len(hit))
+            out_b.extend(int(gids[i + 1 + j]) for j in hit)
+    n_close: dict[int, int] = {}
+    for x in out_a:
+        n_close[x] = n_close.get(x, 0) + 1
+    for x in out_b:
+        n_close[x] = n_close.get(x, 0) + 1
+    dups = set(out_b)
+    by_id = dict(zip(ids, (int(c) for c in assign)))
+    return spark.createDataFrame(
+        [(int(i), by_id[i], n_close.get(int(i), 0), int(i) not in dups)
+         for i in ids],
+        out_schema,
     )
 
 

@@ -53,9 +53,31 @@ def clear_probe_cache() -> None:
     _PROBE_CACHE.clear()
 
 
-def fits_driver(df: DataFrame, threshold: int) -> bool:
-    """True when df has ≤ threshold rows — memoized limit(N+1).count probe."""
-    if not threshold:
+def force_distributed() -> bool:
+    """True when SPARK_GRAFT_FORCE_DISTRIBUTED=1: every driver-local
+    fast-path cutover answers "doesn't fit" so the DISTRIBUTED twin runs
+    regardless of input size. Both branches return bit-identical values
+    (parity-pinned), so this only selects the execution strategy — it
+    exists so the bench can time and shuffle-row-pin the distributed
+    plans that a fixture-sized input would otherwise never exercise
+    (r13 verdict item 3: 38/179 bench plans were fully driver-local,
+    leaving the scale-path perf unmeasured)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED", "") == "1"
+
+
+def fits_driver(df: DataFrame, threshold: int,
+                force_exempt: bool = False) -> bool:
+    """True when df has ≤ threshold rows — memoized limit(N+1).count probe.
+
+    `force_exempt=True` opts a call site OUT of the forced-distributed
+    arm: operators whose driver branch has NO distributed twin (a_star,
+    dfs, all-pairs sigma with source_ids=None) must keep probing honestly
+    — forcing them "distributed" can only turn a fixture-sized input into
+    the scale-guard ValueError, which is the guard doing its job, not a
+    measurable twin."""
+    if not threshold or (force_distributed() and not force_exempt):
         return False
     try:
         key = (df.semanticHash(), threshold)
@@ -619,7 +641,7 @@ def k_shortest_paths(edges: DataFrame, source: int, target: int, k: int = 3,
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("double").alias("weight"),
     )
-    if not fits_driver(e, driver_threshold):
+    if not fits_driver(e, driver_threshold, force_exempt=True):
         raise ValueError("graph exceeds driver threshold; route alternatives "
                          "are a driver-side interactive query")
     import heapq
@@ -1005,7 +1027,7 @@ def a_star(
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("double").alias("weight"),
     )
-    if not fits_driver(e, driver_threshold):
+    if not fits_driver(e, driver_threshold, force_exempt=True):
         raise ValueError(
             "a_star: graph exceeds the driver threshold; single-pair routes "
             "at that scale run sssp(target_id=...) with its distributed "
@@ -1101,7 +1123,7 @@ def dfs(edges: DataFrame, source: int,
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
-    if not fits_driver(e, driver_threshold):
+    if not fits_driver(e, driver_threshold, force_exempt=True):
         raise ValueError(
             f"dfs: graph exceeds driver_threshold={driver_threshold} edges; "
             "depth-first order is sequential and cannot be computed "

@@ -36,12 +36,21 @@ def _edge_frame(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
 
 
-def _fits_driver(e: DataFrame, threshold: int) -> bool:
+def _fits_driver(e: DataFrame, threshold: int,
+                 force_exempt: bool = False) -> bool:
     # Memoized by analyzed-plan hash (graph.py): a bootstrap running six
     # analytics over the same edge snapshot pays ONE probe job, not six.
+    # force_exempt: see graph.fits_driver — driver-only call sites keep
+    # probing honestly under the forced-distributed bench arm.
     from eve_graph_spark.operators.graph import fits_driver
 
-    return fits_driver(e, threshold)
+    return fits_driver(e, threshold, force_exempt=force_exempt)
+
+
+def _force_distributed() -> bool:
+    from eve_graph_spark.operators.graph import force_distributed
+
+    return force_distributed()
 
 
 # --- connected components ---------------------------------------------------
@@ -492,7 +501,12 @@ def closeness_centrality(edges: DataFrame, src_col: str = "src_system_id",
     spark = e.sparkSession
     if weight_col is not None:
         ew = _weighted_edge_frame(edges, src_col, dst_col, weight_col)
-        if landmarks is None and not exact and not _fits_driver(ew, driver_threshold):
+        # SPARK_GRAFT_FORCE_DISTRIBUTED makes _fits_driver answer False as
+        # a measurement device; the O(V^2)-state guard must keep judging
+        # the REAL input size, not the forced verdict, or the bench's
+        # distributed arm turns fixture-sized queries into errors.
+        if (landmarks is None and not exact and not _force_distributed()
+                and not _fits_driver(ew, driver_threshold)):
             raise ValueError(
                 "closeness_centrality: graph exceeds the driver threshold and no "
                 "landmarks were given — exact all-pairs closeness is O(V) pivots "
@@ -544,7 +558,11 @@ def closeness_centrality(edges: DataFrame, src_col: str = "src_system_id",
             rows.append((s, float(len(dist) - 1) / total if total else 0.0))
         return spark.createDataFrame(rows, "node long, closeness double")
 
-    if landmarks is None and not exact:
+    # the forced-distributed arm must not trip the exact-cost guard on a
+    # fixture-sized graph: under it, fall through to the exact distributed
+    # path (the measurable twin; branch parity pinned by
+    # test_closeness_distributed_matches_local)
+    if landmarks is None and not exact and not _force_distributed():
         raise ValueError(
             "closeness_centrality: graph exceeds the driver threshold and no "
             "landmarks were given — exact all-pairs closeness is O(V) pivots "
@@ -1053,7 +1071,9 @@ def bfs_sigma(edges: DataFrame, source_ids: list[int] | None,
         # (source, source) state rows and double every result row
         source_ids = list(dict.fromkeys(source_ids))
     e = _edge_frame(edges, src_col, dst_col)
-    if _fits_driver(e, driver_threshold):
+    # source_ids=None has NO distributed twin (the loop needs explicit
+    # seed rows) — its probe is exempt from the forced-distributed arm
+    if _fits_driver(e, driver_threshold, force_exempt=source_ids is None):
         adj: dict[int, list[int]] = {}
         nodes: set[int] = set()
         for r in e.collect():
@@ -1207,7 +1227,8 @@ def dijkstra_sigma(edges: DataFrame, source_ids: list[int] | None,
         source_ids = list(dict.fromkeys(source_ids))
     ew = _weighted_edge_frame(edges, src_col, dst_col, weight_col)
     out_schema = "source long, node long, dist double, sigma double, depth int"
-    if _fits_driver(ew, driver_threshold):
+    # see bfs_sigma: source_ids=None is driver-only, exempt from the arm
+    if _fits_driver(ew, driver_threshold, force_exempt=source_ids is None):
         adj: dict[int, list[tuple[int, float]]] = {}
         nodes: set[int] = set()
         for r in ew.collect():
@@ -1526,7 +1547,10 @@ def betweenness_centrality(edges: DataFrame, src_col: str = "src_system_id",
         # regardless of path, and the n/k scale is undefined
         scale = n_nodes / len(source_ids) if source_ids else 1.0
     else:
-        if not _fits_driver(e, driver_threshold) and not exact:
+        # see closeness_centrality: the forced-distributed bench arm must
+        # not trip the exact-cost guard on a fixture-sized graph
+        if (not exact and not _force_distributed()
+                and not _fits_driver(e, driver_threshold)):
             raise ValueError(
                 "betweenness_centrality: graph exceeds the driver threshold "
                 "and no sample_sources were given — exact betweenness is O(V) "
@@ -3249,24 +3273,41 @@ def louvain(edges: DataFrame, rounds: int = 4,
 
     moves_per_round: list[int] = []
     for it in range(rounds):
-        stot = (
-            comm.join(deg, comm.node == deg.u)
-            .groupBy(F.col("comm").alias("c"))
-            .agg(F.sum("k").alias("stot"))
+        # r14 round fusion (guide §2.4/§1.2, r13 verdict item 7). Three
+        # structural cuts per round, all value-identical:
+        #   1. the own-community candidate rides the SAME aggregate as the
+        #      neighbor-community sums — union a (node, own-comm, 0) row
+        #      BEFORE the groupBy instead of anti-joining afterwards
+        #      (kin_own + 0 == kin_own; absent rows sum to 0 — exactly the
+        #      old own_zero semantics, minus one anti-join exchange and a
+        #      second plan of the nc subtree);
+        #   2. (node, comm, k) is joined once (node_info) and feeds both
+        #      the gain join and stot, instead of two separate comm/deg
+        #      joins per consumer;
+        #   3. own_g comes out of the SAME window pass that ranks the
+        #      argmax (a partition-wide MAX over the single c == comm row
+        #      — every node has exactly one), instead of a third join that
+        #      re-planned the whole gain subtree.
+        node_info = comm.join(
+            deg.select(F.col("u").alias("node"), "k"), "node"
+        )  # (node, comm, k)
+        stot = node_info.groupBy(F.col("comm").alias("c")).agg(
+            F.sum("k").alias("stot")
         )
-        nc = (
-            adj.join(comm.select(F.col("node").alias("v"), F.col("comm").alias("c")), "v")
-            .groupBy(F.col("u").alias("node"), "c")
+        cand = (
+            adj.join(
+                comm.select(F.col("node").alias("v"), F.col("comm").alias("c")), "v"
+            )
+            .select(F.col("u").alias("node"), "c", F.col("wfp"))
+            .unionByName(
+                comm.select(
+                    "node", F.col("comm").alias("c"),
+                    F.lit(0).cast("long").alias("wfp"),
+                )
+            )
+            .groupBy("node", "c")
             .agg(F.sum("wfp").alias("kin"))
         )
-        own_zero = comm.select(
-            "node", F.col("comm").alias("c"), F.lit(0).cast("long").alias("kin")
-        ).join(
-            nc.select(F.col("node").alias("n2"), F.col("c").alias("c2")),
-            (F.col("node") == F.col("n2")) & (F.col("c") == F.col("c2")),
-            "left_anti",
-        )
-        cand = nc.unionByName(own_zero)
         if (gnum, gden) == (1, 1):
             g_expr = (
                 F.lit(2 * m) * F.col("kin")
@@ -3288,29 +3329,30 @@ def louvain(edges: DataFrame, rounds: int = 4,
                    .otherwise(F.lit(0))).cast(dec)
             )
         gain = (
-            cand.join(comm, "node")
-            .join(deg.select(F.col("u").alias("node"), "k"), "node")
+            cand.join(node_info, "node")
             .join(stot, "c")
             .select("node", "c", "comm", g_expr.alias("g"))
         )
-        w = Window.partitionBy("node").orderBy(F.desc("g"), F.asc("c"))
-        best = (
-            gain.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("c").alias("best_c"), F.col("g").alias("best_g"))
-        )
-        own = gain.filter(F.col("c") == F.col("comm")).select(
-            "node", F.col("g").alias("own_g")
+        w_node = Window.partitionBy("node")
+        w = w_node.orderBy(F.desc("g"), F.asc("c"))
+        ranked = gain.select(
+            "node", "c", "comm", "g",
+            F.row_number().over(w).alias("rn"),
+            # exactly one c == comm row per node (cand carries the own-
+            # community candidate unconditionally), so the partition MAX
+            # of the masked column IS that row's gain
+            F.max(F.when(F.col("c") == F.col("comm"), F.col("g")))
+            .over(w_node).alias("own_g"),
         )
         prev_comm = comm
         comm = (
-            comm.join(best, "node").join(own, "node")
+            ranked.filter(F.col("rn") == 1)
             .select(
                 "node",
                 F.when(
                     ((F.col("node") + F.lit(it)) % 2 == 0)
-                    & (F.col("best_g") > F.col("own_g")),
-                    F.col("best_c"),
+                    & (F.col("g") > F.col("own_g")),
+                    F.col("c"),
                 ).otherwise(F.col("comm")).alias("comm"),
             )
             .transform(truncate_lineage)

@@ -74,14 +74,24 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_fixed_point: bool = False,
+    q_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against all candidates.
 
     Queries (a handful of rows) are broadcast; candidates stream by in one
     pass; top-k per query is a TakeOrdered-style window. Ties broken by
     candidate id so results are total-ordered.
+
+    `q_df` (r14, guide §1.2): an optional pre-built (query_id, qvec) frame
+    for the query batch — a caller that already holds the query vectors
+    (e.g. from an index build's training collect) passes them here so the
+    broadcast build doesn't re-scan the corpus to find |Q| rows. Must
+    contain exactly the `query_ids` rows of `embeddings`; values are
+    identical by construction (same source rows).
     """
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+    q = q_df if q_df is not None else embeddings.filter(
+        F.col(id_col).isin(query_ids)
+    ).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     if exact_fixed_point:
@@ -351,7 +361,10 @@ def ivf_topk(
     pass). The distributed path is the same algorithm and is parity-pinned
     by tests; pass driver_local_threshold=0 to force it.
     """
-    if driver_local_threshold and embeddings.count() <= driver_local_threshold:
+    from eve_graph_spark.operators.graph import force_distributed
+
+    if (driver_local_threshold and not force_distributed()
+            and embeddings.count() <= driver_local_threshold):
         return _ivf_topk_local(
             embeddings, query_ids, k, n_centroids, n_probe, lloyd_iterations,
             id_col, vec_col,
@@ -558,8 +571,11 @@ def ivf_pq_index(
     # NaN guard: SQL ordering ranks NaN largest, numpy comparisons drop it —
     # any NaN in the corpus keeps the distributed encode authoritative.
     # `encode_driver_local` overrides the auto condition for parity tests.
+    from eve_graph_spark.operators.graph import force_distributed
+
     auto_local = (
         len(rows) < train_sample
+        and not force_distributed()
         and not any(r[vec_col] is None for r in rows)
         and not np.isnan(V).any()
     )
@@ -576,18 +592,27 @@ def ivf_pq_index(
             d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
             codes_cols.append(np.argmin(d2, axis=1))
         codes_np = np.stack(codes_cols, axis=1)
+        enc = [
+            (int(r[id_col]), int(cells_np[i]), [int(c) for c in codes_np[i]])
+            for i, r in enumerate(rows)
+        ]
         index = spark.createDataFrame(
-            [
-                (int(r[id_col]), int(cells_np[i]), [int(c) for c in codes_np[i]])
-                for i, r in enumerate(rows)
-            ],
-            f"{id_col} long, cell bigint, codes array<int>",
+            enc, f"{id_col} long, cell bigint, codes array<int>"
         )
         # the training collect covered the WHOLE corpus here — expose it
-        # so ivf_pq_topk can derive its query vectors driver-side instead
-        # of running another scan-and-collect job (r13, guide §1.2).
-        # Private key, not part of the persisted-model contract.
+        # (and the driver-encoded index rows) so ivf_pq_topk can derive
+        # its query vectors AND run the whole ADC+rerank driver-side
+        # instead of scan-and-collect + shuffle jobs (r13/r14, guide
+        # §1.2/§5.3). Private keys, not part of the persisted-model
+        # contract (sinks strips "_"-prefixed keys).
         model["_corpus_rows"] = rows
+        model["_index_rows"] = enc
+        # identity token: ivf_pq_topk's driver-local ADC uses _index_rows
+        # ONLY when the caller's index IS this exact frame (or None) — a
+        # caller passing a different materialized/filtered index must get
+        # the distributed ADC over THAT index, not a silent replay of the
+        # build's rows
+        model["_index_df"] = index
         return index, model
 
     # encode the corpus: cell (argmax dot vs unit centroids) + codes
@@ -717,6 +742,71 @@ def ivf_pq_topk(
     if not qdata:
         return spark.createDataFrame(
             [], f"query_id long, {id_col} long, cosine double, rank int"
+        )
+    # r14 (guide §5.3/§1.2): when the index build already collected the
+    # whole corpus (_corpus_rows) AND encoded it driver-side (_index_rows),
+    # the ADC probe + shortlist + exact re-rank are pure driver arithmetic
+    # over data that is ALREADY ON THE DRIVER — running them as Spark jobs
+    # costs a broadcast, two windows and a corpus join for nothing (the
+    # r13 verdict's item 4: 17 driver jobs on ann_ivf_pq_topk). Bit-parity
+    # with the distributed expressions, pinned by test:
+    #   - ADC = aggregate(zip_with(codes, lut, element_at), 0.0, acc+v) —
+    #     a LEFT-TO-RIGHT double fold; the Python loop adds in the same
+    #     order over the same IEEE doubles;
+    #   - shortlist/top-k ordering (desc score, asc id) via sorted() on
+    #     (-x, id): double negation is exact, ties break identically;
+    #   - exact cosine = dot/(sqrt(dot)·sqrt(dot)) with the same
+    #     left-to-right double folds (dot_expr) and math.sqrt = IEEE sqrt.
+    # No NaN can reach here: _corpus_rows only exists when the corpus had
+    # no NULL/NaN (ivf_pq_index's auto_local guard). Identity guard: the
+    # shortcut replays the BUILD's index rows, so it fires only when the
+    # caller's index IS the build's frame (or was built in place above) —
+    # an explicitly passed different index (materialized/filtered
+    # deployment table) must drive the distributed ADC over THAT table
+    # (pinned by test_ivf_pq_probe_scan_never_reads_vectors).
+    if ("_corpus_rows" in model and "_index_rows" in model
+            and index is model.get("_index_df")):
+        import math
+
+        vec_by_id = {int(r[id_col]): r[vec_col] for r in model["_corpus_rows"]}
+        by_cell: dict[int, list[tuple[int, list[int]]]] = {}
+        for vid, cell, codes_row in model["_index_rows"]:
+            by_cell.setdefault(int(cell), []).append((int(vid), codes_row))
+        per_query: dict[int, list[tuple[int, int, list[list[float]]]]] = {}
+        for qid, cell, lut in qdata:
+            per_query.setdefault(qid, []).append((cell, lut))
+        out: list[tuple[int, int, float, int]] = []
+        for qid in per_query:
+            qv = vec_by_id[qid]
+            cand: list[tuple[int, float]] = []
+            for cell, lut in per_query[qid]:
+                for vid, codes_row in by_cell.get(cell, ()):
+                    if vid == qid:
+                        continue
+                    adc = 0.0
+                    for mi, c in enumerate(codes_row):
+                        adc += lut[mi][c]
+                    cand.append((vid, adc))
+            cand.sort(key=lambda t: (-t[1], t[0]))
+            qdot = 0.0
+            for x in qv:
+                qdot += float(x) * float(x)
+            qn = math.sqrt(qdot)
+            rer: list[tuple[int, float]] = []
+            for vid, _ in cand[:rerank]:
+                cv = vec_by_id[vid]
+                dot = 0.0
+                cdot = 0.0
+                for i in range(len(cv)):
+                    dot += float(qv[i]) * float(cv[i])
+                    cdot += float(cv[i]) * float(cv[i])
+                rer.append((vid, dot / (qn * math.sqrt(cdot))))
+            rer.sort(key=lambda t: (-t[1], t[0]))
+            out.extend(
+                (qid, vid, cos, rk + 1) for rk, (vid, cos) in enumerate(rer[:k])
+            )
+        return spark.createDataFrame(
+            out, f"query_id long, {id_col} long, cosine double, rank int"
         )
     qdf = spark.createDataFrame(
         qdata, f"query_id long, cell long, __lut array<array<double>>"

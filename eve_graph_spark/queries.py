@@ -2710,16 +2710,42 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probed cells' true top-10). A PQ regression (bad codebooks,
     # broken ADC, shortlist too shallow) flips the boolean and fails the
     # hash.
-    from eve_graph_spark.operators.similarity import brute_force_topk, ivf_pq_topk
+    from eve_graph_spark.operators.similarity import (
+        brute_force_topk, ivf_pq_index, ivf_pq_topk,
+    )
 
     emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
         F.size("embedding") == 64
     )
-    exact = brute_force_topk(emb, ANN_QUERY_IDS, k=10, exact_fixed_point=True).select(
-        "query_id", "vec_id", "cosine", "rank"
-    )
+    # r14 (guide §1.2, r13-verdict item 4): build the index ONCE here and
+    # share its training collect with the exact side — when the collect
+    # covered the whole corpus, the exact side's |Q|-row query batch is a
+    # local frame instead of another corpus scan, and ivf_pq_topk's whole
+    # ADC+rerank runs driver-side (bit-parity pinned in tests). Values are
+    # identical: the q rows are the same source rows either way.
+    index, model = ivf_pq_index(emb)
+    if "_corpus_rows" not in model:
+        # distributed encode (big corpus / forced-distributed arm): the
+        # in-place index must be materialized once, exactly as ivf_pq_topk
+        # did when it built the index itself — see its docstring
+        from eve_graph_spark.checkpointing import truncate_lineage
+
+        index = index.transform(truncate_lineage)
+    q_df = None
+    if "_corpus_rows" in model:
+        qset = {int(q) for q in ANN_QUERY_IDS}
+        q_df = spark.createDataFrame(
+            [
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                for r in model["_corpus_rows"] if int(r["vec_id"]) in qset
+            ],
+            "query_id long, qvec array<double>",
+        )
+    exact = brute_force_topk(
+        emb, ANN_QUERY_IDS, k=10, exact_fixed_point=True, q_df=q_df
+    ).select("query_id", "vec_id", "cosine", "rank")
     pq = (
-        ivf_pq_topk(emb, ANN_QUERY_IDS, k=10)
+        ivf_pq_topk(emb, ANN_QUERY_IDS, k=10, index=index, model=model)
         .select("query_id", "vec_id")
         .withColumn("__hit", F.lit(1))
     )
@@ -6268,7 +6294,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", F.split(F.lower(F.coalesce("text", F.lit(""))), " ").alias("ws")
     )
-    stats = base.select(F.size("ws").cast("long").alias("dl")).agg(
+    # dl == |words| == |spaces| + 1 for any text (split on ' ' yields one
+    # element per gap, '' splits to ['']), so the corpus-stats pass counts
+    # CHARACTERS instead of running the regex split: length - length(
+    # without-spaces) + 1. Case-mapping never touches U+0020, so counting
+    # on the un-lowered text is exact (r14, guide §1.2 — the stats scan
+    # was paying a full regex split per doc for one integer).
+    t_raw = F.coalesce("text", F.lit(""))
+    dl_cheap = (
+        F.length(t_raw) - F.length(F.replace(t_raw, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    stats = docs.select(dl_cheap.alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
@@ -6282,9 +6318,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # becomes a windowed count over rows that are already unique per doc —
     # no countDistinct, and no second plan of the postings subtree (the
     # groupBy(term)+join form re-planned tf and with it the corpus scan).
+    # r14: the term MATCH is a literal IN-set predicate (whole-stage
+    # codegen) instead of a broadcast hash join against the 7-row distinct
+    # workload — same surviving rows (join on distinct terms ≡ isin), one
+    # BroadcastExchange + distinct agg fewer in the plan (guide §2.4).
+    terms = sorted({t for _, t in BM25_QUERIES})
     tf = (
-        w.join(F.broadcast(q.select("term").distinct()), w["word"] == F.col("term"))
-        .groupBy("doc_id", "term")
+        w.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", F.col("word").alias("term"))
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     )

@@ -14,6 +14,20 @@ os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
 SF_SMALL = "/root/testdata/sf0.001"
 
 
+def pytest_ignore_collect(collection_path, config):
+    """Skip IMPORTING the slow-marked modules whose COLLECTION itself is
+    expensive when the slow tier is deselected (the default, pytest.ini):
+    test_hostile_documents_parity discovers its parametrize list by
+    constructing every registered query plan — minutes of work (and a
+    SparkSession) that a `-m "not slow"` run would throw away, since
+    marker deselection happens only after import. The full-tier run
+    (scripts/run_full_tests.sh) collects it normally."""
+    if collection_path.name == "test_hostile_documents_parity.py":
+        if config.getoption("-m", default="").strip() == "not slow":
+            return True  # fast tier: don't even import it
+    return None
+
+
 @pytest.fixture(scope="session")
 def spark():
     from eve_graph_spark.session import get_spark

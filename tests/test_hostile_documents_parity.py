@@ -15,6 +15,9 @@ import shutil
 import duckdb
 import pytest
 
+# slow tier: full documents-query sweep over adversarial texts vs DuckDB — deselected from the driver-window default run
+pytestmark = pytest.mark.slow
+
 from eve_graph_spark import queries as registry
 from eve_graph_spark.sources.tables import TABLE_NAMES
 

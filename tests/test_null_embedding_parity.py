@@ -16,6 +16,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+# slow tier: embeddings-query sweep over injected NULL/short vectors vs DuckDB — deselected from the driver-window default run
+pytestmark = pytest.mark.slow
+
 from eve_graph_spark import queries as registry
 
 SRC = "/root/testdata/sf0.001/embeddings.parquet"

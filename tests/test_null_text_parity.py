@@ -13,6 +13,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+# slow tier: text-query sweep over injected NULL texts vs DuckDB — deselected from the driver-window default run
+pytestmark = pytest.mark.slow
+
 from eve_graph_spark import queries as registry
 
 SRC = "/root/testdata/sf0.001/documents.parquet"

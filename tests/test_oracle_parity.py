@@ -13,6 +13,9 @@ import math
 import duckdb
 import pytest
 
+# slow tier: full-registry DuckDB replay at sf0.001 (~the driver's own gate, re-run locally) — deselected from the driver-window default run
+pytestmark = pytest.mark.slow
+
 from eve_graph_spark import queries as registry
 from eve_graph_spark.sources.tables import TABLE_NAMES
 

@@ -236,7 +236,12 @@ def test_near_dup_clusters_shuffles_no_text(spark):
     from eve_graph_spark.operators.dedup import near_dup_clusters
 
     df = spark.createDataFrame(ADVERSARIAL_TEXTS, "doc_id long, text string")
-    plan = near_dup_clusters(df)._jdf.queryExecution().optimizedPlan().toString()
+    # driver_local_threshold=0: this pins the DISTRIBUTED pipeline's plan
+    # (r14 added a driver-local branch that would otherwise absorb the
+    # tiny fixture into a LocalRelation with no exchanges at all)
+    plan = near_dup_clusters(
+        df, driver_local_threshold=0
+    )._jdf.queryExecution().optimizedPlan().toString()
     # the old pipeline carried the representative TEXT through the exact-dup
     # aggregate (min_by(text, doc_id)) and signed it post-exchange; the
     # rewrite must never aggregate raw text — only the md5 digest key and
@@ -268,7 +273,12 @@ def test_ivf_pq_driver_local_encode_matches_distributed(spark):
     # model contract must be identical
     strip = lambda m: {k: v for k, v in m.items() if not k.startswith("_")}  # noqa: E731
     assert strip(m_local) == strip(m_dist)
-    assert all(k == "_corpus_rows" for k in m_local if k.startswith("_"))
+    # session-only carries: the corpus collect (r13) + the driver-encoded
+    # index rows and their identity token (r14, feed ivf_pq_topk's
+    # driver-local ADC) — never more
+    assert {k for k in m_local if k.startswith("_")} == {
+        "_corpus_rows", "_index_rows", "_index_df",
+    }
     a = sorted(map(tuple, ((r["vec_id"], r["cell"], tuple(r["codes"]))
                            for r in idx_local.collect())))
     b = sorted(map(tuple, ((r["vec_id"], r["cell"], tuple(r["codes"]))

@@ -8,6 +8,10 @@ the driver-local fast path, which is the bit-identical reference.
 
 from __future__ import annotations
 
+import pytest
+# slow tier: 200k-edge distributed Pregel stress — deselected from the driver-window default run
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from eve_graph_spark.operators.graph import sssp

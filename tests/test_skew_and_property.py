@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
+# slow tier: property-based sweeps over random graphs/corpora — deselected from the driver-window default run
+pytestmark = pytest.mark.slow
+
 import heapq
 
 from hypothesis import HealthCheck, given, settings
