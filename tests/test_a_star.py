@@ -29,6 +29,7 @@ COORD_SCHEMA = "system_id long, x double, y double, z double"
 # --- fixture-graph parity ---------------------------------------------------
 
 @pytest.mark.parametrize("weight_col", ["cost", "risk"])
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_a_star_cost_matches_sssp_on_fixture(spark, sf_dir, weight_col):
     from eve_graph_spark.sources.graph_fixture import build_coords, build_jumps
 
@@ -163,6 +164,7 @@ def test_a_star_unreachable_returns_none(spark):
 
 # --- engine wiring ----------------------------------------------------------
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_engine_heuristic_route_matches_default(spark, sf_dir):
     from eve_graph_spark.api import GraphEngine
     from eve_graph_spark.sources.graph_fixture import (

@@ -73,6 +73,7 @@ def test_bfs_sigma_driver_vs_distributed_bit_identical(spark):
     assert dist == local  # ints throughout: exact, not approx
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_betweenness_driver_vs_distributed(spark):
     # dependency ratios are non-integer -> float-rounding agreement only
     e = _random_sym_edges(spark)

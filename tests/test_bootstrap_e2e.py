@@ -66,6 +66,7 @@ def test_bootstrap_and_routes(spark, universe):
         eng.shortest_route("Sys1", "Nowhere")
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_incremental_resync_removes_systems(spark, universe):
     esi_systems, stargates, kills, jumps_act, sigs = universe
     eng = GraphEngine(
@@ -78,6 +79,7 @@ def test_incremental_resync_removes_systems(spark, universe):
     assert {r["system_id"] for r in eng.systems.collect()} == {1, 2, 3, 4, 5}
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_engine_over_persisted_bucketed_tables(spark, universe, tmp_path):
     # Durable-table lifecycle: bootstrap -> persist through the sinks'
     # layout contract (systems partitioned, jumps BUCKETED by
@@ -126,6 +128,7 @@ def test_engine_over_persisted_bucketed_tables(spark, universe, tmp_path):
         spark.sql("DROP TABLE IF EXISTS jumps_engine_e2e")
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_incremental_wormhole_refresh_matches_full_rebuild(spark, universe):
     """r6 verdict item 6: the incremental A6 path (edge delta + projection
     patch) must leave the engine in the same state as the full

@@ -9,6 +9,8 @@ land in the configured directory.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from eve_graph_spark.checkpointing import (
@@ -53,6 +55,7 @@ def test_truncate_lineage_routes_to_reliable_dir(spark, tmp_path):
     assert reliable_checkpoint_dir(spark) is None
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_sssp_bit_identical_under_reliable_checkpoints(spark, tmp_path):
     from eve_graph_spark.operators.graph import sssp
     from eve_graph_spark.sources.graph_fixture import build_jumps
@@ -95,6 +98,7 @@ def test_sssp_bit_identical_under_reliable_checkpoints(spark, tmp_path):
     assert ckpt == base
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_louvain_bit_identical_under_reliable_checkpoints(spark, tmp_path):
     from eve_graph_spark.operators.graph_analytics import louvain
 

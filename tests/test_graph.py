@@ -161,6 +161,7 @@ def test_k_shortest_paths_ranked_and_distinct(spark):
     ]
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_k_shortest_distributed_matches_driver(spark, sf_dir):
     """The batched-spur-sweep distributed Yen's returns the same ranked
     (cost, path) list as the driver twin on the fixture graph (top-4
@@ -335,6 +336,7 @@ def test_sssp_target_early_exit_distributed_chain(spark):
         assert rows[i] == (float(i), None if i == 0 else i - 1)
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_sssp_target_early_exit_branchy_parity(spark, fixture_edges):
     """On the branchy risk fixture the target-pruned distributed run must
     agree with the full distributed run on every entry with

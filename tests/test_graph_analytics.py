@@ -104,6 +104,7 @@ def test_pagerank_hub_ranks_highest(spark):
     assert best["node"] == 0
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_scc_tarjan_and_fwbw_agree(spark):
     # 1->2->3->1 cycle, 4->5 chain hanging off it, 6<->7 mutual pair:
     # SCCs {1,2,3}, {4}, {5}, {6,7}. Direction-blind components would
@@ -129,6 +130,7 @@ def test_scc_tarjan_and_fwbw_agree(spark):
     assert dist == expect
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_scc_dag_resolved_by_trim_not_pivots(spark):
     # A 12-node DAG chain has 12 singleton SCCs. The old FW-BW peeled one
     # SCC per driver round-trip; trim-to-fixpoint must resolve the whole
@@ -211,6 +213,7 @@ def test_label_propagation_isolated_direction_keeps_label(spark):
     assert got[1] == 1 and got[2] == 1
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_star_cc_matches_label_cc(spark):
     from eve_graph_spark.operators.graph_analytics import connected_components
 
@@ -228,6 +231,7 @@ def test_star_cc_matches_label_cc(spark):
         assert got == ref, algo
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_star_cc_chain_converges_in_log_rounds(spark):
     """The reason star exists: a 2,000-node path has diameter 1,999 — the
     min-label loop would need ~2,000 supersteps; star contraction must
@@ -263,6 +267,7 @@ def test_auto_cc_uses_label_on_low_diameter(spark):
     assert "star_rounds" not in st
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_auto_cc_switches_to_star_on_chain(spark):
     """r6 verdict item 4: a chain-shaped topology (diameter >> budget) must
     flip auto to star contraction, bounding the run at
@@ -575,6 +580,7 @@ def test_mst_known_answer(spark):
     assert got == [(1, 2, 1_000_000), (2, 3, 2_000_000), (3, 4, 1_000_000)]
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_mst_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
 
@@ -639,6 +645,7 @@ def test_dag_longest_path_diamond(spark):
     }
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_dag_longest_path_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import dag_longest_paths
 
@@ -662,6 +669,7 @@ def test_dag_unweighted_dist_equals_level(spark):
         assert r["topo_level"] == r["longest_dist_fp"]
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_dag_rejects_cycles_both_paths(spark):
     from eve_graph_spark.operators.graph_analytics import dag_longest_paths
 
@@ -783,6 +791,7 @@ def test_louvain_two_cliques(spark):
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_louvain_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import louvain
 
@@ -840,6 +849,7 @@ def test_article_rank_damps_hub_endorsements(spark):
     assert got[100] > got[200]
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_article_rank_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import article_rank
 
@@ -873,6 +883,7 @@ def test_property_graph_article_rank(spark):
 # --- FastRP ------------------------------------------------------------------
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_fastrp_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import fastrp_embeddings
 
@@ -949,6 +960,7 @@ def test_louvain_unit_weights_match_unweighted(spark):
     assert unw == w1  # weight 1.0 == edge counting, bit-exactly
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_louvain_weighted_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import louvain
 
@@ -981,6 +993,7 @@ def test_k1_coloring_proper_and_tight(spark):
     assert len({got[v] for v in (6, 7, 8)}) == 3
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_k1_coloring_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import k1_coloring
 

@@ -93,6 +93,7 @@ def test_unknown_route_is_404(api):
     assert ei.value.code == 404
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_refresh_endpoints_post_only(api):
     for path in ("/systems/refresh", "/systems/risk",
                  "/stargates/refresh", "/wormholes/refresh"):
@@ -105,11 +106,13 @@ def test_refresh_endpoints_post_only(api):
     assert ei.value.code == 404
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_routes_still_work_after_http_refreshes(api):
     status, body = _get(api + "/shortest-route/Sys1/to/Sys4")
     assert status == 200 and body["route"] == ["Sys1", "Sys4"]
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_route_alternatives_endpoint(api):
     status, body = _get(api + "/route-alternatives/Sys1/to/Sys4?k=2")
     assert status == 200

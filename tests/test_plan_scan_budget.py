@@ -27,6 +27,9 @@ import re
 
 import pytest
 
+# slow tier: registry-wide scan-count sweep
+pytestmark = pytest.mark.slow
+
 from eve_graph_spark import queries as registry
 
 BIG_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")

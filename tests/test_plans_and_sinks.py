@@ -84,6 +84,7 @@ def test_dedup_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_registry_wide_no_cartesian_products(spark, sf_dir):
     """Every registered query's physical plan must be free of
     CartesianProduct, and any BroadcastNestedLoopJoin must be marked

@@ -124,6 +124,7 @@ def test_fold_brute_force_matches_explode_reference(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_sssp_route_driver_and_distributed_branches_agree(spark):
     """r13: sssp_route's driver-local branch (one edge collect feeds the
     relaxation, preds rule and walk) must match the distributed branch

@@ -405,6 +405,7 @@ def test_sllpa_weighted_flips_listened_label(spark):
         assert wgt[0] == 9  # heavy edge out-votes two light ones
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_sllpa_weighted_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import sllpa
 
@@ -453,6 +454,7 @@ def test_property_graph_sllpa_weighted(spark):
 # --- LSH index persistence (r10: the "bucketed by LSH bucket" layout) --------
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_lsh_index_persist_roundtrip(spark, sf_dir, tmp_path):
     from eve_graph_spark.operators.similarity import (
         lsh_bucketed_topk, lsh_index, lsh_topk_from_index,
@@ -542,6 +544,7 @@ def test_louvain_multilevel_merges_past_resolution_limit(spark):
     assert ml.count() == 75 and ml.select("node").distinct().count() == 75
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_louvain_multilevel_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import louvain_multilevel
 
@@ -630,6 +633,7 @@ def test_leiden_guarantee_every_community_connected(spark):
     assert out.count() == 75
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_leiden_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import leiden
 

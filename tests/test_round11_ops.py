@@ -115,6 +115,7 @@ def test_louvain_stats_out_local(spark):
     assert stats["moves_per_round"][-1] == 0 and stats["moves_per_round"][-2] == 0
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_louvain_stats_out_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import louvain
 
@@ -142,6 +143,7 @@ def test_multilevel_stats_out_per_level(spark):
     assert st2["levels"] == 2 and len(st2["per_level"]) == 2
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_multilevel_distributed_matches_local_with_gamma(spark):
     from eve_graph_spark.operators.graph_analytics import leiden, louvain_multilevel
 
@@ -157,6 +159,7 @@ def test_multilevel_distributed_matches_local_with_gamma(spark):
         assert loc == dist, fn.__name__
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_multilevel_local_fast_path_matches_distributed_default(spark):
     """The r11 driver fast path (one collect, dict phases) must be
     bit-identical to the distributed orchestration it replaced."""

@@ -107,12 +107,14 @@ def test_articulation_distributed_matches_driver(choke):
     assert _sorted_rows(drv) == _sorted_rows(dist)
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_bridges_distributed_matches_driver(choke):
     drv = bridges(choke, src_col="src", dst_col="dst")
     dist = bridges(choke, src_col="src", dst_col="dst", driver_threshold=0)
     assert _sorted_rows(drv) == _sorted_rows(dist)
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_random_walks_distributed_matches_driver(jumps, spark, sf_dir):
     nodes = build_systems(spark, sf_dir).select("system_id")
     drv = random_walks(jumps, walks_per_node=2, steps=4, nodes=nodes)
@@ -213,6 +215,7 @@ def test_exclusion_bfs_superstep_bound(choke):
 
 # --- k-means --------------------------------------------------------------------
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_kmeans_assignment_is_argmin_and_lloyd_monotone(spark, sf_dir):
     """Independent numpy replay: (a) every point's cluster is the true
     argmin distance to the iteration-2 centroids (ties to lowest index);
@@ -382,6 +385,7 @@ def test_quantization_constant_dim_guard(spark):
 
 # --- node2vec (second-order) walks ------------------------------------------------
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_node2vec_distributed_matches_driver(jumps, spark, sf_dir):
     from eve_graph_spark.operators.graph_analytics import node2vec_walks
 

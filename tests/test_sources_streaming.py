@@ -435,6 +435,7 @@ def _run_wormhole_stream(spark, poll_dir, ckpt, handler):
     assert q.awaitTermination(120)
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_eve_scout_stream_incremental_refresh_and_offset_resume(
     spark, sf_dir, tmp_path
 ):
@@ -604,6 +605,7 @@ def _risk_proj_rows(engine):
     )
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_risk_stream_two_polls_reranks_routes_and_matches_batch(
     spark, sf_dir, tmp_path
 ):

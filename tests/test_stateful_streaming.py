@@ -3,6 +3,8 @@ timeouts fire on watermark advance."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -149,6 +151,7 @@ def test_near_dup_hits_stream_across_batches(spark, tmp_path):
             assert r["est_jaccard"] == 1.0
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_near_dup_stream_redelivery_keeps_single_roster_entry(spark, tmp_path):
     """ADVICE r5: a re-delivered doc_id (micro-batch replay, duplicate
     source rows) must refresh its roster entry in place, not append a
@@ -178,6 +181,7 @@ def test_near_dup_stream_redelivery_keeps_single_roster_entry(spark, tmp_path):
     assert per_band and all(n == 1 for n in per_band.values()), per_band
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_near_dup_stream_redelivery_refreshes_roster_recency(spark, tmp_path):
     """r6 verdict item 5: a refreshed doc_id moves to the roster END, so
     the state_cap truncation (keep newest) honors recency — a just-seen

@@ -80,6 +80,7 @@ def test_dijkstra_sigma_hand_graph(spark):
     assert rows[(0, 2)] == (2.0, 2.0, 2)  # depth = LONGEST DAG path
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_dijkstra_sigma_distributed_matches_driver(spark):
     random.seed(7)
     nodes = list(range(12))
@@ -141,6 +142,7 @@ def test_weighted_betweenness_matches_pair_formula_fuzz(spark):
             assert got[v] == pytest.approx(expect[v], rel=1e-9), (seed, v)
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_weighted_betweenness_distributed_matches_driver(spark):
     random.seed(19)
     nodes = list(range(10))
@@ -257,6 +259,7 @@ def test_harmonic_weighted_hand_graph(spark):
     assert rows[2] == (0.0, 0.0)  # sink: reaches only itself
 
 
+@pytest.mark.slow  # >10s: full-tier only (r14 test tiers)
 def test_harmonic_weighted_driver_distributed_parity(spark, sf_dir):
     from eve_graph_spark.operators.graph_analytics import harmonic_centrality
 
