@@ -43,6 +43,7 @@ def universe(spark):
     return esi_systems, stargates, kills, jumps_act, sigs
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_bootstrap_and_routes(spark, universe):
     esi_systems, stargates, kills, jumps_act, sigs = universe
     empty_sys = spark.createDataFrame([], schemas.SYSTEM)

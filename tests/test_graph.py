@@ -106,6 +106,7 @@ def test_distributed_loop_matches_local_fast_path(spark, fixture_edges):
     assert dist == local
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_multi_source_sssp_per_source_parity(spark, fixture_edges):
     """(source, node)-keyed state: per-source (dist, pred) equal k
     independent sssp() runs, on BOTH the driver fast path and the
@@ -318,6 +319,7 @@ def test_fits_driver_probe_is_memoized(spark, sf_dir):
     assert after_ids == mid_ids
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_sssp_target_early_exit_distributed_chain(spark):
     """r6 verdict item 1: with a target at layer 10 of a long chain, the
     distributed loop must stop ~when the target settles, not relax the

@@ -456,6 +456,7 @@ def test_hits_asymmetric_semantics(spark):
         assert got[v][0] == 0.0 and got[v][1] == pytest.approx(1.0 / 3**0.5, abs=1e-6)
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_hits_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import hits
 
@@ -600,6 +601,7 @@ def test_mst_forest_on_disconnected_graph(spark):
     assert got == [(1, 2), (3, 4)]
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_mst_equal_weight_tiebreak_deterministic(spark):
     from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
 
@@ -821,6 +823,7 @@ def test_louvain_partition_has_positive_modularity(spark):
     assert mod > 300_000
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_property_graph_louvain_and_ktruss(spark):
     from eve_graph_spark.graph_api import PropertyGraph
 

@@ -55,6 +55,7 @@ def test_centralities(graph):
     assert {r["id"] for r in samp.collect()} == set(range(5))
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_chokepoints_and_walks(graph):
     # path 0-1-2-3 + triangle 0-1-4: articulation = {1 (cuts 2,3 side), 2
     # (cuts 3)}; bridges = the path edges (1,2),(2,3); triangle edges are

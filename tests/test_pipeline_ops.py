@@ -170,6 +170,7 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert rows == {1: "gold", 2: "silver", 3: None}
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_custom_datasource_reads_and_pushes_filters(spark, tmp_path):
     import json
 

@@ -112,12 +112,20 @@ def test_registry_wide_no_cartesian_products(spark, sf_dir):
 @pytest.mark.parametrize(
     "name", ["dedup_pipeline_documents", "dedup_survivors_quality"]
 )
-def test_dedup_cluster_join_not_forced_broadcast(spark, sf_dir, name):
+def test_dedup_cluster_join_not_forced_broadcast(spark, sf_dir, name, monkeypatch):
     """Cluster membership (cc output) is O(corpus) at crawl scale — the
     member join must NOT carry a broadcast hint. With the auto-broadcast
     threshold off, the plan must fall back to a keyed shuffle join; a
     BroadcastExchange surviving threshold=-1 can only come from a hint,
-    which is exactly the 100 TB OOM this test pins out."""
+    which is exactly the 100 TB OOM this test pins out.
+
+    r14: near_dup_clusters gained a driver-local branch that absorbs the
+    fixture into a LocalRelation — this test pins the DISTRIBUTED plan,
+    so it runs under the forced-distributed switch."""
+    from eve_graph_spark.operators.graph import clear_probe_cache
+
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    clear_probe_cache()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -127,6 +135,8 @@ def test_dedup_cluster_join_not_forced_broadcast(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED")
+        clear_probe_cache()
 
 
 def _single_partition_inputs(plan: str) -> list[str]:

@@ -150,6 +150,7 @@ def test_sssp_route_driver_and_distributed_branches_agree(spark):
     assert sssp_route(e, 0, 8, driver_threshold=0)[1] == []
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_kmeans_fit_local_matches_distributed(spark):
     """r13: the driver-local Lloyd fit must return the identical centroid
     dict as the distributed posexplode+groupBy loop — including empty-
@@ -326,6 +327,7 @@ def test_community_metrics_driver_and_distributed_branches_agree(spark):
     assert by_comm[30][2:6] == (0, 0, 0, 0)
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_near_dup_clusters_carry_matches_separate_join(spark):
     """r13: carry= evaluates extra per-doc expressions inside the member-map
     scan; the result must equal computing the expression separately and

@@ -100,6 +100,7 @@ def test_mst_budget_exhaustion_raises(spark):
                                 driver_threshold=0).collect()
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_mst_sufficient_budget_matches_local_twin(spark):
     from eve_graph_spark.operators.graph_analytics import minimum_spanning_forest
 
@@ -318,6 +319,7 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
     from eve_graph_spark.operators.similarity import (
         ivf_index, ivf_topk, ivf_topk_from_index,
@@ -472,6 +474,7 @@ def test_lsh_index_persist_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_lsh_persisted_probe_prunes_partitions(spark, sf_dir, tmp_path):
     from eve_graph_spark.operators.similarity import lsh_index, lsh_topk_from_index
     from eve_graph_spark.sinks import read_lsh_index, write_lsh_index
@@ -558,6 +561,7 @@ def test_louvain_multilevel_distributed_matches_local(spark):
     assert loc == dist
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_louvain_self_loops_degree_and_m_parity(spark):
     # self-loops must not crash either path and must agree between them;
     # they contribute to degree/m only, so on a graph where they are the

@@ -66,6 +66,7 @@ def test_gamma_controls_resolution_on_multilevel(spark):
     assert high > low
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_gamma_distributed_matches_local(spark):
     from eve_graph_spark.operators.graph_analytics import louvain
 

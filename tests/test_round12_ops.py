@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from eve_graph_spark import queries as registry
 
 
@@ -127,6 +129,7 @@ _SIG_RECS = [
 ]
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_eve_scout_writer_snapshot_roundtrip(spark, tmp_path):
     """r11 verdict item 8: source/sink symmetry. Write a signature frame
     through the registered writer, read it back through the registered

@@ -164,6 +164,7 @@ def test_auto_cap_is_noop_on_healthy_corpus(spark, sf_dir):
     assert auto == plain and len(plain) > 0
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_auto_cap_bounds_planted_megabucket(spark):
     """On a planted boilerplate mega-bucket, auto must (a) collapse the
     O(B^2) candidate blowup without being told a cap, and (b) preserve the

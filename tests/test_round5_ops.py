@@ -4,6 +4,8 @@ these tests pin the semantic properties the hash can't see."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -207,6 +209,7 @@ def _py_duplicate_spans(texts: list[str]):
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=_corpora)
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_duplicate_spans_match_brute_force(spark, tmp_path_factory, texts):
     tmp = tmp_path_factory.mktemp("spans_fuzz")
     spark.createDataFrame(

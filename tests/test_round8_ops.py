@@ -276,6 +276,7 @@ def test_kmeans_assignment_is_argmin_and_lloyd_monotone(spark, sf_dir):
     assert sse(a2, cents2) <= sse(a1, cents1) + 1e-6
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_kmeans_drops_null_and_short_vectors(spark):
     from eve_graph_spark.operators.clustering import kmeans_assign
 
@@ -444,6 +445,7 @@ def test_node2vec_walks_are_valid(jumps, spark, sf_dir):
 
 # --- robustness curve + diameter ---------------------------------------------------
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_set_exclusion_reach_distributed_matches_driver(choke, spark):
     from eve_graph_spark.operators.graph_analytics import set_exclusion_reach
 

@@ -56,6 +56,7 @@ def test_empty_graph_structure_family(spark):
 # --- self-loops ----------------------------------------------------------------
 
 
+@pytest.mark.slow  # >3s: full-tier only (r14 test tiers)
 def test_self_loops_are_inert_in_undirected_operators(spark):
     from eve_graph_spark.operators.graph_analytics import (
         k_truss, local_clustering_coefficient, louvain, minimum_spanning_forest,
